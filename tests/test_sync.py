@@ -1,0 +1,136 @@
+"""Scene sync pipeline tests: triangulation (reference HdMeshUtil usage,
+Source/Mesh.cpp:52-79), delegate dirty tracking, registry packing."""
+
+import numpy as np
+import pytest
+
+from vri_tpu.config import RenderConfig
+from vri_tpu.hydra import meshutil
+from vri_tpu.hydra.delegate import DirtyBits, RenderDelegate
+from vri_tpu.registry import bake_world
+from vri_tpu.usd import scenes
+
+
+def small_config():
+    return RenderConfig(width=64, height=64)
+
+
+class TestTriangulate:
+    def test_single_quad(self):
+        tris, tri_face, corners = meshutil.triangulate([4], [0, 1, 2, 3])
+        np.testing.assert_array_equal(tris, [[0, 1, 2], [0, 2, 3]])
+        np.testing.assert_array_equal(tri_face, [0, 0])
+        np.testing.assert_array_equal(corners, [[0, 1, 2], [0, 2, 3]])
+
+    def test_mixed_polygons(self):
+        # triangle + pentagon + quad
+        counts = [3, 5, 4]
+        indices = [0, 1, 2,  3, 4, 5, 6, 7,  8, 9, 10, 11]
+        tris, tri_face, corners = meshutil.triangulate(counts, indices)
+        assert len(tris) == 1 + 3 + 2
+        np.testing.assert_array_equal(tri_face, [0, 1, 1, 1, 2, 2])
+        np.testing.assert_array_equal(tris[1], [3, 4, 5])
+        np.testing.assert_array_equal(tris[3], [3, 6, 7])
+        np.testing.assert_array_equal(tris[5], [8, 10, 11])
+        # corner indices address the flat face-varying stream
+        np.testing.assert_array_equal(corners[5], [8, 10, 11])
+
+    def test_face_varying_expansion(self):
+        counts = [4]
+        st = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+        tris, tri_face, corners = meshutil.triangulate(counts, [0, 1, 2, 3])
+        out = meshutil.expand_primvar(st, "faceVarying", counts, tris,
+                                      tri_face, corners)
+        assert out.shape == (2, 3, 2)
+        np.testing.assert_allclose(out[0], [(0, 0), (1, 0), (1, 1)])
+        np.testing.assert_allclose(out[1], [(0, 0), (1, 1), (0, 1)])
+
+    def test_vertex_interpolation(self):
+        counts = [4]
+        vals = np.arange(4, dtype=np.float32)[:, None]
+        tris, tri_face, corners = meshutil.triangulate(counts, [0, 1, 2, 3])
+        out = meshutil.expand_primvar(vals, "vertex", counts, tris, tri_face,
+                                      corners)
+        np.testing.assert_allclose(out[:, :, 0], [[0, 1, 2], [0, 2, 3]])
+
+
+class TestDelegate:
+    def test_full_sync_cornell(self):
+        d = RenderDelegate(small_config())
+        d.populate(scenes.cornell_box())
+        scene = d.sync()
+        assert int(scene.num_instances) == 8
+        # 5 wall quads*2 + light quad*2 + 2 boxes * 12
+        assert int(scene.num_faces) == 5 * 2 + 2 + 2 * 12
+        assert not d.tracker.any_dirty
+        assert d.camera is not None
+        assert int(scene.num_lights) == 1
+        # material table: default + white/red/green/light = 5
+        nz = np.asarray(scene.mat_base_color).any(axis=1).sum()
+        assert nz >= 4
+
+    def test_world_bake_matches_host(self):
+        d = RenderDelegate(small_config())
+        stage = scenes.cornell_box()
+        d.populate(stage)
+        scene = d.sync()
+        world = np.asarray(bake_world(scene))
+        # check the tall box's vertices moved off the origin
+        prim = stage.prim_at_path("/World/TallBox")
+        m = stage.world_transform(prim)
+        pts = np.asarray(prim.get("points"))
+        expect = pts @ m[:3, :3].T + m[:3, 3]
+        # find this instance's vertex range
+        inst = None
+        reg = d.registry
+        for i, path in enumerate(reg._order):
+            if path == "/World/TallBox":
+                inst = i
+        mask = np.asarray(scene.vertex_instance) == inst
+        got = world[mask][: len(pts)]
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    def test_transform_only_update_is_incremental(self):
+        d = RenderDelegate(small_config())
+        stage = scenes.animated_stage(num_objects=4)
+        d.populate(stage)
+        s1 = d.sync()
+        pos1 = np.asarray(s1.positions)
+        changed = scenes.animate(stage, 1.0)
+        d.apply_animation(changed)
+        assert d.tracker.any_dirty
+        s2 = d.sync()
+        # geometry pools unchanged (same object), transforms changed
+        np.testing.assert_array_equal(pos1, np.asarray(s2.positions))
+        assert not np.allclose(np.asarray(s1.instance_transform),
+                               np.asarray(s2.instance_transform))
+
+    def test_material_dedup(self):
+        d = RenderDelegate(small_config())
+        stage = scenes.kitchen_stress(num_objects=8, num_materials=3)
+        d.populate(stage)
+        scene = d.sync()
+        mats = np.asarray(scene.instance_material)[: 9]
+        assert mats.max() <= 3  # 3 materials + default share slots
+
+    def test_dirty_bits_flags(self):
+        assert DirtyBits.ALL & DirtyBits.TRANSFORM
+        assert not (DirtyBits.TOPOLOGY & DirtyBits.TRANSFORM)
+
+
+class TestRegistryLimits:
+    def test_overflow_raises(self):
+        from vri_tpu.config import SceneLimits
+
+        cfg = RenderConfig(width=8, height=8,
+                           limits=SceneLimits(max_vertices=128, max_faces=128))
+        d = RenderDelegate(cfg)
+        d.populate(scenes.kitchen_stress(num_objects=64))
+        with pytest.raises(ValueError):
+            d.sync()
+
+    def test_device_bytes_reported(self):
+        d = RenderDelegate(small_config())
+        d.populate(scenes.cornell_box())
+        d.sync()
+        assert d.registry.device_bytes() > 0

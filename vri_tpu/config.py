@@ -1,0 +1,130 @@
+"""Runtime configuration system.
+
+The reference hardcodes everything at compile time: window size
+(Source/Include/RenderContext.h:7-9), host pool limits (Include/Common.h:7-8),
+cascade count + voxel sizes (Source/RenderPass.cpp:433-434,493-508), Brixelizer
+tuning (RenderPass.cpp:927-930) and bindless table capacity 4096
+(ResourceRegistry.cpp:25-34).  Here all of those become dataclass fields with
+per-scene overrides, because on TPU these constants are *shape* parameters that
+feed straight into jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneLimits:
+    """Static capacity bounds for the packed scene arrays.
+
+    The TPU build needs static shapes: every pool is padded to a fixed
+    capacity, mirroring (but widening) the reference's caps — bindless tables
+    of 4096 entries (ResourceRegistry.cpp:25-34) and 16+16-bit visibility
+    packing (Shaders/Source/Visibility.hlsl:21-22).  We use 32-bit instance and
+    primitive ids throughout, so these are memory caps, not format caps.
+    """
+
+    max_instances: int = 4096        # draw items / DrawItemMetaData entries
+    max_materials: int = 256
+    max_vertices: int = 1 << 20      # packed position pool
+    max_faces: int = 1 << 20         # packed triangle pool
+    texture_res: int = 256           # unified texture array resolution
+    # Padding quantum for pool shapes (lane width friendly).
+    pad: int = 128
+
+    def padded_vertices(self, n: int) -> int:
+        return min(_round_up(max(n, 1), self.pad), self.max_vertices)
+
+    def padded_faces(self, n: int) -> int:
+        return min(_round_up(max(n, 1), self.pad), self.max_faces)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFConfig:
+    """Sparse-brick SDF cascade ("Brixelizer-style") configuration.
+
+    Mirrors the reference data model: up to 8 cascades with voxel size
+    0.01*(1+i)*meshUnitSize (RenderPass.cpp:493-508), 64^3 cascade brick maps,
+    8^3-voxel bricks stored in a shared atlas, <=2^18 bricks
+    (ffx_brixelizer_host_gpu_shared.h:30,35,41,49).  The TPU build stores the
+    brick atlas as a (max_bricks, 8, 8, 8) array — the structured equivalent of
+    the reference's 512^3 R8 atlas — and keeps per-cascade occupancy in dense
+    64^3 int32 maps (the "brick map").
+    """
+
+    num_cascades: int = 8
+    cascade_resolution: int = 64      # voxels per cascade edge
+    brick_size: int = 8               # voxels per brick edge (fixed by design)
+    max_bricks: int = 1 << 14         # atlas capacity (reference: 2^18)
+    base_voxel_size: float = 0.02     # cascade i voxel = base * (1 + i)
+    # Truncation distance, in voxels, beyond which distance saturates to 1.0.
+    truncation_voxels: float = 4.0
+    # Sphere-march tuning (reference trace: <=8 steps per brick, 32 cascades
+    # iterations cap — ffx_brixelizer_trace_ops.h:128,220-256).
+    march_max_steps: int = 96
+    march_epsilon: float = 0.25       # hit threshold, in voxels
+    max_triangles_per_brick: int = 64
+
+    @property
+    def bricks_per_axis(self) -> int:
+        return self.cascade_resolution // self.brick_size
+
+    def voxel_size(self, cascade: int) -> float:
+        return self.base_voxel_size * (1.0 + cascade)
+
+    def cascade_extent(self, cascade: int) -> float:
+        """World-space edge length of one cascade."""
+        return self.voxel_size(cascade) * self.cascade_resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level frame configuration (reference: fixed 1920x1080 swapchain,
+    RenderContext.h:7-8; debug mode dropdowns, Include/RenderPass.h:36-45)."""
+
+    width: int = 1920
+    height: int = 1080
+    # Pixel tile processed by one Pallas grid step of the visibility kernel.
+    tile_h: int = 8
+    tile_w: int = 128
+    # Triangles staged into VMEM per inner rasterizer iteration.
+    tri_chunk: int = 256
+    # Per-tile binning capacity (triangles overlapping one coarse bin).
+    bin_capacity: int = 1024
+    coarse_bin: int = 64              # coarse bin edge in pixels
+    supersample: int = 1
+    dtype: str = "float32"
+    limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
+    sdf: SDFConfig = dataclasses.field(default_factory=SDFConfig)
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Debug / resolve modes, mirroring the reference's DebugMode enum
+# (Include/RenderPass.h:36-45) and Brixelizer debug output modes
+# (ffx_brixelizer_host_gpu_shared.h:86-93).
+class DebugMode:
+    NONE = 0
+    MESH_ID = 1
+    PRIM_ID = 2
+    BARYCENTRIC = 3
+    DEPTH = 4
+    ALBEDO = 5
+    NORMAL = 6
+    SDF_DISTANCE = 7
+    SDF_UVW = 8
+    SDF_ITERATIONS = 9
+    SDF_GRAD = 10
+    SDF_BRICK_ID = 11
+    SDF_CASCADE_ID = 12

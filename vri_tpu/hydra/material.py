@@ -1,0 +1,127 @@
+"""Material prim sync.
+
+TPU-native equivalent of ``Material::Sync`` (Source/Material.cpp:171-227):
+walk the material network from the surface terminal, resolve the diffuse /
+base color input — either a constant or a texture asset — and produce a
+:class:`MaterialDesc` the registry packs into the material table.  Texture
+decode mirrors the reference's stb/dds ``ImageLoader``
+(Source/Material.cpp:105-169) but resamples every texture to a single fixed
+resolution so the device-side material table is one static-shape array (the
+TPU analog of the reference's 4096-entry bindless image table,
+Source/ResourceRegistry.cpp:47-77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from vri_tpu.usd.stage import Stage
+from vri_tpu.usd.usda import AssetPath, Prim
+
+log = logging.getLogger("vri_tpu")
+
+
+@dataclasses.dataclass
+class MaterialDesc:
+    path: str
+    base_color: np.ndarray                 # (3,) f32
+    emissive: np.ndarray                   # (3,) f32
+    roughness: float = 0.8
+    metallic: float = 0.0
+    texture: Optional[np.ndarray] = None   # (T, T, 3) f32 in [0,1], or None
+
+    def content_hash(self) -> int:
+        h = hash((tuple(np.round(self.base_color, 6)),
+                  tuple(np.round(self.emissive, 6)),
+                  round(self.roughness, 6), round(self.metallic, 6)))
+        if self.texture is not None:
+            h ^= hash(self.texture.tobytes())
+        return h
+
+
+def _find_surface_shader(stage: Stage, material: Prim) -> Optional[Prim]:
+    """Follow ``outputs:surface.connect`` to the surface shader prim
+    (reference: surface-terminal search, Source/Material.cpp:191-199)."""
+    out = material.attributes.get("outputs:surface")
+    if out is not None and out.connect:
+        target = out.connect.split(".")[0]
+        prim = stage.prim_at_path(target)
+        if prim is not None:
+            return prim
+    # fallback: first Shader child with an info:id
+    for c in material.children:
+        if c.type_name == "Shader" and c.get("info:id"):
+            return c
+    return None
+
+
+def _resolve_input(stage: Stage, shader: Prim, name: str, default):
+    """Resolve a shader input, following one level of ``.connect`` into a
+    UsdUVTexture node (reference: recursive single-parameter resolution,
+    ``TryGetSingleParameterForInput``, Source/Material.cpp:46-70).
+
+    Returns (value, texture_asset_path_or_None).
+    """
+    a = shader.attributes.get(f"inputs:{name}")
+    if a is None:
+        return default, None
+    tex_path = None
+    if a.connect:
+        target = stage.prim_at_path(a.connect.split(".")[0])
+        if target is not None and str(target.get("info:id", "")) == "UsdUVTexture":
+            f = target.get("inputs:file")
+            if isinstance(f, AssetPath):
+                tex_path = stage.resolve_asset(f.path)
+    value = a.value if a.value is not None else default
+    return value, tex_path
+
+
+def load_texture(path: str, resolution: int) -> Optional[np.ndarray]:
+    """Decode + resample a texture to (res, res, 3) float32 in [0,1]."""
+    if not os.path.exists(path):
+        log.warning("texture not found: %s", path)
+        return None
+    try:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize(
+            (resolution, resolution), Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+    except Exception as e:  # noqa: BLE001 — any decode failure -> fallback
+        log.warning("texture decode failed for %s: %s", path, e)
+        return None
+
+
+def sync_material(stage: Stage, material: Prim, texture_resolution: int
+                  ) -> MaterialDesc:
+    shader = _find_surface_shader(stage, material)
+    base = np.asarray([0.5, 0.5, 0.5], np.float32)
+    emissive = np.zeros(3, np.float32)
+    rough, metal = 0.8, 0.0
+    texture = None
+    if shader is not None:
+        v, tex_path = _resolve_input(stage, shader, "diffuseColor", base)
+        base = np.asarray(v, np.float32).reshape(3)
+        if tex_path:
+            texture = load_texture(tex_path, texture_resolution)
+        v, _ = _resolve_input(stage, shader, "emissiveColor", emissive)
+        emissive = np.asarray(v, np.float32).reshape(3)
+        v, _ = _resolve_input(stage, shader, "roughness", rough)
+        rough = float(np.asarray(v).reshape(-1)[0])
+        v, _ = _resolve_input(stage, shader, "metallic", metal)
+        metal = float(np.asarray(v).reshape(-1)[0])
+    return MaterialDesc(path=material.path, base_color=base, emissive=emissive,
+                        roughness=rough, metallic=metal, texture=texture)
+
+
+def default_material() -> MaterialDesc:
+    """Fallback slot 0 — the analog of the reference's default 2x2 black
+    image patched into unbound table entries (ResourceRegistry.cpp:92-121)."""
+    return MaterialDesc(path="<default>",
+                        base_color=np.asarray([0.7, 0.7, 0.7], np.float32),
+                        emissive=np.zeros(3, np.float32))

@@ -1,0 +1,364 @@
+"""Resource registry: synced prims -> packed device arrays.
+
+TPU-native equivalent of the reference's ``ResourceRegistry``
+(Source/ResourceRegistry.cpp): where the reference bump-allocates host pools
+(ResourceRegistry.cpp:501-534), copies them to Vulkan device buffers in an
+async commit (:251-459) and exposes them to shaders through 4096-entry
+bindless descriptor arrays (:9-77,139-249), this registry packs every synced
+mesh into one structure-of-arrays pool per attribute, pads pools to static
+capacities, and ships them to the TPU as a single :class:`SceneBuffers`
+pytree.  "Bindless access" becomes integer-indexed ``jnp.take`` gathers —
+XLA's native strength — and the per-draw-item ``DrawItemMetaData`` buffer
+(Include/ResourceRegistry.h:30-36) becomes the instance_* arrays.
+
+Geometry is kept in *object space* with per-instance transforms; world-space
+vertex positions are derived on device by a single jitted gather+matmul
+(`bake_world`), so a transform-only edit re-uploads one (I,4,4) array instead
+of the vertex pool (the reference re-records and re-bakes its AS instead,
+Source/RenderPass.cpp:808-888).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vri_tpu.config import RenderConfig, SceneLimits
+from vri_tpu.hydra.material import MaterialDesc, default_material
+
+log = logging.getLogger("vri_tpu")
+
+
+@flax.struct.dataclass
+class SceneBuffers:
+    """Packed scene, fully device-resident. Shapes are padded capacities;
+    live element counts are device scalars used for masking."""
+
+    # geometry pools (object space)
+    positions: jnp.ndarray          # (V, 3) f32
+    vertex_instance: jnp.ndarray    # (V,)  i32
+    tri_vertices: jnp.ndarray       # (F, 3) i32 — global vertex ids
+    tri_uv: jnp.ndarray             # (F, 3, 2) f32 per-corner st
+    tri_instance: jnp.ndarray       # (F,)  i32
+    tri_face: jnp.ndarray           # (F,)  i32 authored-face id (primitive param)
+    # instances (the DrawItemMetaData analog)
+    instance_transform: jnp.ndarray  # (I, 4, 4) f32 object->world
+    instance_material: jnp.ndarray   # (I,) i32
+    instance_face_offset: jnp.ndarray  # (I,) i32
+    instance_face_count: jnp.ndarray   # (I,) i32
+    instance_aabb_lo: jnp.ndarray    # (I, 3) f32 world-space AABB
+    instance_aabb_hi: jnp.ndarray    # (I, 3) f32
+    # materials
+    mat_base_color: jnp.ndarray      # (M, 3) f32
+    mat_emissive: jnp.ndarray        # (M, 3) f32
+    mat_roughness: jnp.ndarray       # (M,) f32
+    mat_metallic: jnp.ndarray        # (M,) f32
+    mat_texture: jnp.ndarray         # (M,) i32 texture slot or -1
+    textures: jnp.ndarray            # (S, T, T, 3) f32
+    # lights
+    light_position: jnp.ndarray      # (L, 3) f32
+    light_color: jnp.ndarray         # (L, 3) f32
+    light_intensity: jnp.ndarray     # (L,) f32
+    # live counts (device scalars — masking, not shapes)
+    num_vertices: jnp.ndarray        # () i32
+    num_faces: jnp.ndarray           # () i32
+    num_instances: jnp.ndarray       # () i32
+    num_lights: jnp.ndarray          # () i32
+
+
+def bake_world(scene: SceneBuffers) -> jnp.ndarray:
+    """Derive world-space vertex positions: gather each vertex's instance
+    matrix and transform.  One fused gather + (V,3)x(3,3) contraction — this
+    is the TPU replacement for the per-draw push-constant MVP of the
+    reference's visibility pass (Source/RenderPass.cpp:642-664)."""
+    m = scene.instance_transform[scene.vertex_instance]       # (V, 4, 4)
+    p = jnp.einsum("vij,vj->vi", m[:, :3, :3], scene.positions,
+                   preferred_element_type=jnp.float32) + m[:, :3, 3]
+    return p
+
+
+@dataclasses.dataclass
+class MeshRecord:
+    """Host-side synced mesh (one reference 'draw item request',
+    ResourceRegistry.cpp:501-521)."""
+
+    path: str
+    points: np.ndarray          # (P, 3) f32 object space
+    tris: np.ndarray            # (T, 3) i32 local vertex ids
+    tri_face: np.ndarray        # (T,)  i32
+    uvs: np.ndarray             # (T, 3, 2) f32
+    transform: np.ndarray       # (4, 4) f32
+    material_path: Optional[str]
+    extent: np.ndarray          # (2, 3) f32 object-space AABB
+
+
+@dataclasses.dataclass
+class LightRecord:
+    path: str
+    position: np.ndarray
+    color: np.ndarray
+    intensity: float
+
+
+class ResourceRegistry:
+    """Accumulates synced prims and commits them to device arrays."""
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+        self.limits: SceneLimits = config.limits
+        self._meshes: Dict[str, MeshRecord] = {}
+        self._materials: Dict[str, MaterialDesc] = {}
+        self._material_hash_to_slot: Dict[int, int] = {}
+        self._lights: Dict[str, LightRecord] = {}
+        self._order: List[str] = []          # stable instance ordering
+        self._geometry_dirty = True
+        self._transforms_dirty = True
+        self._materials_dirty = True
+        self._lights_dirty = True
+        self._scene: Optional[SceneBuffers] = None
+
+    # -- push API (mirrors PushDrawItemRequest / PushMaterialRequest) -------
+
+    def push_mesh(self, rec: MeshRecord) -> None:
+        if rec.path not in self._meshes:
+            self._order.append(rec.path)
+            self._geometry_dirty = True
+        else:
+            old = self._meshes[rec.path]
+            if (old.points.shape != rec.points.shape
+                    or old.tris.shape != rec.tris.shape
+                    or not np.array_equal(old.tris, rec.tris)
+                    or not np.array_equal(old.points, rec.points)):
+                self._geometry_dirty = True
+            if old.material_path != rec.material_path:
+                self._geometry_dirty = True
+        self._transforms_dirty = True
+        self._meshes[rec.path] = rec
+
+    def update_transform(self, path: str, transform: np.ndarray) -> None:
+        rec = self._meshes.get(path)
+        if rec is not None:
+            rec.transform = np.asarray(transform, np.float32)
+            self._transforms_dirty = True
+
+    def remove_mesh(self, path: str) -> None:
+        if path in self._meshes:
+            del self._meshes[path]
+            self._order.remove(path)
+            self._geometry_dirty = True
+
+    def push_material(self, desc: MaterialDesc) -> None:
+        old = self._materials.get(desc.path)
+        if old is None or old.content_hash() != desc.content_hash():
+            self._materials_dirty = True
+        self._materials[desc.path] = desc
+
+    def push_light(self, rec: LightRecord) -> None:
+        self._lights[rec.path] = rec
+        self._lights_dirty = True
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(self) -> SceneBuffers:
+        """Pack host records into (padded) pools and upload what changed.
+
+        The reference's `_Commit` drains its queues into device buffers and
+        rebuilds descriptors (ResourceRegistry.cpp:251-459); here a full
+        repack happens only when topology/geometry changed — transform or
+        light edits update just those arrays.
+        """
+        if self._scene is None or self._geometry_dirty or self._materials_dirty:
+            self._scene = self._full_pack()
+        else:
+            if self._transforms_dirty:
+                tr, lo, hi = self._pack_transforms()
+                self._scene = self._scene.replace(
+                    instance_transform=jnp.asarray(tr),
+                    instance_aabb_lo=jnp.asarray(lo),
+                    instance_aabb_hi=jnp.asarray(hi))
+            if self._lights_dirty:
+                lp, lc, li, nl = self._pack_lights()
+                self._scene = self._scene.replace(
+                    light_position=jnp.asarray(lp), light_color=jnp.asarray(lc),
+                    light_intensity=jnp.asarray(li),
+                    num_lights=jnp.asarray(nl, jnp.int32))
+        self._geometry_dirty = self._transforms_dirty = False
+        self._materials_dirty = self._lights_dirty = False
+        return self._scene
+
+    # -- packing internals ---------------------------------------------------
+
+    def _material_slots(self) -> Dict[Optional[str], int]:
+        """Assign material slots, dedup by content hash (reference:
+        TryFindDeviceMaterialIndex, ResourceRegistry.cpp:347-357)."""
+        slots: Dict[Optional[str], int] = {None: 0}
+        packed: List[MaterialDesc] = [default_material()]
+        hash_to_slot: Dict[int, int] = {packed[0].content_hash(): 0}
+        for path in sorted(self._materials):
+            desc = self._materials[path]
+            h = desc.content_hash()
+            if h in hash_to_slot:
+                slots[path] = hash_to_slot[h]
+            else:
+                if len(packed) >= self.limits.max_materials:
+                    log.warning("material table full (%d); %s -> default",
+                                self.limits.max_materials, path)
+                    slots[path] = 0
+                    continue
+                hash_to_slot[h] = len(packed)
+                slots[path] = len(packed)
+                packed.append(desc)
+        self._packed_materials = packed
+        return slots
+
+    def _pack_transforms(self):
+        n = len(self._order)
+        cap = max(_round_up(n, 8), 8)
+        tr = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+        lo = np.zeros((cap, 3), np.float32)
+        hi = np.zeros((cap, 3), np.float32)
+        for i, path in enumerate(self._order):
+            rec = self._meshes[path]
+            tr[i] = rec.transform
+            corners = _aabb_corners(rec.extent)
+            wc = corners @ rec.transform[:3, :3].T + rec.transform[:3, 3]
+            lo[i], hi[i] = wc.min(0), wc.max(0)
+        return tr, lo, hi
+
+    def _pack_lights(self):
+        n = len(self._lights)
+        cap = max(_round_up(max(n, 1), 4), 4)
+        lp = np.zeros((cap, 3), np.float32)
+        lc = np.ones((cap, 3), np.float32)
+        li = np.zeros((cap,), np.float32)
+        for i, path in enumerate(sorted(self._lights)):
+            rec = self._lights[path]
+            lp[i], lc[i], li[i] = rec.position, rec.color, rec.intensity
+        return lp, lc, li, n
+
+    def _full_pack(self) -> SceneBuffers:
+        lim = self.limits
+        slots = self._material_slots()
+
+        total_v = sum(len(m.points) for m in (self._meshes[p] for p in self._order))
+        total_f = sum(len(m.tris) for m in (self._meshes[p] for p in self._order))
+        V = lim.padded_vertices(total_v)
+        F = lim.padded_faces(total_f)
+        if total_v > V or total_f > F:
+            raise ValueError(
+                f"scene exceeds limits: {total_v} verts (cap {V}), "
+                f"{total_f} faces (cap {F})")
+
+        positions = np.zeros((V, 3), np.float32)
+        vertex_instance = np.zeros((V,), np.int32)
+        tri_vertices = np.zeros((F, 3), np.int32)
+        tri_uv = np.zeros((F, 3, 2), np.float32)
+        tri_instance = np.zeros((F,), np.int32)
+        tri_face = np.zeros((F,), np.int32)
+
+        n_inst = len(self._order)
+        icap = max(_round_up(max(n_inst, 1), 8), 8)
+        if n_inst > lim.max_instances:
+            raise ValueError(f"{n_inst} instances exceed cap {lim.max_instances}")
+        inst_material = np.zeros((icap,), np.int32)
+        inst_face_offset = np.zeros((icap,), np.int32)
+        inst_face_count = np.zeros((icap,), np.int32)
+
+        voff = foff = 0
+        for i, path in enumerate(self._order):
+            rec = self._meshes[path]
+            nv, nf = len(rec.points), len(rec.tris)
+            positions[voff:voff + nv] = rec.points
+            vertex_instance[voff:voff + nv] = i
+            tri_vertices[foff:foff + nf] = rec.tris + voff
+            tri_uv[foff:foff + nf] = rec.uvs
+            tri_instance[foff:foff + nf] = i
+            tri_face[foff:foff + nf] = rec.tri_face
+            inst_material[i] = slots.get(rec.material_path, 0)
+            inst_face_offset[i] = foff
+            inst_face_count[i] = nf
+            voff += nv
+            foff += nf
+        # padding faces are degenerate (all-zero verts of instance 0)
+
+        transforms, aabb_lo, aabb_hi = self._pack_transforms()
+        assert transforms.shape[0] == icap
+
+        mats = self._packed_materials
+        mcap = max(_round_up(len(mats), 8), 8)
+        base = np.zeros((mcap, 3), np.float32)
+        emis = np.zeros((mcap, 3), np.float32)
+        rough = np.full((mcap,), 0.8, np.float32)
+        metal = np.zeros((mcap,), np.float32)
+        tex_slot = np.full((mcap,), -1, np.int32)
+        tex_list: List[np.ndarray] = []
+        for i, m in enumerate(mats):
+            base[i], emis[i] = m.base_color, m.emissive
+            rough[i], metal[i] = m.roughness, m.metallic
+            if m.texture is not None:
+                tex_slot[i] = len(tex_list)
+                tex_list.append(m.texture.astype(np.float32))
+        T = lim.texture_res
+        if tex_list:
+            textures = np.stack(tex_list)
+        else:
+            textures = np.ones((1, T, T, 3), np.float32)
+
+        lp, lc, li, nl = self._pack_lights()
+
+        scene = SceneBuffers(
+            positions=jnp.asarray(positions),
+            vertex_instance=jnp.asarray(vertex_instance),
+            tri_vertices=jnp.asarray(tri_vertices),
+            tri_uv=jnp.asarray(tri_uv),
+            tri_instance=jnp.asarray(tri_instance),
+            tri_face=jnp.asarray(tri_face),
+            instance_transform=jnp.asarray(transforms),
+            instance_material=jnp.asarray(inst_material),
+            instance_face_offset=jnp.asarray(inst_face_offset),
+            instance_face_count=jnp.asarray(inst_face_count),
+            instance_aabb_lo=jnp.asarray(aabb_lo),
+            instance_aabb_hi=jnp.asarray(aabb_hi),
+            mat_base_color=jnp.asarray(base),
+            mat_emissive=jnp.asarray(emis),
+            mat_roughness=jnp.asarray(rough),
+            mat_metallic=jnp.asarray(metal),
+            mat_texture=jnp.asarray(tex_slot),
+            textures=jnp.asarray(textures),
+            light_position=jnp.asarray(lp),
+            light_color=jnp.asarray(lc),
+            light_intensity=jnp.asarray(li),
+            num_vertices=jnp.asarray(total_v, jnp.int32),
+            num_faces=jnp.asarray(total_f, jnp.int32),
+            num_instances=jnp.asarray(n_inst, jnp.int32),
+            num_lights=jnp.asarray(nl, jnp.int32),
+        )
+        log.info("registry commit: %d instances, %d verts (cap %d), "
+                 "%d tris (cap %d), %d materials, %d textures, %d lights",
+                 n_inst, total_v, V, total_f, F, len(mats), len(tex_list), nl)
+        return scene
+
+    # -- stats (reference: ImGui VRAM display, Main.cpp:231-237) ------------
+
+    def device_bytes(self) -> int:
+        if self._scene is None:
+            return 0
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(self._scene))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _aabb_corners(extent: np.ndarray) -> np.ndarray:
+    lo, hi = extent
+    return np.array([[x, y, z] for x in (lo[0], hi[0])
+                     for y in (lo[1], hi[1]) for z in (lo[2], hi[2])],
+                    np.float32)

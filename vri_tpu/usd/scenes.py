@@ -1,0 +1,270 @@
+"""Procedural USD stages used for tests and benchmarks.
+
+The reference ships no scenes; it hardcodes three local stage paths (chess
+set, cockpit, sibenik — Source/Main.cpp:171-173) that are not in the repo.
+With zero network egress we generate our own:
+
+  * :func:`cornell_box` — the classic box, used for the CPU-reference golden
+    path (BASELINE config 1).
+  * :func:`kitchen_stress` — a parametric many-object interior, our stand-in
+    for the USD Kitchen Set workload (BASELINE config 2): hundreds of
+    instanced meshes, per-object materials, face-varying UVs.
+  * :func:`animated_stage` — a stage with per-frame animated transforms to
+    exercise incremental sync + SDF cascade updates (BASELINE config 3).
+
+All geometry is authored as polygonal (quad) meshes so the triangulation path
+(reference: HdMeshUtil::ComputeTriangleIndices, Source/Mesh.cpp:52-60) is
+exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vri_tpu.usd.stage import Stage
+from vri_tpu.usd.usda import Prim, PrimPathRef
+
+
+# ---------------------------------------------------------------------------
+# Mesh-building primitives (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def quad_mesh(p0, p1, p2, p3):
+    """One quad face; CCW winding determines the normal."""
+    points = np.asarray([p0, p1, p2, p3], np.float32)
+    counts = np.asarray([4], np.int32)
+    indices = np.asarray([0, 1, 2, 3], np.int32)
+    st = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    return points, counts, indices, st
+
+
+def box_mesh(size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0), outward=True):
+    """Axis-aligned box as 6 quads / 24 corners with per-face UVs."""
+    sx, sy, sz = [s * 0.5 for s in size]
+    cx, cy, cz = center
+    # 8 corners
+    c = np.array(
+        [[cx - sx, cy - sy, cz - sz], [cx + sx, cy - sy, cz - sz],
+         [cx + sx, cy + sy, cz - sz], [cx - sx, cy + sy, cz - sz],
+         [cx - sx, cy - sy, cz + sz], [cx + sx, cy - sy, cz + sz],
+         [cx + sx, cy + sy, cz + sz], [cx - sx, cy + sy, cz + sz]],
+        np.float32)
+    # quads, CCW seen from outside
+    faces = [(4, 5, 6, 7),   # +z
+             (1, 0, 3, 2),   # -z
+             (5, 1, 2, 6),   # +x
+             (0, 4, 7, 3),   # -x
+             (7, 6, 2, 3),   # +y
+             (0, 1, 5, 4)]   # -y
+    if not outward:
+        faces = [f[::-1] for f in faces]
+    counts = np.full(6, 4, np.int32)
+    indices = np.asarray([i for f in faces for i in f], np.int32)
+    st = np.tile(np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32), (6, 1))
+    return c, counts, indices, st
+
+
+def _author_mesh(stage: Stage, path: str, points, counts, indices, st,
+                 material: str | None = None, transform: np.ndarray | None = None,
+                 display_color=None) -> Prim:
+    prim = stage.define_prim(path, "Mesh")
+    lo, hi = points.min(axis=0), points.max(axis=0)
+    stage.set_attr(prim, "extent", "float3[]", np.stack([lo, hi]))
+    stage.set_attr(prim, "points", "point3f[]", points)
+    stage.set_attr(prim, "faceVertexCounts", "int[]", counts)
+    stage.set_attr(prim, "faceVertexIndices", "int[]", indices)
+    if st is not None:
+        stage.set_attr(prim, "primvars:st", "texCoord2f[]", st,
+                       interpolation="faceVarying")
+    if display_color is not None:
+        stage.set_attr(prim, "primvars:displayColor", "color3f[]",
+                       np.asarray([display_color], np.float32),
+                       interpolation="constant")
+    if material:
+        a = stage.set_attr(prim, "material:binding", "rel",
+                           PrimPathRef(material))
+        a.type_name = "rel"
+    if transform is not None:
+        # author row-vector USD convention (transpose of our column-vector)
+        stage.set_attr(prim, "xformOp:transform", "matrix4d",
+                       np.asarray(transform, np.float64).T)
+        stage.set_attr(prim, "xformOpOrder", "token[]",
+                       ["xformOp:transform"], uniform=True)
+    return prim
+
+
+def _author_material(stage: Stage, path: str, diffuse, emissive=(0, 0, 0),
+                     roughness: float = 0.8, texture: str | None = None) -> Prim:
+    mat = stage.define_prim(path, "Material")
+    shader = stage.define_prim(path + "/Preview", "Shader")
+    stage.set_attr(shader, "info:id", "token", "UsdPreviewSurface", uniform=True)
+    stage.set_attr(shader, "inputs:diffuseColor", "color3f",
+                   np.asarray(diffuse, np.float32))
+    stage.set_attr(shader, "inputs:emissiveColor", "color3f",
+                   np.asarray(emissive, np.float32))
+    stage.set_attr(shader, "inputs:roughness", "float", float(roughness))
+    a = stage.set_attr(mat, "outputs:surface", "token", None)
+    a.connect = path + "/Preview.outputs:surface"
+    if texture:
+        tex = stage.define_prim(path + "/Tex", "Shader")
+        stage.set_attr(tex, "info:id", "token", "UsdUVTexture", uniform=True)
+        from vri_tpu.usd.usda import AssetPath
+        stage.set_attr(tex, "inputs:file", "asset", AssetPath(texture))
+        ai = stage.set_attr(shader, "inputs:diffuseColor", "color3f",
+                            np.asarray(diffuse, np.float32))
+        ai.connect = path + "/Tex.outputs:rgb"
+    return mat
+
+
+def _author_camera(stage: Stage, path: str, eye, target, fov_deg=45.0,
+                   near=0.05, far=100.0) -> Prim:
+    cam = stage.define_prim(path, "Camera")
+    stage.set_attr(cam, "vri:eye", "float3", np.asarray(eye, np.float32))
+    stage.set_attr(cam, "vri:target", "float3", np.asarray(target, np.float32))
+    stage.set_attr(cam, "vri:fovDegrees", "float", float(fov_deg))
+    stage.set_attr(cam, "clippingRange", "float2",
+                   np.asarray([near, far], np.float32))
+    return cam
+
+
+def _author_light(stage: Stage, path: str, position, color, intensity) -> Prim:
+    light = stage.define_prim(path, "SphereLight")
+    stage.set_attr(light, "vri:position", "float3", np.asarray(position, np.float32))
+    stage.set_attr(light, "inputs:color", "color3f", np.asarray(color, np.float32))
+    stage.set_attr(light, "inputs:intensity", "float", float(intensity))
+    return light
+
+
+# ---------------------------------------------------------------------------
+# Scenes
+# ---------------------------------------------------------------------------
+
+def cornell_box() -> Stage:
+    """Classic Cornell box in [-1,1]^3-ish, camera on +Z looking -Z."""
+    stage = Stage(Prim(name=""), {"defaultPrim": "World", "metersPerUnit": 1})
+    stage.define_prim("/World", "Xform")
+
+    white = (0.73, 0.73, 0.73)
+    _author_material(stage, "/World/Materials/White", white)
+    _author_material(stage, "/World/Materials/Red", (0.63, 0.065, 0.05))
+    _author_material(stage, "/World/Materials/Green", (0.14, 0.45, 0.091))
+    _author_material(stage, "/World/Materials/Light", (0.78, 0.78, 0.78),
+                     emissive=(17.0, 12.0, 4.0))
+
+    s = 1.0
+    # floor (+y normal), ceiling (-y), back wall (+z normal faces camera)
+    walls = {
+        "Floor": ((-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)),
+        "Ceiling": ((-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)),
+        "BackWall": ((-s, -s, -s), (-s, s, -s), (s, s, -s), (s, -s, -s)),
+        "LeftWall": ((-s, -s, s), (-s, s, s), (-s, s, -s), (-s, -s, -s)),
+        "RightWall": ((s, -s, -s), (s, s, -s), (s, s, s), (s, -s, s)),
+    }
+    mats = {"LeftWall": "Red", "RightWall": "Green"}
+    for name, quad in walls.items():
+        pts, counts, idx, st = quad_mesh(*quad)
+        _author_mesh(stage, f"/World/{name}", pts, counts, idx, st,
+                     material=f"/World/Materials/{mats.get(name, 'White')}")
+
+    # area light quad just below ceiling
+    e = 0.25
+    pts, counts, idx, st = quad_mesh((-e, s - 0.01, e), (e, s - 0.01, e),
+                                     (e, s - 0.01, -e), (-e, s - 0.01, -e))
+    _author_mesh(stage, "/World/LightQuad", pts, counts, idx, st,
+                 material="/World/Materials/Light")
+
+    # two boxes (axis-aligned stand-ins for the rotated classic blocks)
+    for name, size, center, rot_deg in (
+            ("TallBox", (0.6, 1.2, 0.6), (-0.35, -0.4, -0.35), 18.0),
+            ("ShortBox", (0.6, 0.6, 0.6), (0.4, -0.7, 0.35), -17.0)):
+        pts, counts, idx, st = box_mesh(size, (0, 0, 0))
+        prim = _author_mesh(stage, f"/World/{name}", pts, counts, idx, st,
+                            material="/World/Materials/White")
+        stage.set_attr(prim, "xformOp:translate", "float3",
+                       np.asarray(center, np.float32))
+        stage.set_attr(prim, "xformOp:rotateY", "float", rot_deg)
+        stage.set_attr(prim, "xformOpOrder", "token[]",
+                       ["xformOp:translate", "xformOp:rotateY"], uniform=True)
+
+    _author_camera(stage, "/World/Camera", eye=(0, 0, 3.6), target=(0, 0, 0),
+                   fov_deg=40.0)
+    _author_light(stage, "/World/KeyLight", position=(0.0, 0.93, 0.0),
+                  color=(1.0, 0.85, 0.55), intensity=3.0)
+    stage._reindex()
+    return stage
+
+
+def kitchen_stress(num_objects: int = 256, seed: int = 7,
+                   num_materials: int = 24) -> Stage:
+    """Many-object interior scene — the Kitchen-Set-scale benchmark stand-in.
+
+    Deterministic: a room shell plus ``num_objects`` boxes ("furniture" /
+    "props") in a grid-with-jitter layout, bound round-robin to
+    ``num_materials`` distinct materials.
+    """
+    rng = np.random.default_rng(seed)
+    stage = Stage(Prim(name=""), {"defaultPrim": "World", "metersPerUnit": 1})
+    stage.define_prim("/World", "Xform")
+
+    for i in range(num_materials):
+        col = 0.15 + 0.8 * rng.random(3)
+        _author_material(stage, f"/World/Materials/M{i:03d}", tuple(col))
+
+    room = 8.0
+    pts, counts, idx, st = box_mesh((room, room * 0.5, room), (0, room * 0.25, 0),
+                                    outward=False)
+    _author_mesh(stage, "/World/Room", pts, counts, idx, st,
+                 material="/World/Materials/M000")
+
+    side = int(np.ceil(np.sqrt(num_objects)))
+    pitch = (room * 0.9) / side
+    for i in range(num_objects):
+        gx, gz = i % side, i // side
+        base = np.array([(gx + 0.5) / side - 0.5, 0.0, (gz + 0.5) / side - 0.5])
+        base *= room * 0.9
+        jitter = (rng.random(3) - 0.5) * pitch * 0.4
+        size = 0.2 + rng.random(3) * np.array([pitch * 0.7, 1.2, pitch * 0.7])
+        center = base + jitter
+        center[1] = size[1] * 0.5 + 1e-3
+        pts, counts, idx, st = box_mesh(tuple(size), (0, 0, 0))
+        prim = _author_mesh(
+            stage, f"/World/Props/Prop{i:04d}", pts, counts, idx, st,
+            material=f"/World/Materials/M{i % num_materials:03d}")
+        stage.set_attr(prim, "xformOp:translate", "float3",
+                       center.astype(np.float32))
+        stage.set_attr(prim, "xformOp:rotateY", "float",
+                       float(rng.random() * 360.0))
+        stage.set_attr(prim, "xformOpOrder", "token[]",
+                       ["xformOp:translate", "xformOp:rotateY"], uniform=True)
+
+    _author_camera(stage, "/World/Camera",
+                   eye=(room * 0.42, room * 0.3, room * 0.42),
+                   target=(0, 0.6, 0), fov_deg=55.0, far=200.0)
+    _author_light(stage, "/World/Sun", position=(room, room, room * 0.5),
+                  color=(1.0, 0.95, 0.8), intensity=6.0)
+    stage._reindex()
+    return stage
+
+
+def animated_stage(num_objects: int = 8) -> Stage:
+    """Small dynamic stage: call :func:`animate` each frame to move prims
+    (exercises dirty tracking + incremental SDF updates)."""
+    stage = kitchen_stress(num_objects=num_objects, seed=3, num_materials=4)
+    return stage
+
+
+def animate(stage: Stage, time: float) -> list[str]:
+    """Advance animated prims; returns the paths whose transforms changed."""
+    changed = []
+    for prim in stage.prims_of_type("Mesh"):
+        if "/Props/" not in prim.path:
+            continue
+        a = prim.attributes.get("xformOp:translate")
+        if a is None:
+            continue
+        t = np.asarray(a.value, np.float32)
+        phase = hash(prim.path) % 7
+        t[1] = abs(t[1]) + 0.25 * (1 + np.sin(time * 2.0 + phase))
+        a.value = t
+        changed.append(prim.path)
+    return changed
