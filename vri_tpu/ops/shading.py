@@ -1,0 +1,177 @@
+"""Attribute reconstruction + shading.
+
+TPU equivalent of the reference's fullscreen "debug" resolve pass
+(Shaders/Source/Debug.hlsl): from a visibility sample (triangle id +
+barycentrics), fetch the three vertices/uvs "bindlessly" (= jnp gathers into
+the packed pools), interpolate attributes, and shade.  Where the reference
+re-derives perspective-correct barycentrics from clip-space positions
+(Shaders/Source/Barycentric.hlsl:17-56) because its raster pass only stored
+ids, the ray tracer already has exact barycentrics; the rasterizer path
+computes them the reference's way in ops/rasterize.py.
+
+Includes the direct-light loop plus the debug false-color modes
+(Include/RenderPass.h:36-45).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+from vri_tpu.config import DebugMode
+from vri_tpu.ops.intersect import HitRecord
+from vri_tpu.registry import SceneBuffers
+
+
+@flax.struct.dataclass
+class GBuffer:
+    """Per-ray reconstructed surface attributes (the G-buffer the reference
+    drafted in Shaders/Source/GBuffer.hlsl but never wired up)."""
+
+    position: jnp.ndarray   # (N, 3) world hit position
+    normal: jnp.ndarray     # (N, 3) geometric normal (faces the ray)
+    albedo: jnp.ndarray     # (N, 3)
+    emissive: jnp.ndarray   # (N, 3)
+    uv: jnp.ndarray         # (N, 2)
+    depth: jnp.ndarray      # (N,) ray t (INF at miss)
+    instance: jnp.ndarray   # (N,) i32, -1 = miss
+    prim: jnp.ndarray       # (N,) i32 triangle id within instance, -1 = miss
+    material: jnp.ndarray   # (N,) i32
+    valid: jnp.ndarray      # (N,) bool
+
+
+def sample_texture_bilinear(textures: jnp.ndarray, slot: jnp.ndarray,
+                            uv: jnp.ndarray) -> jnp.ndarray:
+    """Software bilinear sampling via gathers (SURVEY §7 hard part (c):
+    no hardware samplers on TPU).
+
+    textures: (S, T, T, 3); slot: (N,) i32 (invalid slots clamp to 0);
+    uv: (N, 2) with wrap addressing. Returns (N, 3).
+    """
+    size = textures.shape[1]
+    s = jnp.clip(slot, 0, textures.shape[0] - 1)
+    # wrap, then map uv -> texel space. v flips: uv origin bottom-left,
+    # texel row 0 is the image top.
+    u = (uv[:, 0] % 1.0) * size - 0.5
+    v = (1.0 - uv[:, 1] % 1.0) * size - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[:, None]
+    fv = (v - v0)[:, None]
+
+    def tap(du, dv):
+        ui = jnp.clip(u0.astype(jnp.int32) + du, 0, size - 1)
+        vi = jnp.clip(v0.astype(jnp.int32) + dv, 0, size - 1)
+        return textures[s, vi, ui]
+
+    return ((tap(0, 0) * (1 - fu) + tap(1, 0) * fu) * (1 - fv)
+            + (tap(0, 1) * (1 - fu) + tap(1, 1) * fu) * fv)
+
+
+def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
+                    hit: HitRecord, origins: jnp.ndarray,
+                    dirs: jnp.ndarray) -> GBuffer:
+    """Reconstruct surface attributes from visibility samples by indexed
+    gathers into the packed pools (the reference's bindless fetch,
+    Debug.hlsl:38-57,94-144)."""
+    tri = jnp.maximum(hit.tri, 0)
+    valid = hit.tri >= 0
+
+    idx = scene.tri_vertices[tri]              # (N, 3)
+    p = world_verts[idx]                       # (N, 3, 3)
+    w = 1.0 - hit.u - hit.v
+    bary = jnp.stack([w, hit.u, hit.v], axis=-1)            # (N, 3)
+    pos = jnp.einsum("nk,nkc->nc", bary, p)
+
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    n = jnp.cross(e1, e2)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # two-sided: flip toward the viewer
+    n = jnp.where(jnp.sum(n * dirs, axis=-1, keepdims=True) > 0, -n, n)
+
+    uvs = scene.tri_uv[tri]                    # (N, 3, 2)
+    uv = jnp.einsum("nk,nkc->nc", bary, uvs)
+
+    inst = scene.tri_instance[tri]
+    mat = scene.instance_material[inst]
+    albedo = scene.mat_base_color[mat]
+    tex_slot = scene.mat_texture[mat]
+    tex = sample_texture_bilinear(scene.textures, tex_slot, uv)
+    albedo = jnp.where((tex_slot >= 0)[:, None], albedo * tex, albedo)
+    emissive = scene.mat_emissive[mat]
+
+    prim_local = tri - scene.instance_face_offset[inst]
+    neg1 = jnp.int32(-1)
+    return GBuffer(
+        position=pos,
+        normal=n,
+        albedo=jnp.where(valid[:, None], albedo, 0.0),
+        emissive=jnp.where(valid[:, None], emissive, 0.0),
+        uv=uv,
+        depth=hit.t,
+        instance=jnp.where(valid, inst, neg1),
+        prim=jnp.where(valid, prim_local, neg1),
+        material=jnp.where(valid, mat, neg1),
+        valid=valid)
+
+
+def shade_direct(gb: GBuffer, scene: SceneBuffers,
+                 shadow: jnp.ndarray | None = None,
+                 ambient: float = 0.08) -> jnp.ndarray:
+    """Lambertian direct lighting over the (padded) light array.
+
+    shadow: optional (N, L) occlusion factors in [0,1] (1 = fully lit).
+    This is the "lightloop" stage the reference scaffolds but stubs
+    (Source/RenderPass.cpp:1023-1029).
+    """
+    to_l = scene.light_position[None, :, :] - gb.position[:, None, :]  # (N,L,3)
+    dist2 = jnp.sum(to_l * to_l, axis=-1)
+    wi = to_l / jnp.sqrt(jnp.maximum(dist2, 1e-12))[..., None]
+    ndotl = jnp.maximum(jnp.sum(gb.normal[:, None, :] * wi, axis=-1), 0.0)
+    nlights = scene.light_position.shape[0]
+    live = (jnp.arange(nlights) < scene.num_lights).astype(jnp.float32)
+    irr = (scene.light_intensity[None, :] * ndotl
+           / jnp.maximum(dist2, 1e-6)) * live[None, :]
+    if shadow is not None:
+        irr = irr * shadow
+    radiance = (irr[..., None] * scene.light_color[None, :, :]).sum(axis=1)
+    color = gb.albedo * (radiance + ambient) + gb.emissive
+    return jnp.where(gb.valid[:, None], color, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Debug visualization (reference DebugMode dropdown, Debug.hlsl:163-181)
+# ---------------------------------------------------------------------------
+
+def _id_color(i: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic color cycle for integer ids (reference uses a
+    hue-cycling palette for MeshID/PrimitiveID, Debug.hlsl:68-90)."""
+    i = i.astype(jnp.uint32)
+    h = (i * jnp.uint32(2654435761)) & jnp.uint32(0xFFFFFF)
+    r = ((h >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    g = ((h >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    b = (h & 0xFF).astype(jnp.float32) / 255.0
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def debug_color(mode: int, gb: GBuffer, near: float = 0.05,
+                far: float = 100.0) -> jnp.ndarray:
+    v = gb.valid[:, None]
+    if mode == DebugMode.MESH_ID:
+        c = _id_color(gb.instance)
+    elif mode == DebugMode.PRIM_ID:
+        c = _id_color(gb.prim)
+    elif mode == DebugMode.BARYCENTRIC:
+        # reconstructable from uv-style weights; show interpolation weights
+        c = jnp.concatenate([gb.uv, 1.0 - gb.uv.sum(-1, keepdims=True)], -1)
+    elif mode == DebugMode.DEPTH:
+        z = jnp.clip((gb.depth - near) / (far - near), 0.0, 1.0)[:, None]
+        c = jnp.repeat(1.0 - z, 3, axis=-1)
+    elif mode == DebugMode.ALBEDO:
+        c = gb.albedo
+    elif mode == DebugMode.NORMAL:
+        c = gb.normal * 0.5 + 0.5
+    else:
+        raise ValueError(f"unknown debug mode {mode}")
+    return jnp.where(v, c, 0.0)

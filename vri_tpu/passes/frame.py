@@ -1,0 +1,124 @@
+"""The frame render graph as pure jitted functions.
+
+TPU re-design of ``RenderPass::_Execute`` (Source/RenderPass.cpp:890-1077).
+Where the reference records Vulkan passes (visibility raster -> debug
+resolve -> copy-out) into a command buffer, here a frame is one jitted
+function over (SceneBuffers, FrameParams) producing an AOV dict; XLA fuses
+the stages.  The mutable "render settings" the reference re-sets every frame
+(Source/Main.cpp:252-258) become FrameParams fields / static jit args.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vri_tpu.config import DebugMode, RenderConfig
+from vri_tpu.hydra.camera import CameraState
+from vri_tpu.ops import intersect, raygen, shading
+from vri_tpu.registry import SceneBuffers, bake_world
+
+
+@flax.struct.dataclass
+class FrameParams:
+    """Per-frame camera + settings, all device arrays (the analog of the
+    reference's FrameContext render settings, RenderPass.cpp:892-902)."""
+
+    view_proj: jnp.ndarray      # (4, 4)
+    inv_view_proj: jnp.ndarray  # (4, 4)
+    eye: jnp.ndarray            # (3,)
+    near: jnp.ndarray           # ()
+    far: jnp.ndarray            # ()
+
+    @classmethod
+    def from_camera(cls, cam: CameraState) -> "FrameParams":
+        return cls(view_proj=jnp.asarray(cam.view_proj),
+                   inv_view_proj=jnp.asarray(cam.inv_view_proj),
+                   eye=jnp.asarray(cam.eye),
+                   near=jnp.asarray(cam.near, jnp.float32),
+                   far=jnp.asarray(cam.far, jnp.float32))
+
+
+def _visibility_brute(scene: SceneBuffers, world_verts, origins, dirs):
+    v0, e1, e2 = intersect.gather_triangles(world_verts, scene.tri_vertices)
+    return intersect.trace_brute(origins, dirs, v0, e1, e2, scene.num_faces)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "mode",
+                                             "shadows", "backend"))
+def render_frame(scene: SceneBuffers, frame: FrameParams, *,
+                 height: int, width: int, mode: int = DebugMode.NONE,
+                 shadows: bool = True, backend: str = "brute"
+                 ) -> Dict[str, jnp.ndarray]:
+    """Render one frame; returns AOVs reshaped to (H, W, ...).
+
+    Pass order mirrors the reference frame (RenderPass.cpp:890-1077):
+    bake world verts (the vertex-transform the raster VS does per draw) ->
+    visibility -> attribute resolve -> lightloop (or debug resolve).
+    """
+    world_verts = bake_world(scene)
+    origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
+                                       height, width)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+
+    if backend == "brute":
+        hit = _visibility_brute(scene, world_verts, o, d)
+    elif backend == "bvh":
+        from vri_tpu.ops import trace as trace_mod
+
+        hit = trace_mod.trace_scene(scene, world_verts, o, d)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d)
+
+    if mode == DebugMode.NONE:
+        shadow = None
+        if shadows:
+            shadow = _shadow_factors(scene, world_verts, gb)
+        color = shading.shade_direct(gb, scene, shadow=shadow)
+    else:
+        color = shading.debug_color(mode, gb)
+
+    n_aux = color.shape[-1]
+    return {
+        "color": color.reshape(height, width, n_aux),
+        "depth": gb.depth.reshape(height, width),
+        "instance_id": gb.instance.reshape(height, width),
+        "prim_id": gb.prim.reshape(height, width),
+        "normal": gb.normal.reshape(height, width, 3),
+        "albedo": gb.albedo.reshape(height, width, 3),
+    }
+
+
+def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
+    """Hard shadow test per (pixel, light) with brute-force occlusion.
+    Replaced by the SDF-marched soft test once cascades exist."""
+    v0, e1, e2 = intersect.gather_triangles(world_verts, scene.tri_vertices)
+    n, L = gb.position.shape[0], scene.light_position.shape[0]
+    to_l = scene.light_position[None, :, :] - gb.position[:, None, :]
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
+    o = jnp.broadcast_to(
+        gb.position[:, None, :] + gb.normal[:, None, :] * 1e-3, (n, L, 3))
+    o = o.reshape(n * L, 3)
+    blocked = intersect.any_hit_brute(
+        o, wi.reshape(n * L, 3), v0, e1, e2, scene.num_faces,
+        t_max=(dist.reshape(n * L) - 2e-3))
+    return 1.0 - blocked.reshape(n, L).astype(jnp.float32)
+
+
+def render_to_numpy(scene: SceneBuffers, camera: CameraState,
+                    config: RenderConfig, mode: int = DebugMode.NONE,
+                    shadows: bool = True,
+                    backend: str = "brute") -> Dict[str, np.ndarray]:
+    aovs = render_frame(scene, FrameParams.from_camera(camera),
+                        height=config.height, width=config.width, mode=mode,
+                        shadows=shadows, backend=backend)
+    return {k: np.asarray(v) for k, v in aovs.items()}
