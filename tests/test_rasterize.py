@@ -1,0 +1,124 @@
+"""Pallas tiled rasterizer vs brute-force ray tracer: same visibility.
+
+(Reference equivalence: raster visibility pass Visibility.hlsl must agree
+with ray-traced primary visibility for pinhole cameras.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vri_tpu.config import RenderConfig
+from vri_tpu.hydra import RenderDelegate
+from vri_tpu.ops import intersect, raygen, rasterize
+from vri_tpu.passes import FrameParams, render_frame
+from vri_tpu.registry import bake_world
+from vri_tpu.usd import scenes
+
+
+def _setup(stage, res=48):
+    d = RenderDelegate(RenderConfig(width=res, height=res))
+    d.populate(stage)
+    return d.sync(), d.camera
+
+
+def _raster_vs_brute(scene, cam, res):
+    world = bake_world(scene)
+    vp = jnp.asarray(cam.view_proj)
+    hit_r, zimg = rasterize.rasterize(
+        world, scene.tri_vertices, scene.num_faces, vp,
+        height=res, width=res)
+    o, dirs = raygen.camera_rays(jnp.asarray(cam.inv_view_proj),
+                                 jnp.asarray(cam.eye), res, res)
+    v0, e1, e2 = intersect.gather_triangles(world, scene.tri_vertices)
+    hit_b = intersect.trace_brute(o.reshape(-1, 3), dirs.reshape(-1, 3),
+                                  v0, e1, e2, scene.num_faces)
+    return hit_r, hit_b
+
+
+class TestRasterVsTrace:
+    def test_cornell_same_triangles(self, cornell):
+        res = 48
+        scene, cam = _setup(cornell, res)
+        hit_r, hit_b = _raster_vs_brute(scene, cam, res)
+        tr = np.asarray(hit_r.tri)
+        tb = np.asarray(hit_b.tri)
+        assert ((tr >= 0) == (tb >= 0)).mean() > 0.995
+        both = (tr >= 0) & (tb >= 0)
+        assert (tr[both] == tb[both]).mean() > 0.97  # edge ties differ
+
+    def test_cornell_barycentrics_match(self, cornell):
+        res = 48
+        scene, cam = _setup(cornell, res)
+        hit_r, hit_b = _raster_vs_brute(scene, cam, res)
+        tr, tb = np.asarray(hit_r.tri), np.asarray(hit_b.tri)
+        same = (tr == tb) & (tr >= 0)
+        np.testing.assert_allclose(np.asarray(hit_r.u)[same],
+                                   np.asarray(hit_b.u)[same], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(hit_r.v)[same],
+                                   np.asarray(hit_b.v)[same], atol=2e-3)
+
+    def test_kitchen_scene(self):
+        res = 64
+        scene, cam = _setup(scenes.kitchen_stress(num_objects=24), res)
+        hit_r, hit_b = _raster_vs_brute(scene, cam, res)
+        tr, tb = np.asarray(hit_r.tri), np.asarray(hit_b.tri)
+        assert ((tr >= 0) == (tb >= 0)).mean() > 0.99
+        both = (tr >= 0) & (tb >= 0)
+        assert (tr[both] == tb[both]).mean() > 0.97
+
+    def test_nonsquare_resolution(self, cornell):
+        h, w = 40, 72
+        d = RenderDelegate(RenderConfig(width=w, height=h))
+        d.populate(cornell)
+        scene = d.sync()
+        cam = d.camera
+        world = bake_world(scene)
+        hit_r, z = rasterize.rasterize(
+            world, scene.tri_vertices, scene.num_faces,
+            jnp.asarray(cam.view_proj), height=h, width=w)
+        assert z.shape == (h, w)
+        # wide aspect: edge rays exit past the open box front — compare
+        # coverage against the ray tracer rather than assuming full hit
+        o, dirs = raygen.camera_rays(jnp.asarray(cam.inv_view_proj),
+                                     jnp.asarray(cam.eye), h, w)
+        v0, e1, e2 = intersect.gather_triangles(world, scene.tri_vertices)
+        hit_b = intersect.trace_brute(o.reshape(-1, 3), dirs.reshape(-1, 3),
+                                      v0, e1, e2, scene.num_faces)
+        cov_r = np.asarray(hit_r.tri) >= 0
+        cov_b = np.asarray(hit_b.tri) >= 0
+        assert (cov_r == cov_b).mean() > 0.99
+
+    def test_depth_ordering(self, cornell):
+        """Short box must occlude the floor behind it."""
+        res = 64
+        scene, cam = _setup(cornell, res)
+        world = bake_world(scene)
+        hit_r, z = rasterize.rasterize(
+            world, scene.tri_vertices, scene.num_faces,
+            jnp.asarray(cam.view_proj), height=res, width=res)
+        zi = np.asarray(z)
+        # tall-box pixel (32,32) is nearer than the back wall at (40,40)
+        assert zi[32, 32] < zi[40, 40]
+
+
+class TestRasterBackend:
+    def test_render_frame_raster_parity(self, cornell):
+        res = 48
+        d = RenderDelegate(RenderConfig(width=res, height=res))
+        d.populate(cornell)
+        scene = d.sync()
+        fp = FrameParams.from_camera(d.camera)
+        a = render_frame(scene, fp, height=res, width=res, shadows=False,
+                         backend="brute")
+        b = render_frame(scene, fp, height=res, width=res, shadows=False,
+                         backend="raster")
+        ia, ib = np.asarray(a["instance_id"]), np.asarray(b["instance_id"])
+        same = ia == ib
+        assert same.mean() > 0.97
+        np.testing.assert_allclose(np.asarray(a["color"])[same],
+                                   np.asarray(b["color"])[same], atol=2e-2,
+                                   rtol=1e-3)
+        # world-space depth agrees on matching pixels
+        np.testing.assert_allclose(np.asarray(a["depth"])[same & (ia >= 0)],
+                                   np.asarray(b["depth"])[same & (ia >= 0)],
+                                   rtol=5e-3)

@@ -1,0 +1,238 @@
+"""Pallas tiled visibility rasterizer.
+
+TPU re-design of the reference's visibility pass (Source/RenderPass.cpp:
+572-678 + Shaders/Source/Visibility.hlsl): instead of a hardware raster
+writing ``MeshID<<16|PrimID`` per pixel, a Pallas kernel owns a
+(tile_h x tile_w) pixel tile per grid step and scans all triangles in
+VMEM-resident chunks, evaluating edge functions for the whole (pixel x
+triangle) block on the VPU.  Outputs are a full-rate visibility buffer:
+triangle id (32-bit — the reference's 16+16 packing limit is deliberately
+not copied, Visibility.hlsl:21), NDC depth, and perspective-correct
+barycentrics (computed as in Shaders/Source/Barycentric.hlsl:17-56, from
+screen-space edge weights and 1/w).
+
+Layout is chosen for Mosaic: triangle setup is packed into a
+(num_chunks, 16, tri_chunk) f32 array — dynamic indexing happens only on the
+untiled leading (chunk) dimension; the 16 sublane rows hold x/y/z/1/w per
+corner.  Per-chunk screen bounds live in SMEM for the coarse tile-vs-chunk
+cull.  Edge/depth math runs on (pixels, tri_chunk) = (1024, 128) VPU blocks.
+
+Triangle setup (clip transform, pixel-space projection, validity) runs as
+plain XLA ops — one (V,4)x(4,4) matmul on the MXU — before the kernel.
+
+Conventions: pixel (0,0) top-left, sample at pixel centers (+0.5); two-sided
+rasterization (edge weights all >= 0 or all <= 0); depth test on z_ndc in
+[0,1], smaller = nearer.  Triangles crossing the near plane are dropped in
+v1 (no near clipping yet); invalid/padded triangles are encoded with z = 10
+so the depth-range test culls them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vri_tpu.ops.intersect import HitRecord
+
+_BIG = 3.0e38
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def triangle_setup(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
+                   num_faces: jnp.ndarray, view_proj: jnp.ndarray,
+                   height: int, width: int):
+    """Project triangles to pixel space.
+
+    Returns per-triangle-corner arrays x, y (pixels), z (ndc), inv_w and a
+    per-triangle valid mask.  This is the raster VS (Visibility.hlsl:14-17)
+    as one batched matmul.
+    """
+    v = world_verts
+    clip = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=1) @ view_proj.T
+    w = clip[:, 3]
+    w_ok = w > 1e-6
+    inv_w = jnp.where(w_ok, 1.0 / jnp.where(w_ok, w, 1.0), 0.0)
+    ndc = clip[:, :3] * inv_w[:, None]
+    px = (ndc[:, 0] * 0.5 + 0.5) * width
+    py = (0.5 - ndc[:, 1] * 0.5) * height
+    pz = ndc[:, 2]
+
+    tx = px[tri_vertices]            # (F, 3)
+    ty = py[tri_vertices]
+    tz = pz[tri_vertices]
+    tw = inv_w[tri_vertices]
+    valid = (jnp.arange(tri_vertices.shape[0]) < num_faces)
+    valid &= w_ok[tri_vertices].all(axis=1)
+    # degenerate screen-space triangles
+    area = ((tx[:, 1] - tx[:, 0]) * (ty[:, 2] - ty[:, 0])
+            - (ty[:, 1] - ty[:, 0]) * (tx[:, 2] - tx[:, 0]))
+    valid &= jnp.abs(area) > 1e-12
+    return tx, ty, tz, tw, valid
+
+
+def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
+    """Pack setup into (C, 16, TC) f32 + (C, 4) SMEM bbox."""
+    f = tx.shape[0]
+    fp = _round_up(f, tri_chunk)
+    pad = fp - f
+    if pad:
+        padf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        tx, ty, tz, tw, valid = map(padf, (tx, ty, tz, tw, valid))
+    # cull invalid triangles via the z-range test
+    tz = jnp.where(valid[:, None], tz, 10.0)
+    c = fp // tri_chunk
+
+    def rows(a):      # (Fp, 3) -> (C, 3, TC)
+        return a.reshape(c, tri_chunk, 3).transpose(0, 2, 1)
+
+    zero = jnp.zeros((c, 4, tri_chunk), jnp.float32)
+    data = jnp.concatenate(
+        [rows(tx), rows(ty), rows(tz), rows(tw), zero], axis=1)  # (C, 16, TC)
+
+    vx = jnp.where(valid[:, None], tx, _BIG).reshape(c, tri_chunk, 3)
+    vy = jnp.where(valid[:, None], ty, _BIG).reshape(c, tri_chunk, 3)
+    wx = jnp.where(valid[:, None], tx, -_BIG).reshape(c, tri_chunk, 3)
+    wy = jnp.where(valid[:, None], ty, -_BIG).reshape(c, tri_chunk, 3)
+    bbox = jnp.stack([vx.min((1, 2)), wx.max((1, 2)),
+                      vy.min((1, 2)), wy.max((1, 2))], axis=1)   # (C, 4)
+    return data, bbox, c
+
+
+def _raster_kernel(tri_ref, bbox_ref, z_out, tri_out, u_out, v_out, *,
+                   tile_h: int, tile_w: int, tri_chunk: int,
+                   num_chunks: int):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    p = tile_h * tile_w
+    y0 = (ti * tile_h).astype(jnp.float32)
+    x0 = (tj * tile_w).astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    py = y0 + 0.5 + (pix // tile_w).astype(jnp.float32)      # (P, 1)
+    px = x0 + 0.5 + (pix % tile_w).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
+
+    def chunk_body(c, carry):
+        def compute(carry):
+            best_z, best_tri, best_u, best_v = carry
+            d = tri_ref[c]                                    # (16, TC)
+            ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
+            ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
+            az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
+            aw, bw, cw = d[9][None, :], d[10][None, :], d[11][None, :]
+            # edge functions (signed areas) at pixel centers
+            e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+            e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+            e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                     ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+            inv_area = 1.0 / area
+            l0 = e0 * inv_area
+            l1 = e1 * inv_area
+            l2 = e2 * inv_area
+            z = l0 * az + l1 * bz + l2 * cz
+            ok = inside & (z >= 0.0) & (z <= 1.0)
+            zm = jnp.where(ok, z, _BIG)
+            # nearest triangle in chunk, lowest index wins ties
+            z_best = jnp.min(zm, axis=-1, keepdims=True)      # (P, 1)
+            is_best = (zm == z_best) & ok
+            k = jnp.min(jnp.where(is_best, lane, jnp.int32(2**30)), axis=-1,
+                        keepdims=True)
+            sel = lane == k                                    # one-hot (P, TC)
+            # perspective-correct barycentrics (Barycentric.hlsl approach)
+            p0 = l0 * aw
+            p1 = l1 * bw
+            p2 = l2 * cw
+            psum_inv = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
+            uu = jnp.sum(jnp.where(sel, p1 * psum_inv, 0.0), axis=-1,
+                         keepdims=True)
+            vv = jnp.sum(jnp.where(sel, p2 * psum_inv, 0.0), axis=-1,
+                         keepdims=True)
+            closer = z_best < best_z
+            tri_id = c * tri_chunk + k
+            return (jnp.where(closer, z_best, best_z),
+                    jnp.where(closer, tri_id, best_tri),
+                    jnp.where(closer, uu, best_u),
+                    jnp.where(closer, vv, best_v))
+
+        # coarse cull: skip chunks whose screen AABB misses this tile
+        overlap = ((bbox_ref[c, 0] <= x0 + tile_w) & (bbox_ref[c, 1] >= x0)
+                   & (bbox_ref[c, 2] <= y0 + tile_h) & (bbox_ref[c, 3] >= y0))
+        return jax.lax.cond(overlap, compute, lambda cr: cr, carry)
+
+    init = (jnp.full((p, 1), _BIG, jnp.float32),
+            jnp.full((p, 1), -1, jnp.int32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32))
+    best_z, best_tri, best_u, best_v = jax.lax.fori_loop(
+        0, num_chunks, chunk_body, init)
+    z_out[:, :] = best_z.reshape(tile_h, tile_w)
+    tri_out[:, :] = best_tri.reshape(tile_h, tile_w)
+    u_out[:, :] = best_u.reshape(tile_h, tile_w)
+    v_out[:, :] = best_v.reshape(tile_h, tile_w)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "tile_h", "tile_w", "tri_chunk", "interpret"))
+def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
+              num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
+              height: int, width: int, tile_h: int = 8, tile_w: int = 128,
+              tri_chunk: int = 128, interpret: bool | None = None
+              ) -> Tuple[HitRecord, jnp.ndarray]:
+    """Full-frame visibility raster.
+
+    Returns (HitRecord flattened to (H*W,) with z stored in ``t`` as NDC
+    depth, and the (H, W) depth image).  Callers wanting world-space ray t
+    reconstruct it from the interpolated position.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    hp = _round_up(height, tile_h)
+    wp = _round_up(width, tile_w)
+
+    tx, ty, tz, tw, valid = triangle_setup(
+        world_verts, tri_vertices, num_faces, view_proj, height, width)
+    data, bbox, num_chunks = _pack_chunks(tx, ty, tz, tw, valid, tri_chunk)
+
+    grid = (hp // tile_h, wp // tile_w)
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # tri data (C, 16, TC)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # bbox (C, 4)
+    ]
+    kernel = functools.partial(
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tri_chunk,
+        num_chunks=num_chunks)
+    z, tri, u, v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(data, bbox)
+
+    z = z[:height, :width]
+    tri = tri[:height, :width]
+    u = u[:height, :width]
+    v = v[:height, :width]
+    hit = HitRecord(t=z.reshape(-1), tri=tri.reshape(-1),
+                    u=u.reshape(-1), v=v.reshape(-1))
+    return hit, z

@@ -73,10 +73,20 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
         from vri_tpu.ops import trace as trace_mod
 
         hit = trace_mod.trace_scene(scene, world_verts, o, d)
+    elif backend == "raster":
+        from vri_tpu.ops import rasterize as raster_mod
+
+        hit, _ = raster_mod.rasterize(
+            world_verts, scene.tri_vertices, scene.num_faces,
+            frame.view_proj, height=height, width=width)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d)
+    if backend == "raster":
+        # raster depth is NDC; replace with world-space ray t for AOV parity
+        t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
+        gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
 
     if mode == DebugMode.NONE:
         shadow = None
