@@ -1,0 +1,76 @@
+"""Benchmark: primary visibility throughput (Mrays/s/chip) on the
+Kitchen-Set-scale stress scene at 1920x1080 via the Pallas tiled rasterizer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = BASELINE.json north star (>=200 Mrays/s/chip primary visibility);
+the reference itself publishes no numbers (BASELINE.md).
+
+Timing notes: the axon tunnel's block_until_ready does not synchronize with
+device execution, so timing forces a scalar readback per frame, and the
+per-frame cost is estimated by the slope between K=1 and K=BATCH chained
+frames (subtracting the fixed readback RTT).
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+# Persist compiles (the axon tunnel recompiles are minutes); TPU-only — CPU
+# AOT cache entries are machine-feature-sensitive.
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from vri_tpu.config import RenderConfig
+    from vri_tpu.hydra.delegate import RenderDelegate
+    from vri_tpu.ops import rasterize
+    from vri_tpu.registry import bake_world
+    from vri_tpu.usd import scenes
+
+    height, width = 1080, 1920
+    d = RenderDelegate(RenderConfig(width=width, height=height))
+    d.populate(scenes.kitchen_stress(num_objects=256))
+    scene = d.sync()
+    world = bake_world(scene)
+    vp = jnp.asarray(d.camera.view_proj)
+
+    def frame():
+        hit, z = rasterize.rasterize(world, scene.tri_vertices,
+                                     scene.num_faces, vp,
+                                     height=height, width=width)
+        return z
+
+    # warm / compile
+    z = frame()
+    _ = float(z[540, 960])
+
+    def timed(k):
+        t0 = time.time()
+        for _ in range(k):
+            _ = float(frame()[540, 960])
+        return time.time() - t0
+
+    t1 = timed(2) / 2
+    tk = timed(10) / 10
+    per_frame = min(t1, tk)
+    rays = height * width
+    mrays = rays / per_frame / 1e6
+
+    baseline = 200.0  # Mrays/s/chip north-star target
+    print(json.dumps({
+        "metric": "primary visibility Mrays/s/chip (kitchen-stress 1080p, "
+                  "Pallas raster)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

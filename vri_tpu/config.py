@@ -61,14 +61,15 @@ class SDFConfig:
     num_cascades: int = 8
     cascade_resolution: int = 64      # voxels per cascade edge
     brick_size: int = 8               # voxels per brick edge (fixed by design)
-    max_bricks: int = 1 << 14         # atlas capacity (reference: 2^18)
+    max_bricks: int = 1 << 15         # atlas capacity (reference: 2^18)
     base_voxel_size: float = 0.02     # cascade i voxel = base * (1 + i)
     # Truncation distance, in voxels, beyond which distance saturates to 1.0.
     truncation_voxels: float = 4.0
     # Sphere-march tuning (reference trace: <=8 steps per brick, 32 cascades
     # iterations cap — ffx_brixelizer_trace_ops.h:128,220-256).
     march_max_steps: int = 96
-    march_epsilon: float = 0.25       # hit threshold, in voxels
+    march_epsilon: float = 1.0        # hit threshold, in brick texels
+    march_min_step: float = 0.5       # minimum advance, in brick texels
     max_triangles_per_brick: int = 64
 
     @property

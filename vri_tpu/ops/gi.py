@@ -1,0 +1,177 @@
+"""The lightloop: shadowed direct lighting + 1-bounce SDF-marched diffuse GI.
+
+This implements the pass the reference scaffolds but leaves stubbed — its
+frame loop reserves Material/GBuffer/Lighting passes (Source/RenderPass.cpp:
+1023-1029) and builds the Brixelizer cascades that were *intended* to drive a
+GI lightloop.  Design:
+
+  * direct: Lambertian over the light array with SDF-marched hard shadows
+    (ops/sdf_trace.occlusion) — no triangle shadow rays on the hot path.
+  * indirect: per pixel, one (or S) cosine-weighted hemisphere sample is
+    sphere-marched through the cascades; at the hit, radiance is estimated
+    from the per-brick shading cache (albedo + normal captured from the
+    nearest surface at build time — ops/sdf.py) lit by the same lights with
+    one more SDF shadow test.  With cosine-weighted sampling the Monte Carlo
+    estimator is simply ``albedo_pixel * L_in`` averaged over samples.
+  * misses add a small sky term.
+
+Everything is one jitted dataflow; progressive rendering accumulates frames
+(see passes/frame.py) with a per-frame RNG key folded from the frame index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vri_tpu.config import SDFConfig
+from vri_tpu.ops import sdf_trace
+from vri_tpu.ops.sdf import SDFCascades
+from vri_tpu.ops.shading import GBuffer
+from vri_tpu.registry import SceneBuffers
+
+# plain tuple: this module may be imported inside a trace, so no
+# module-level jnp arrays (they would leak tracers)
+SKY = (0.02, 0.025, 0.035)
+
+
+def cosine_sample_hemisphere(normal: jnp.ndarray, u1: jnp.ndarray,
+                             u2: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted direction about ``normal`` (N, 3)."""
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    # orthonormal basis around the normal (branchless Frisvad)
+    n = normal
+    sign = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n[:, 2])
+    b = n[:, 0] * n[:, 1] * a
+    t = jnp.stack([1.0 + sign * n[:, 0] ** 2 * a, sign * b, -sign * n[:, 0]],
+                  axis=-1)
+    bt = jnp.stack([b, sign + n[:, 1] ** 2 * a, -n[:, 1]], axis=-1)
+    return (t * x[:, None] + bt * y[:, None] + n * z[:, None])
+
+
+def _light_arrays(scene: SceneBuffers):
+    nl = scene.light_position.shape[0]
+    live = (jnp.arange(nl) < scene.num_lights).astype(jnp.float32)
+    return scene.light_position, scene.light_color, \
+        scene.light_intensity * live
+
+
+def surface_bias(points: jnp.ndarray, cascades: SDFCascades,
+                 config: SDFConfig) -> jnp.ndarray:
+    """Per-point shadow-ray offset: ~6 texels of the cascade containing the
+    point.  The truncated field's zero level sits on the surface and the
+    march's hit epsilon is ~1 texel, so rays must start several texels clear
+    of the surface or everything self-shadows."""
+    _, cas, _, _, _, _ = sdf_trace._sample(cascades, points, config)
+    vs = jnp.where(cas >= 0, cascades.voxel_size[jnp.maximum(cas, 0)],
+                   cascades.voxel_size[-1])
+    return 0.75 * vs
+
+
+def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
+                    scene: SceneBuffers, cascades: SDFCascades,
+                    config: SDFConfig, shadow_steps: int = 48,
+                    light_radius: float = 0.1) -> jnp.ndarray:
+    """Incoming direct radiance (N, 3) at surface points, SDF-shadowed.
+    ``light_radius`` clamps the inverse-square falloff (fireflies when a
+    bounce lands next to a light)."""
+    lp, lc, li = _light_arrays(scene)
+    n_pts, n_lights = points.shape[0], lp.shape[0]
+    to_l = lp[None, :, :] - points[:, None, :]
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
+    ndotl = jnp.maximum(jnp.sum(normals[:, None, :] * wi, axis=-1), 0.0)
+
+    bias = surface_bias(points, cascades, config)[:, None]
+    o = jnp.broadcast_to(points[:, None, :] + normals[:, None, :]
+                         * bias[..., None], (n_pts, n_lights, 3)).reshape(-1, 3)
+    occ = sdf_trace.occlusion(
+        cascades, o, wi.reshape(-1, 3),
+        t_max=jnp.maximum((dist - 2.0 * bias).reshape(-1), 1e-3),
+        config=config, max_steps=shadow_steps).reshape(n_pts, n_lights)
+
+    irr = li[None, :] * ndotl * occ / jnp.maximum(dist * dist,
+                                                  light_radius ** 2)
+    return (irr[..., None] * lc[None, :, :]).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "samples",
+                                             "gi_steps", "shadow_steps",
+                                             "gi_clamp"))
+def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
+              key: jax.Array, *, config: SDFConfig, samples: int = 1,
+              gi_steps: int = 64, shadow_steps: int = 48,
+              gi_clamp: float = 4.0) -> jnp.ndarray:
+    """Full shading: emissive + albedo * (direct + 1-bounce GI).
+    ``gi_clamp`` bounds each bounce sample's radiance (firefly control)."""
+    n = gb.position.shape[0]
+    direct = direct_radiance(gb.position, gb.normal, scene, cascades, config,
+                             shadow_steps=shadow_steps)
+
+    bias = surface_bias(gb.position, cascades, config)[:, None]
+    gi_range = cascades.voxel_size[-1] * config.cascade_resolution
+
+    indirect = jnp.zeros((n, 3))
+    for s in range(samples):
+        u = jax.random.uniform(jax.random.fold_in(key, s), (n, 2))
+        wi = cosine_sample_hemisphere(gb.normal, u[:, 0], u[:, 1])
+        o = gb.position + gb.normal * bias
+        rec = sdf_trace.march(cascades, o, wi, t_max=gi_range,
+                              config=config, max_steps=gi_steps)
+        hit_p = o + wi * jnp.minimum(rec.t, gi_range)[:, None]
+        b = jnp.maximum(rec.brick, 0)
+        alb_hit = cascades.brick_albedo[b]
+        n_hit = cascades.brick_normal[b]
+        # two-sided surface cache: face the incoming ray
+        n_hit = jnp.where(jnp.sum(n_hit * wi, axis=-1, keepdims=True) > 0,
+                          -n_hit, n_hit)
+        hit_bias = surface_bias(hit_p, cascades, config)[:, None]
+        l_hit = direct_radiance(hit_p + n_hit * hit_bias, n_hit, scene,
+                                cascades, config, shadow_steps=shadow_steps)
+        bounce = jnp.minimum(alb_hit * l_hit, gi_clamp)
+        sky = jnp.asarray(SKY, jnp.float32)
+        contrib = jnp.where(rec.hit[:, None], bounce, sky)
+        indirect = indirect + contrib
+    indirect = indirect / samples
+
+    color = gb.emissive + gb.albedo * (direct + indirect)
+    return jnp.where(gb.valid[:, None], color, 0.0)
+
+
+def sdf_debug_color(mode: int, rec: sdf_trace.SDFHit,
+                    cascades: SDFCascades, config: SDFConfig,
+                    max_dist: float = 10.0) -> jnp.ndarray:
+    """False-color views of an SDF march, mirroring Brixelizer's debug
+    output modes distance/uvw/iterations/grad/brick-id/cascade-id
+    (ffx_brixelizer_host_gpu_shared.h:86-93)."""
+    from vri_tpu.config import DebugMode
+    from vri_tpu.ops.shading import _id_color
+
+    hit = rec.hit[:, None]
+    if mode == DebugMode.SDF_DISTANCE:
+        z = jnp.clip(rec.t / max_dist, 0.0, 1.0)[:, None]
+        c = jnp.repeat(1.0 - z, 3, -1)
+    elif mode == DebugMode.SDF_UVW:
+        c = rec.uvw
+    elif mode == DebugMode.SDF_ITERATIONS:
+        it = (rec.iterations.astype(jnp.float32)
+              / config.march_max_steps)[:, None]
+        c = jnp.concatenate([it, 1.0 - it, jnp.zeros_like(it)], -1)
+        return c  # iteration heat shown for misses too
+    elif mode == DebugMode.SDF_GRAD:
+        n = cascades.brick_normal[jnp.maximum(rec.brick, 0)]
+        c = n * 0.5 + 0.5
+    elif mode == DebugMode.SDF_BRICK_ID:
+        c = _id_color(rec.brick)
+    elif mode == DebugMode.SDF_CASCADE_ID:
+        c = _id_color(rec.cascade * 7 + 3)
+    else:
+        raise ValueError(f"not an SDF debug mode: {mode}")
+    return jnp.where(hit, c, 0.0)

@@ -78,6 +78,41 @@ def triangle_setup(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     return tx, ty, tz, tw, valid
 
 
+def _screen_morton_order(tx, ty, valid, height: int, width: int,
+                         large_span: float = 160.0) -> jnp.ndarray:
+    """Spatial-locality permutation for the chunk cull.
+
+    Triangles are sorted by the Morton code of their screen-AABB center so
+    each packed chunk covers a small screen region and the kernel's
+    chunk-vs-tile bound test rejects almost everything.  Triangles spanning
+    more than ``large_span`` pixels (and invalid ones) sort to the front as
+    "global" chunks every tile walks — the indirect-draw batching analog of
+    the reference's per-draw loop (RenderPass.cpp:642-664), re-designed as a
+    data layout instead of a command stream.
+    """
+    lox = tx.min(axis=1)
+    hix = tx.max(axis=1)
+    loy = ty.min(axis=1)
+    hiy = ty.max(axis=1)
+    cx = jnp.clip((lox + hix) * 0.5, 0, width - 1) * (1024.0 / width)
+    cy = jnp.clip((loy + hiy) * 0.5, 0, height - 1) * (1024.0 / height)
+
+    def spread(v):
+        v = v.astype(jnp.uint32)
+        v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x33333333)
+        v = (v | (v << 1)) & jnp.uint32(0x55555555)
+        return v
+
+    code = (spread(cx.astype(jnp.uint32)) << 1) | spread(cy.astype(jnp.uint32))
+    large = ((hix - lox) > large_span) | ((hiy - loy) > large_span)
+    # large -> key 0 block (front), normal -> morton+1, invalid -> back
+    key = jnp.where(large, jnp.uint32(0), code + 1)
+    key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
 def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
     """Pack setup into (C, 16, TC) f32 + (C, 4) SMEM bbox."""
     f = tx.shape[0]
@@ -202,6 +237,8 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     tx, ty, tz, tw, valid = triangle_setup(
         world_verts, tri_vertices, num_faces, view_proj, height, width)
+    order = _screen_morton_order(tx, ty, valid, height, width)
+    tx, ty, tz, tw, valid = (a[order] for a in (tx, ty, tz, tw, valid))
     data, bbox, num_chunks = _pack_chunks(tx, ty, tz, tw, valid, tri_chunk)
 
     grid = (hp // tile_h, wp // tile_w)
@@ -230,9 +267,12 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     )(data, bbox)
 
     z = z[:height, :width]
-    tri = tri[:height, :width]
+    tri = tri[:height, :width].reshape(-1)
     u = u[:height, :width]
     v = v[:height, :width]
-    hit = HitRecord(t=z.reshape(-1), tri=tri.reshape(-1),
+    # undo the Morton permutation: kernel ids index the sorted order
+    tri = jnp.where(tri >= 0,
+                    order[jnp.clip(tri, 0, order.shape[0] - 1)], -1)
+    hit = HitRecord(t=z.reshape(-1), tri=tri,
                     u=u.reshape(-1), v=v.reshape(-1))
     return hit, z

@@ -1,0 +1,278 @@
+"""Sparse-brick SDF cascade builder (the Brixelizer-equivalent).
+
+Re-implements the data model of AMD FidelityFX Brixelizer as JAX arrays
+(reference: External/FidelityFX/include/FidelityFX/gpu/brixelizer/
+ffx_brixelizer_host_gpu_shared.h — 64^3-voxel cascades, one 8^3-texel
+distance "brick" per occupied voxel stored in a shared atlas, <=2^18 bricks,
+cascade voxel size growing per cascade; Source/RenderPass.cpp:493-508) —
+but the build pipeline is re-designed for a SIMD machine with static shapes
+instead of the reference's 30 indirect compute passes
+(ffx_brixelizer_raw.h:76-112):
+
+  1. **voxelize**: dense per-cascade occupancy — every (voxel, triangle
+     chunk) pair is tested with a separable AABB-interval test refined by a
+     triangle-plane distance test.  No scatter queues, no "reference" lists;
+     the occupancy grid is a (R,R,R) reduction over triangle chunks.
+  2. **allocate**: one global exclusive-scan (cumsum) over the flattened
+     occupancy assigns atlas brick ids — the stream-compaction equivalent of
+     Brixelizer's brick allocation, capacity-bounded by ``max_bricks``
+     (overflow counted, mirroring ``maxBricksPerBake`` semantics,
+     RenderPass.cpp:927-930).
+  3. **emit**: per allocated brick, the K nearest triangles are selected by
+     brick-center-to-triangle-AABB distance (``lax.top_k``), then every
+     8^3 texel evaluates exact point-triangle distance over those K,
+     truncated and normalized to [0,1] — the analog of Brixelizer's
+     voxelize + emit-SDF + eikonal passes collapsed into one dense pass.
+
+All stages are shapes-static and run under one jit; rebuilding after
+animation reuses the compiled executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from vri_tpu.config import SDFConfig
+from vri_tpu.ops import geometry
+
+BIG = 3.0e38
+
+
+@flax.struct.dataclass
+class SDFCascades:
+    """Device-resident cascade set.
+
+    ``brick_map[n, z, y, x]`` holds the atlas brick id for voxel (x,y,z) of
+    cascade n, or -1 when empty.  ``atlas[b]`` is the (B,B,B) normalized
+    truncated distance field covering that voxel (0 = on surface, 1 = at or
+    beyond truncation distance).
+    """
+
+    center: jnp.ndarray       # (N, 3) cascade centers (world)
+    voxel_size: jnp.ndarray   # (N,)
+    brick_map: jnp.ndarray    # (N, R, R, R) i32
+    atlas: jnp.ndarray        # (max_bricks, B, B, B) f32
+    brick_voxel: jnp.ndarray  # (max_bricks,) i32 flattened (n*R^3 + voxel)
+    brick_albedo: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface albedo
+    brick_normal: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface normal
+    num_bricks: jnp.ndarray   # () i32
+    overflow: jnp.ndarray     # () i32 — occupied voxels dropped (capacity)
+
+
+def cascade_origin(center: jnp.ndarray, voxel_size: jnp.ndarray,
+                   resolution: int) -> jnp.ndarray:
+    """World-space position of the (0,0,0) voxel corner."""
+    return center - 0.5 * resolution * voxel_size[..., None]
+
+
+def default_centers(config: SDFConfig, focus) -> jnp.ndarray:
+    """All cascades centered on ``focus`` (the reference recenters on the
+    camera every frame: sdfCenter = view position, RenderPass.cpp:934-936),
+    snapped to each cascade's voxel grid so recentering never shimmers."""
+    focus = jnp.asarray(focus, jnp.float32)
+    vs = jnp.asarray([config.voxel_size(i) for i in range(config.num_cascades)],
+                     jnp.float32)
+    return jnp.round(focus[None, :] / vs[:, None]) * vs[:, None]
+
+
+def _occupancy_one_cascade(a, b, c, valid, origin, vs, config: SDFConfig,
+                           chunk: int):
+    """(R,R,R) bool occupancy for one cascade."""
+    r = config.cascade_resolution
+    # Bricks are allocated only for voxels *intersecting* geometry (plus a
+    # one-voxel apron), like Brixelizer — the truncation distance shapes the
+    # stored values, not the allocation footprint; empty voxels are skipped
+    # by voxel-exit stepping during the march.
+    expand = vs
+    lo, hi = geometry.tri_aabb(a, b, c)
+    lo = (lo - expand - origin) / vs           # voxel coords
+    hi = (hi + expand - origin) / vs
+    # triangle plane
+    n = jnp.cross(b - a, c - a)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n_dot_a = jnp.sum(n * a, axis=-1)
+
+    f = a.shape[0]
+    num_chunks = f // chunk
+    ax_ids = (jnp.arange(r, dtype=jnp.float32) + 0.5)      # voxel centers
+
+    def body(occ, ci):
+        s = ci * chunk
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s, chunk, 0)
+        clo, chi = sl(lo), sl(hi)
+        cva = sl(valid)
+        cn, cnda = sl(n), sl(n_dot_a)
+        # separable interval masks (r, chunk)
+        def axis_mask(k):
+            return ((ax_ids[:, None] >= clo[None, :, k])
+                    & (ax_ids[:, None] <= chi[None, :, k]))
+        mx, my, mz = axis_mask(0), axis_mask(1), axis_mask(2)
+        # plane distance |n.(v - a)| at voxel centers, separable dot product
+        vx = origin[0] + ax_ids * vs
+        vy = origin[1] + ax_ids * vs
+        vz = origin[2] + ax_ids * vs
+        dx = vx[:, None] * cn[None, :, 0]                   # (r, chunk)
+        dy = vy[:, None] * cn[None, :, 1]
+        dz = vz[:, None] * cn[None, :, 2]
+        # combine to (r, r, r, chunk): z, y, x order
+        d = (dz[:, None, None, :] + dy[None, :, None, :]
+             + dx[None, None, :, :]) - cnda[None, None, None, :]
+        half_diag = 0.8660254 * vs          # voxel half-diagonal
+        near_plane = jnp.abs(d) <= (expand + half_diag)
+        box = (mz[:, None, None, :] & my[None, :, None, :]
+               & mx[None, None, :, :])
+        occ_c = jnp.any(box & near_plane & cva[None, None, None, :], axis=-1)
+        return occ | occ_c, None
+
+    occ0 = jnp.zeros((r, r, r), bool)
+    occ, _ = jax.lax.scan(body, occ0, jnp.arange(num_chunks))
+    return occ
+
+
+@functools.partial(jax.jit, static_argnames=("config", "chunk",
+                                              "brick_block"))
+def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
+                   num_faces: jnp.ndarray, centers: jnp.ndarray, *,
+                   tri_albedo: jnp.ndarray | None = None,
+                   config: SDFConfig, chunk: int = 64,
+                   brick_block: int = 256) -> SDFCascades:
+    """Full cascade build from the world-space triangle soup.
+
+    The instance-registration API of the reference
+    (ffxBrixelizerRegisterBuffers / CreateInstances,
+    host/ffx_brixelizer.h:287,310) maps to simply passing the registry's
+    packed pools here — instances are already flattened.
+    """
+    n_cas = config.num_cascades
+    r = config.cascade_resolution
+    bsz = config.brick_size
+    max_bricks = config.max_bricks
+    k_tris = config.max_triangles_per_brick
+
+    f = tri_vertices.shape[0]
+    fp = ((f + chunk - 1) // chunk) * chunk
+    p = world_verts[tri_vertices]             # (F, 3, 3)
+    if tri_albedo is None:
+        tri_albedo = jnp.full((f, 3), 0.5, jnp.float32)
+    pad = fp - f
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad, 3, 3), p.dtype)])
+        tri_albedo = jnp.concatenate(
+            [tri_albedo, jnp.zeros((pad, 3), jnp.float32)])
+    valid = jnp.arange(fp) < num_faces
+    a, b, c = p[:, 0], p[:, 1], p[:, 2]
+    tri_n = jnp.cross(b - a, c - a)
+    tri_n = tri_n / jnp.maximum(
+        jnp.linalg.norm(tri_n, axis=-1, keepdims=True), 1e-20)
+
+    vs = jnp.asarray([config.voxel_size(i) for i in range(n_cas)], jnp.float32)
+    origins = cascade_origin(centers, vs, r)   # (N, 3)
+
+    # -- 1. occupancy ------------------------------------------------------
+    occ = jnp.stack([
+        _occupancy_one_cascade(a, b, c, valid, origins[i], vs[i], config,
+                               chunk)
+        for i in range(n_cas)])                # (N, r, r, r)
+
+    # -- 2. allocation (stream compaction via cumsum) ----------------------
+    occ_flat = occ.reshape(-1)
+    ids = jnp.cumsum(occ_flat.astype(jnp.int32)) - 1
+    total_occ = jnp.sum(occ_flat.astype(jnp.int32))
+    alloc = occ_flat & (ids < max_bricks)
+    num_bricks = jnp.minimum(total_occ, max_bricks)
+    overflow = total_occ - num_bricks
+    brick_map = jnp.where(alloc, ids, -1).reshape(n_cas, r, r, r)
+
+    voxel_flat_idx = jnp.arange(n_cas * r * r * r, dtype=jnp.int32)
+    scatter_ids = jnp.where(alloc, ids, max_bricks)  # max_bricks -> dropped
+    brick_voxel = jnp.zeros((max_bricks,), jnp.int32).at[scatter_ids].set(
+        voxel_flat_idx, mode="drop")
+
+    # -- 3. emit (per brick: K nearest tris, exact texel distances) --------
+    tri_lo, tri_hi = geometry.tri_aabb(a, b, c)
+    tri_lo = jnp.where(valid[:, None], tri_lo, BIG)
+    tri_hi = jnp.where(valid[:, None], tri_hi, -BIG)
+
+    # brick metadata from flattened voxel id
+    def brick_meta(bv):
+        n = bv // (r * r * r)
+        rem = bv % (r * r * r)
+        z = rem // (r * r)
+        y = (rem // r) % r
+        x = rem % r
+        vsz = vs[n]
+        org = origins[n]
+        vmin = org + jnp.stack([x, y, z], -1).astype(jnp.float32) * vsz[..., None]
+        return n, vmin, vsz
+
+    num_blocks = max_bricks // brick_block
+    brick_ids_all = jnp.arange(max_bricks, dtype=jnp.int32)
+
+    tex = (jnp.arange(bsz, dtype=jnp.float32) + 0.5) / bsz
+    tz, ty, txx = jnp.meshgrid(tex, tex, tex, indexing="ij")
+    texel_unit = jnp.stack([txx, ty, tz], axis=-1).reshape(-1, 3)  # (B^3,3) xyz
+
+    def emit_block(blk):
+        bids = jax.lax.dynamic_slice_in_dim(brick_ids_all, blk * brick_block,
+                                            brick_block, 0)
+        live = bids < num_bricks
+        bv = brick_voxel[bids]
+        n_idx, vmin, vsz = brick_meta(bv)
+        bc = vmin + 0.5 * vsz[:, None]          # brick (voxel) centers
+        trunc_w = config.truncation_voxels * vsz
+
+        # K nearest triangles by AABB distance from brick center
+        dlo = jnp.maximum(tri_lo[None, :, :] - bc[:, None, :], 0.0)
+        dhi = jnp.maximum(bc[:, None, :] - tri_hi[None, :, :], 0.0)
+        d2 = jnp.sum(jnp.maximum(dlo, dhi) ** 2, axis=-1)   # (BB, F)
+        neg = -jnp.where(valid[None, :], d2, BIG)
+        _, knn = jax.lax.top_k(neg, k_tris)                  # (BB, K)
+
+        texels = (vmin[:, None, :]
+                  + texel_unit[None, :, :] * vsz[:, None, None])  # (BB,B^3,3)
+
+        def k_body(dmin, kk):
+            tri = knn[:, kk]                                  # (BB,)
+            ta, tb, tc = a[tri], b[tri], c[tri]               # (BB, 3)
+            dk = geometry.point_triangle_distance(
+                texels, ta[:, None, :], tb[:, None, :], tc[:, None, :])
+            ok = valid[tri]
+            dk = jnp.where(ok[:, None], dk, BIG)
+            return jnp.minimum(dmin, dk), None
+
+        d0 = jnp.full((brick_block, bsz ** 3), BIG, jnp.float32)
+        dmin, _ = jax.lax.scan(k_body, d0, jnp.arange(k_tris))
+        d01 = jnp.clip(dmin / trunc_w[:, None], 0.0, 1.0)
+        d01 = jnp.where(live[:, None], d01, 1.0)
+        # nearest-surface shading cache (the radiance-cache analog the
+        # reference's GI lightloop would have needed; used by the 1-bounce
+        # gather in ops/gi.py)
+        nearest = knn[:, 0]
+        alb = jnp.where(live[:, None], tri_albedo[nearest], 0.0)
+        nrm = jnp.where(live[:, None], tri_n[nearest], 0.0)
+        return (d01.reshape(brick_block, bsz, bsz, bsz), alb, nrm)
+
+    blocks, albs, nrms = jax.lax.map(emit_block, jnp.arange(num_blocks))
+    atlas = blocks.reshape(max_bricks, bsz, bsz, bsz)
+    brick_albedo = albs.reshape(max_bricks, 3)
+    brick_normal = nrms.reshape(max_bricks, 3)
+
+    return SDFCascades(center=centers, voxel_size=vs, brick_map=brick_map,
+                       atlas=atlas, brick_voxel=brick_voxel,
+                       brick_albedo=brick_albedo, brick_normal=brick_normal,
+                       num_bricks=num_bricks, overflow=overflow)
+
+
+def build_for_scene(scene, world_verts, focus, config: SDFConfig,
+                    **kw) -> SDFCascades:
+    centers = default_centers(config, focus)
+    mat = scene.instance_material[scene.tri_instance]
+    tri_albedo = scene.mat_base_color[mat]
+    return build_cascades(world_verts, scene.tri_vertices, scene.num_faces,
+                          centers, tri_albedo=tri_albedo, config=config,
+                          **kw)

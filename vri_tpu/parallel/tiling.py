@@ -1,0 +1,102 @@
+"""Framebuffer tile parallelism over a device mesh.
+
+BASELINE config 5: the framebuffer is sharded in row bands across the
+``tiles`` mesh axis with ``shard_map``; the scene and SDF cascades are
+replicated (small next to the framebuffer + per-ray state); per-frame stats
+ride a ``psum``.  There is no reference counterpart (single GPU) — see
+SURVEY §2.4.
+
+Each shard renders its own rows end-to-end: ray gen (rows offset by
+``axis_index``) -> visibility -> G-buffer resolve -> direct(+GI) shading.
+Because every stage is already a pure function over static shapes, the
+sharded step is the single-chip step wrapped in ``shard_map`` — the
+single-chip path is the degenerate 1-device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from vri_tpu.config import SDFConfig
+from vri_tpu.ops import gi as gi_mod
+from vri_tpu.ops import raygen, shading
+from vri_tpu.ops.intersect import INF, gather_triangles, trace_brute
+from vri_tpu.passes.frame import FrameParams
+from vri_tpu.registry import SceneBuffers, bake_world
+
+
+def _band_rays(frame: FrameParams, height: int, width: int, band_h: int,
+               axis_name: str):
+    """Rays for this device's row band: global row = band offset + local."""
+    dev = jax.lax.axis_index(axis_name)
+    ndc_full = raygen.pixel_ndc(height, width)          # traced per shard, tiny
+    y0 = dev * band_h
+    ndc = jax.lax.dynamic_slice_in_dim(ndc_full, y0, band_h, 0)
+    p = jnp.concatenate(
+        [ndc, jnp.full(ndc.shape[:-1] + (1,), 0.02, jnp.float32),
+         jnp.ones(ndc.shape[:-1] + (1,), jnp.float32)], axis=-1)
+    q = p @ frame.inv_view_proj.T
+    p_near = q[..., :3] / q[..., 3:4]
+    p2 = p.at[..., 2].set(0.98)
+    q2 = p2 @ frame.inv_view_proj.T
+    p_far = q2[..., :3] / q2[..., 3:4]
+    d = p_far - p_near
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(frame.eye, d.shape)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "height", "width", "config",
+                                    "gi", "samples"))
+def render_frame_tiled(scene: SceneBuffers, frame: FrameParams, cascades,
+                       key, *, mesh: Mesh, height: int, width: int,
+                       config: SDFConfig, gi: bool = True, samples: int = 1
+                       ) -> Dict[str, jnp.ndarray]:
+    """One frame with the framebuffer row-sharded over ``mesh``.
+
+    Returns AOVs laid out exactly like the single-chip path; ``stats`` holds
+    psum'd per-frame counters (rays, hits) — the multi-chip analog of the
+    reference's FPS/VRAM HUD (Source/Main.cpp:228-237).
+    """
+    (axis_name,) = mesh.axis_names
+    n_dev = mesh.shape[axis_name]
+    assert height % n_dev == 0, f"height {height} % devices {n_dev} != 0"
+    band_h = height // n_dev
+
+    def shard_fn(scene, frame, cascades, key):
+        o, d = _band_rays(frame, height, width, band_h, axis_name)
+        world = bake_world(scene)
+        v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
+        hit = trace_brute(o, d, v0, e1, e2, scene.num_faces)
+        gb = shading.resolve_gbuffer(scene, world, hit, o, d)
+        if gi:
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            color = gi_mod.lightloop(gb, scene, cascades, dev_key,
+                                     config=config, samples=samples)
+        else:
+            color = shading.shade_direct(gb, scene)
+        rays = jnp.asarray(o.shape[0], jnp.float32)
+        hits = gb.valid.sum().astype(jnp.float32)
+        stats = jax.lax.psum(jnp.stack([rays, hits]), axis_name)
+        return (color.reshape(band_h, width, 3),
+                gb.depth.reshape(band_h, width),
+                gb.instance.reshape(band_h, width),
+                stats)
+
+    color, depth, inst, stats = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        # scan carries inside the tracers are initialized from replicated
+        # constants but become device-varying; skip the vma check
+        check_vma=False,
+    )(scene, frame, cascades, key)
+    return {"color": color, "depth": depth, "instance_id": inst,
+            "stats": stats}

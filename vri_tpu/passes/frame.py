@@ -124,6 +124,75 @@ def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
     return 1.0 - blocked.reshape(n, L).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "mode",
+                                             "config", "backend", "samples"))
+def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
+                    cascades, key, *, height: int, width: int,
+                    config, mode: int = DebugMode.NONE,
+                    backend: str = "raster", samples: int = 1
+                    ) -> Dict[str, jnp.ndarray]:
+    """Full frame with the SDF-driven lightloop (BASELINE config 4):
+    visibility -> G-buffer resolve -> direct + 1-bounce GI, or the
+    Brixelizer-style SDF debug resolve (reference debug visualization,
+    RenderPass.cpp:954-976)."""
+    from vri_tpu.ops import gi as gi_mod
+    from vri_tpu.ops import sdf_trace
+
+    world_verts = bake_world(scene)
+    origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
+                                       height, width)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+
+    if mode >= DebugMode.SDF_DISTANCE:
+        # ray-march the cascades directly (debug visualization pass)
+        rec = sdf_trace.march(cascades, o, d, t_max=frame.far, config=config)
+        color = gi_mod.sdf_debug_color(mode, rec, cascades, config)
+        return {"color": color.reshape(height, width, 3),
+                "depth": rec.t.reshape(height, width)}
+
+    if backend == "raster":
+        from vri_tpu.ops import rasterize as raster_mod
+
+        hit, _ = raster_mod.rasterize(
+            world_verts, scene.tri_vertices, scene.num_faces,
+            frame.view_proj, height=height, width=width)
+    elif backend == "bvh":
+        from vri_tpu.ops import trace as trace_mod
+
+        hit = trace_mod.trace_scene(scene, world_verts, o, d)
+    else:
+        hit = _visibility_brute(scene, world_verts, o, d)
+
+    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d)
+    t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
+    gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
+
+    if mode == DebugMode.NONE:
+        color = gi_mod.lightloop(gb, scene, cascades, key, config=config,
+                                 samples=samples)
+    else:
+        color = shading.debug_color(mode, gb)
+
+    return {
+        "color": color.reshape(height, width, color.shape[-1]),
+        "depth": gb.depth.reshape(height, width),
+        "instance_id": gb.instance.reshape(height, width),
+        "normal": gb.normal.reshape(height, width, 3),
+        "albedo": gb.albedo.reshape(height, width, 3),
+    }
+
+
+@jax.jit
+def accumulate(prev_color: jnp.ndarray, prev_count: jnp.ndarray,
+               new_color: jnp.ndarray):
+    """Temporal/progressive accumulation (running mean).  The reference has
+    no temporal pass (single raster frame); progressive GI needs one."""
+    count = prev_count + 1.0
+    color = prev_color + (new_color - prev_color) / count
+    return color, count
+
+
 def render_to_numpy(scene: SceneBuffers, camera: CameraState,
                     config: RenderConfig, mode: int = DebugMode.NONE,
                     shadows: bool = True,

@@ -1,0 +1,150 @@
+"""High-level renderer facade.
+
+Plays the role of the reference's application wiring: RenderContext +
+HdxTaskController + the Dispatch frame loop (Source/Main.cpp:110-165,298;
+Source/RenderContext.cpp:273-377).  Owns the delegate, decides when the SDF
+cascades need a rebuild (the reference rebuilds its acceleration structure
+when the registry commits and re-centers it on the camera every frame,
+Source/RenderPass.cpp:915-916,934-936), and runs progressive accumulation.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vri_tpu.config import DebugMode, RenderConfig
+from vri_tpu.hydra.camera import CameraState, FreeCamera
+from vri_tpu.hydra.delegate import RenderDelegate
+from vri_tpu.ops import sdf as sdf_mod
+from vri_tpu.passes import frame as frame_mod
+from vri_tpu.registry import SceneBuffers, bake_world
+from vri_tpu.usd.stage import Stage
+
+log = logging.getLogger("vri_tpu")
+
+
+class Renderer:
+    def __init__(self, config: Optional[RenderConfig] = None):
+        self.config = config or RenderConfig()
+        self.delegate = RenderDelegate(self.config)
+        self.scene: Optional[SceneBuffers] = None
+        self.cascades = None
+        self._cascade_focus = None
+        self._scene_version = -1
+        self._sync_count = 0
+        self.frame_index = 0
+
+    # -- scene --------------------------------------------------------------
+
+    def load_stage(self, stage_or_path) -> None:
+        stage = (stage_or_path if isinstance(stage_or_path, Stage)
+                 else Stage.open(stage_or_path))
+        self.delegate.populate(stage)
+        self.sync()
+
+    def sync(self) -> SceneBuffers:
+        """Sync dirty prims (Hydra sync phase analog)."""
+        dirty = self.delegate.tracker.any_dirty
+        self.scene = self.delegate.sync()
+        if dirty:
+            self._sync_count += 1
+        return self.scene
+
+    @property
+    def camera(self) -> Optional[CameraState]:
+        return self.delegate.camera
+
+    # -- SDF cascade management ----------------------------------------------
+
+    def ensure_cascades(self, eye=None, focus=None, force: bool = False):
+        """(Re)build cascades when geometry changed or the focus moved more
+        than one coarse voxel (clipmap recenter)."""
+        assert self.scene is not None
+        cfg = self.config.sdf
+        if focus is None:
+            # reference recenters on the view position (RenderPass.cpp:934);
+            # we additionally clamp into the scene AABB so a camera parked
+            # outside the stage never scrolls the clipmap off the geometry
+            if eye is None:
+                eye = (self.camera.eye if self.camera is not None
+                       else np.zeros(3, np.float32))
+            ni = max(int(self.scene.num_instances), 1)
+            lo = np.asarray(self.scene.instance_aabb_lo)[:ni].min(0)
+            hi = np.asarray(self.scene.instance_aabb_hi)[:ni].max(0)
+            focus = np.clip(np.asarray(eye, np.float32), lo, hi)
+        focus = np.asarray(focus, np.float32)
+        coarse = cfg.voxel_size(cfg.num_cascades - 1)
+        moved = (self._cascade_focus is None
+                 or np.abs(focus - self._cascade_focus).max() > coarse)
+        stale = self._scene_version != self._sync_count
+        if force or self.cascades is None or moved or stale:
+            t0 = time.perf_counter()
+            world = bake_world(self.scene)
+            self.cascades = sdf_mod.build_for_scene(
+                self.scene, world, focus=focus, config=cfg)
+            self._cascade_focus = focus
+            self._scene_version = self._sync_count
+            log.info("SDF cascades rebuilt in %.1f ms (%d bricks, %d overflow)",
+                     1e3 * (time.perf_counter() - t0),
+                     int(self.cascades.num_bricks),
+                     int(self.cascades.overflow))
+        return self.cascades
+
+    # -- frames ---------------------------------------------------------------
+
+    def render(self, camera: Optional[CameraState] = None,
+               mode: int = DebugMode.NONE, gi: bool = True,
+               samples: int = 1, backend: str = "raster",
+               to_numpy: bool = True) -> Dict[str, np.ndarray]:
+        assert self.scene is not None, "load_stage() first"
+        cam = camera or self.camera
+        assert cam is not None, "no camera"
+        fp = frame_mod.FrameParams.from_camera(cam)
+        h, w = self.config.height, self.config.width
+        if gi or mode >= DebugMode.SDF_DISTANCE:
+            cascades = self.ensure_cascades(eye=cam.eye)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), self.frame_index)
+            aovs = frame_mod.render_frame_gi(
+                self.scene, fp, cascades, key, height=h, width=w,
+                config=self.config.sdf, mode=mode, backend=backend,
+                samples=samples)
+        else:
+            aovs = frame_mod.render_frame(self.scene, fp, height=h, width=w,
+                                          mode=mode, shadows=True,
+                                          backend=backend)
+        self.frame_index += 1
+        if to_numpy:
+            return {k: np.asarray(v) for k, v in aovs.items()}
+        return aovs
+
+    def render_progressive(self, n_frames: int,
+                           camera: Optional[CameraState] = None,
+                           samples: int = 1,
+                           backend: str = "raster") -> np.ndarray:
+        """Accumulate n GI frames (fixed camera) into a running mean."""
+        color = None
+        count = jnp.zeros(())
+        for _ in range(n_frames):
+            aovs = self.render(camera=camera, gi=True, samples=samples,
+                               backend=backend, to_numpy=False)
+            if color is None:
+                color = jnp.zeros_like(aovs["color"])
+            color, count = frame_mod.accumulate(color, count, aovs["color"])
+        return np.asarray(color)
+
+    def render_flythrough(self, n_frames: int, free_cam: FreeCamera,
+                          dt: float = 1.0 / 30.0, gi: bool = True,
+                          backend: str = "raster"):
+        """Scripted camera path (the headless FreeCamera loop)."""
+        aspect = self.config.width / self.config.height
+        frames = []
+        for i in range(n_frames):
+            cam = free_cam.at_time(i * dt, aspect)
+            frames.append(self.render(camera=cam, gi=gi, backend=backend))
+        return frames
