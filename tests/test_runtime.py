@@ -1,0 +1,170 @@
+"""Native runtime library, scene cache, profiler, CLI app tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vri_tpu.config import RenderConfig
+from vri_tpu.hydra import RenderDelegate
+from vri_tpu.hydra import meshutil
+from vri_tpu.runtime import cache, native, profiler
+from vri_tpu.usd import scenes
+
+
+class TestNative:
+    def test_available_after_build(self):
+        assert native.ensure_built()
+        assert native.available()
+
+    def test_triangulate_matches_numpy(self, rng):
+        for _ in range(5):
+            counts = rng.integers(3, 8, size=20).astype(np.int32)
+            indices = np.arange(counts.sum(), dtype=np.int32)
+            rng.shuffle(indices)
+            t_n, f_n, c_n = native.triangulate(counts, indices)
+            t_p, f_p, c_p = meshutil.triangulate(counts, indices)
+            np.testing.assert_array_equal(t_n, t_p)
+            np.testing.assert_array_equal(f_n, f_p)
+            np.testing.assert_array_equal(c_n, c_p)
+
+    def test_dedup(self):
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 0, 0], [1, 0, 0],
+                        [2, 2, 2]], np.float32)
+        remap, out = native.dedup_vertices(pos)
+        assert len(out) == 3
+        np.testing.assert_array_equal(remap, [0, 1, 0, 1, 2])
+        np.testing.assert_allclose(out[remap], pos)
+
+    def test_dedup_tolerance(self):
+        pos = np.array([[0, 0, 0], [1e-4, 0, 0], [0.5, 0, 0]], np.float32)
+        remap, out = native.dedup_vertices(pos, tolerance=1e-2)
+        assert len(out) == 2
+        assert remap[0] == remap[1] != remap[2]
+
+    def test_quantize_roundtrip(self, rng):
+        pos = rng.normal(size=(256, 3)).astype(np.float32) * 5
+        q, aabb = native.quantize_positions(pos)
+        back = native.dequantize_positions(q, aabb)
+        scale = (aabb[1] - aabb[0]).max()
+        np.testing.assert_allclose(back, pos, atol=scale / 65535.0 * 1.01)
+
+    def test_morton_matches_jax(self, rng):
+        pts = rng.random((128, 3)).astype(np.float32)
+        import jax.numpy as jnp
+
+        from vri_tpu.ops import bvh
+
+        nat = native.morton3d(pts)
+        ref = np.asarray(bvh.morton3d(jnp.asarray(pts)))
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_dedup_in_sync_pipeline(self):
+        cfg = RenderConfig(width=32, height=32, dedup_vertices=True)
+        d = RenderDelegate(cfg)
+        d.populate(scenes.cornell_box())
+        scene = d.sync()
+        # box meshes authored with 8 unique corners (indexed quads) keep 8;
+        # total vertex count unchanged for this stage but render must match
+        d2 = RenderDelegate(RenderConfig(width=32, height=32))
+        d2.populate(scenes.cornell_box())
+        scene2 = d2.sync()
+        assert int(scene.num_vertices) <= int(scene2.num_vertices)
+        from vri_tpu.passes import FrameParams, render_frame
+
+        a = render_frame(scene, FrameParams.from_camera(d.camera),
+                         height=32, width=32, shadows=False, backend="brute")
+        b = render_frame(scene2, FrameParams.from_camera(d2.camera),
+                         height=32, width=32, shadows=False, backend="brute")
+        np.testing.assert_allclose(np.asarray(a["color"]),
+                                   np.asarray(b["color"]), atol=1e-4)
+
+
+class TestSceneCache:
+    def test_roundtrip_renders_identically(self, tmp_path):
+        cfg = RenderConfig(width=48, height=48)
+        d = RenderDelegate(cfg)
+        d.populate(scenes.cornell_box())
+        scene = d.sync()
+
+        p = str(tmp_path / "scene.npz")
+        cache.save_scene_cache(d.registry, p)
+        assert os.path.exists(p)
+
+        d2 = RenderDelegate(cfg)
+        cache.load_scene_cache(d2.registry, p)
+        scene2 = d2.registry.commit()
+        assert int(scene2.num_faces) == int(scene.num_faces)
+        assert int(scene2.num_instances) == int(scene.num_instances)
+        assert int(scene2.num_lights) == int(scene.num_lights)
+
+        from vri_tpu.passes import FrameParams, render_frame
+
+        fp = FrameParams.from_camera(d.camera)
+        a = render_frame(scene, fp, height=48, width=48, shadows=False,
+                         backend="brute")
+        b = render_frame(scene2, fp, height=48, width=48, shadows=False,
+                         backend="brute")
+        same = np.asarray(a["instance_id"]) == np.asarray(b["instance_id"])
+        assert same.mean() > 0.995  # quantization may flip edge pixels
+        np.testing.assert_allclose(np.asarray(a["color"])[same],
+                                   np.asarray(b["color"])[same],
+                                   atol=5e-2, rtol=2e-2)
+
+    def test_version_check(self, tmp_path):
+        cfg = RenderConfig(width=16, height=16)
+        d = RenderDelegate(cfg)
+        d.populate(scenes.cornell_box())
+        d.sync()
+        p = str(tmp_path / "scene.npz")
+        cache.save_scene_cache(d.registry, p)
+        cache._FORMAT_VERSION += 1
+        try:
+            with pytest.raises(ValueError):
+                cache.load_scene_cache(ResourceRegistryStub(), p)
+        finally:
+            cache._FORMAT_VERSION -= 1
+
+
+class ResourceRegistryStub:
+    pass
+
+
+class TestProfiler:
+    def test_span_and_stats(self):
+        with profiler.span("test", log_ms=True):
+            pass
+        fs = profiler.FrameStats()
+        fs.tick()
+        fs.tick()
+        assert fs.fps > 0
+        assert "fps" in fs.summary()
+        assert isinstance(profiler.device_memory_stats(), dict)
+
+
+class TestApp:
+    def test_cli_renders_frames(self, tmp_path):
+        from vri_tpu import app
+
+        out = str(tmp_path / "frames")
+        rc = app.main(["--builtin", "cornell", "--width", "32", "--height",
+                       "32", "--frames", "1", "--no-gi", "--backend",
+                       "brute", "--out", out])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "frame_0000.png"))
+
+    def test_cli_debug_mode_and_cache(self, tmp_path):
+        from vri_tpu import app
+
+        out = str(tmp_path / "frames")
+        cache_path = str(tmp_path / "scene.npz")
+        rc = app.main(["--builtin", "cornell", "--width", "32", "--height",
+                       "32", "--frames", "1", "--mode", "mesh_id", "--no-gi",
+                       "--backend", "brute", "--out", out,
+                       "--cache", cache_path])
+        assert rc == 0 and os.path.exists(cache_path)
+        # second run resumes from cache (camera comes from orbit fallback)
+        rc = app.main(["--width", "32", "--height", "32", "--frames", "1",
+                       "--no-gi", "--backend", "brute", "--out", out,
+                       "--cache", cache_path, "--orbit"])
+        assert rc == 0

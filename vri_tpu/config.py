@@ -101,6 +101,9 @@ class RenderConfig:
     coarse_bin: int = 64              # coarse bin edge in pixels
     supersample: int = 1
     dtype: str = "float32"
+    # meshoptimizer-style preprocessing: weld duplicate vertices at sync
+    # (the pass the reference vendors but never calls, RenderPass.cpp:1017)
+    dedup_vertices: bool = False
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     sdf: SDFConfig = dataclasses.field(default_factory=SDFConfig)
 

@@ -144,7 +144,13 @@ class RenderDelegate:
         points = np.asarray(prim.get("points", ()), np.float32).reshape(-1, 3)
         counts = np.asarray(prim.get("faceVertexCounts", ()), np.int64).reshape(-1)
         indices = np.asarray(prim.get("faceVertexIndices", ()), np.int64).reshape(-1)
-        tris, tri_face, tri_corners = meshutil.triangulate(counts, indices)
+        # native fast path (falls back to hydra.meshutil when the .so is absent)
+        from vri_tpu.runtime import native
+
+        tris, tri_face, tri_corners = native.triangulate(counts, indices)
+        if self.config.dedup_vertices and len(points):
+            remap, points = native.dedup_vertices(points)
+            tris = remap[tris]
         st_attr = prim.attributes.get("primvars:st")
         if st_attr is not None and st_attr.value is not None:
             uvs = meshutil.expand_primvar(

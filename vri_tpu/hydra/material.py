@@ -45,14 +45,17 @@ class MaterialDesc:
 
 
 def _find_surface_shader(stage: Stage, material: Prim) -> Optional[Prim]:
-    """Follow ``outputs:surface.connect`` to the surface shader prim
-    (reference: surface-terminal search, Source/Material.cpp:191-199)."""
-    out = material.attributes.get("outputs:surface")
-    if out is not None and out.connect:
-        target = out.connect.split(".")[0]
-        prim = stage.prim_at_path(target)
-        if prim is not None:
-            return prim
+    """Follow the surface terminal to the shader prim (reference:
+    surface-terminal search over the flattened network,
+    Source/Material.cpp:191-199; the reference declares the ``mtlx``
+    material render context, Include/RenderDelegate.h:53)."""
+    for terminal in ("outputs:surface", "outputs:mtlx:surface"):
+        out = material.attributes.get(terminal)
+        if out is not None and out.connect:
+            target = out.connect.split(".")[0]
+            prim = stage.prim_at_path(target)
+            if prim is not None:
+                return prim
     # fallback: first Shader child with an info:id
     for c in material.children:
         if c.type_name == "Shader" and c.get("info:id"):
@@ -60,23 +63,50 @@ def _find_surface_shader(stage: Stage, material: Prim) -> Optional[Prim]:
     return None
 
 
-def _resolve_input(stage: Stage, shader: Prim, name: str, default):
-    """Resolve a shader input, following one level of ``.connect`` into a
-    UsdUVTexture node (reference: recursive single-parameter resolution,
-    ``TryGetSingleParameterForInput``, Source/Material.cpp:46-70).
+# MaterialX standard_surface vs UsdPreviewSurface input naming (reference
+# tracks the standard-surface names at Include/Material.h:13-16)
+_INPUT_ALIASES = {
+    "diffuseColor": ("diffuseColor", "base_color", "color"),
+    "emissiveColor": ("emissiveColor", "emission_color"),
+    "roughness": ("roughness", "specular_roughness"),
+    "metallic": ("metallic", "metalness"),
+}
+
+_TEXTURE_NODE_IDS = ("UsdUVTexture", "ND_image_color3", "ND_image_color4",
+                     "ND_tiledimage_color3")
+
+
+def _resolve_input(stage: Stage, shader: Prim, name: str, default,
+                   _depth: int = 0):
+    """Resolve a shader input, following ``.connect`` chains into texture
+    nodes (reference: recursive single-parameter resolution,
+    ``TryGetSingleParameterForInput``, Source/Material.cpp:46-70).  Accepts
+    both UsdPreviewSurface and MaterialX standard_surface input names.
 
     Returns (value, texture_asset_path_or_None).
     """
-    a = shader.attributes.get(f"inputs:{name}")
+    a = None
+    for alias in _INPUT_ALIASES.get(name, (name,)):
+        a = shader.attributes.get(f"inputs:{alias}")
+        if a is not None:
+            break
     if a is None:
         return default, None
     tex_path = None
-    if a.connect:
+    if a.connect and _depth < 4:
         target = stage.prim_at_path(a.connect.split(".")[0])
-        if target is not None and str(target.get("info:id", "")) == "UsdUVTexture":
-            f = target.get("inputs:file")
-            if isinstance(f, AssetPath):
-                tex_path = stage.resolve_asset(f.path)
+        if target is not None:
+            node_id = str(target.get("info:id", ""))
+            if node_id in _TEXTURE_NODE_IDS:
+                f = target.get("inputs:file")
+                if isinstance(f, AssetPath):
+                    tex_path = stage.resolve_asset(f.path)
+            else:
+                # pass-through node (e.g. color correct): keep following
+                v, tex_path = _resolve_input(stage, target, "in", None,
+                                             _depth + 1)
+                if v is not None:
+                    return v, tex_path
     value = a.value if a.value is not None else default
     return value, tex_path
 

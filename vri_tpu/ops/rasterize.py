@@ -142,11 +142,12 @@ def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
     return data, bbox, c
 
 
-def _raster_kernel(tri_ref, bbox_ref, z_out, tri_out, u_out, v_out, *,
+def _raster_kernel(overlap_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
                    tile_h: int, tile_w: int, tri_chunk: int,
-                   num_chunks: int):
+                   num_chunks: int, num_tx: int):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    tile_id = ti * num_tx + tj
     p = tile_h * tile_w
     y0 = (ti * tile_h).astype(jnp.float32)
     x0 = (tj * tile_w).astype(jnp.float32)
@@ -157,12 +158,11 @@ def _raster_kernel(tri_ref, bbox_ref, z_out, tri_out, u_out, v_out, *,
 
     def chunk_body(c, carry):
         def compute(carry):
-            best_z, best_tri, best_u, best_v = carry
+            best_z, best_tri, best_l1, best_l2, best_w = carry
             d = tri_ref[c]                                    # (16, TC)
             ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
             ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
             az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
-            aw, bw, cw = d[9][None, :], d[10][None, :], d[11][None, :]
             # edge functions (signed areas) at pixel centers
             e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
             e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
@@ -170,50 +170,57 @@ def _raster_kernel(tri_ref, bbox_ref, z_out, tri_out, u_out, v_out, *,
             area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
             inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
                      ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
-            inv_area = 1.0 / area
-            l0 = e0 * inv_area
+            inv_area = 1.0 / area                             # (1, TC)
             l1 = e1 * inv_area
             l2 = e2 * inv_area
-            z = l0 * az + l1 * bz + l2 * cz
+            z = (az + l1 * (bz - az) + l2 * (cz - az))
             ok = inside & (z >= 0.0) & (z <= 1.0)
-            zm = jnp.where(ok, z, _BIG)
+            zm = jnp.where(ok, z, 3.0e38)
             # nearest triangle in chunk, lowest index wins ties
             z_best = jnp.min(zm, axis=-1, keepdims=True)      # (P, 1)
             is_best = (zm == z_best) & ok
             k = jnp.min(jnp.where(is_best, lane, jnp.int32(2**30)), axis=-1,
                         keepdims=True)
             sel = lane == k                                    # one-hot (P, TC)
-            # perspective-correct barycentrics (Barycentric.hlsl approach)
-            p0 = l0 * aw
-            p1 = l1 * bw
-            p2 = l2 * cw
-            psum_inv = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
-            uu = jnp.sum(jnp.where(sel, p1 * psum_inv, 0.0), axis=-1,
-                         keepdims=True)
-            vv = jnp.sum(jnp.where(sel, p2 * psum_inv, 0.0), axis=-1,
-                         keepdims=True)
+            # select the winner's attributes; the perspective divide happens
+            # once per pixel at the end of the frame, not per (pixel, tri)
+            pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=-1,
+                                     keepdims=True)
+            l1s, l2s = pick(l1), pick(l2)
+            aw, bw, cw = d[9][None, :], d[10][None, :], d[11][None, :]
+            w0, w1, w2 = pick(aw), pick(bw), pick(cw)
             closer = z_best < best_z
             tri_id = c * tri_chunk + k
+            pack_w = jnp.concatenate([w0, w1, w2], axis=-1)   # (P, 3)
             return (jnp.where(closer, z_best, best_z),
                     jnp.where(closer, tri_id, best_tri),
-                    jnp.where(closer, uu, best_u),
-                    jnp.where(closer, vv, best_v))
+                    jnp.where(closer, l1s, best_l1),
+                    jnp.where(closer, l2s, best_l2),
+                    jnp.where(closer, pack_w, best_w))
 
-        # coarse cull: skip chunks whose screen AABB misses this tile
-        overlap = ((bbox_ref[c, 0] <= x0 + tile_w) & (bbox_ref[c, 1] >= x0)
-                   & (bbox_ref[c, 2] <= y0 + tile_h) & (bbox_ref[c, 3] >= y0))
-        return jax.lax.cond(overlap, compute, lambda cr: cr, carry)
+        word = overlap_ref[tile_id, c // 32]
+        bit = (word >> (c % 32)) & 1
+        return jax.lax.cond(bit != 0, compute, lambda cr: cr, carry)
 
-    init = (jnp.full((p, 1), _BIG, jnp.float32),
+    init = (jnp.full((p, 1), 3.0e38, jnp.float32),
             jnp.full((p, 1), -1, jnp.int32),
             jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32))
-    best_z, best_tri, best_u, best_v = jax.lax.fori_loop(
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 3), jnp.float32))
+    best_z, best_tri, best_l1, best_l2, best_w = jax.lax.fori_loop(
         0, num_chunks, chunk_body, init)
+    # perspective-correct barycentrics from screen-space weights + 1/w
+    # (Barycentric.hlsl approach), one divide per pixel
+    l1, l2 = best_l1[:, 0], best_l2[:, 0]
+    l0 = 1.0 - l1 - l2
+    p0 = l0 * best_w[:, 0]
+    p1 = l1 * best_w[:, 1]
+    p2 = l2 * best_w[:, 2]
+    inv = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
     z_out[:, :] = best_z.reshape(tile_h, tile_w)
     tri_out[:, :] = best_tri.reshape(tile_h, tile_w)
-    u_out[:, :] = best_u.reshape(tile_h, tile_w)
-    v_out[:, :] = best_v.reshape(tile_h, tile_w)
+    u_out[:, :] = (p1 * inv).reshape(tile_h, tile_w)
+    v_out[:, :] = (p2 * inv).reshape(tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -242,6 +249,24 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     data, bbox, num_chunks = _pack_chunks(tx, ty, tz, tw, valid, tri_chunk)
 
     grid = (hp // tile_h, wp // tile_w)
+    # per-(tile, chunk) overlap mask, computed as one small XLA op and packed
+    # into per-tile int32 bitmask words in SMEM — the kernel's lax.cond skips
+    # non-overlapping chunks entirely
+    ty_ids = jnp.arange(grid[0], dtype=jnp.float32) * tile_h
+    tx_ids = jnp.arange(grid[1], dtype=jnp.float32) * tile_w
+    ov_x = ((bbox[None, :, 0] <= tx_ids[:, None] + tile_w)
+            & (bbox[None, :, 1] >= tx_ids[:, None]))        # (TX, C)
+    ov_y = ((bbox[None, :, 2] <= ty_ids[:, None] + tile_h)
+            & (bbox[None, :, 3] >= ty_ids[:, None]))        # (TY, C)
+    overlap = (ov_y[:, None, :] & ov_x[None, :, :])         # (TY, TX, C)
+    n_words = (num_chunks + 31) // 32
+    pad_c = n_words * 32 - num_chunks
+    if pad_c:
+        overlap = jnp.concatenate(
+            [overlap, jnp.zeros(overlap.shape[:2] + (pad_c,), bool)], -1)
+    bits = overlap.reshape(grid[0] * grid[1], n_words, 32).astype(jnp.uint32)
+    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :])        .sum(-1).astype(jnp.int32)                          # (tiles, W)
+
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),
@@ -251,12 +276,12 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # overlap words (tiles, W)
         pl.BlockSpec(memory_space=pltpu.VMEM),   # tri data (C, 16, TC)
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # bbox (C, 4)
     ]
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tri_chunk,
-        num_chunks=num_chunks)
+        num_chunks=num_chunks, num_tx=grid[1])
     z, tri, u, v = pl.pallas_call(
         kernel,
         grid=grid,
@@ -264,7 +289,7 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(data, bbox)
+    )(words, data)
 
     z = z[:height, :width]
     tri = tri[:height, :width].reshape(-1)

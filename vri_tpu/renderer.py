@@ -48,6 +48,22 @@ class Renderer:
         self.delegate.populate(stage)
         self.sync()
 
+    def save_cache(self, path: str) -> None:
+        """Persist the synced scene (checkpoint; see runtime/cache.py)."""
+        from vri_tpu.runtime import cache
+
+        cache.save_scene_cache(self.delegate.registry, path)
+
+    def load_cache(self, path: str, camera=None) -> None:
+        """Resume from a scene cache without parsing USD."""
+        from vri_tpu.runtime import cache
+
+        cache.load_scene_cache(self.delegate.registry, path)
+        self.scene = self.delegate.registry.commit()
+        self._sync_count += 1
+        if camera is not None:
+            self.delegate.camera = camera
+
     def sync(self) -> SceneBuffers:
         """Sync dirty prims (Hydra sync phase analog)."""
         dirty = self.delegate.tracker.any_dirty

@@ -1,0 +1,175 @@
+"""ctypes bindings for the native host runtime (native/libvri_native.so).
+
+The native library covers the host-side ingest hot loops the reference
+performs in C++ (triangulation via HdMeshUtil, meshoptimizer-style vertex
+dedup/quantization, Morton ordering, arena allocation).  Every entry point
+has a numpy fallback so the framework works without the .so; ``ensure_built``
+compiles it on demand with make/g++ (build takes ~2s).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("vri_tpu")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvri_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Build the native library if missing. Returns True when available."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:  # noqa: BLE001
+        log.warning("native build failed (%s); using numpy fallbacks", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not ensure_built():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        log.warning("native load failed (%s); using numpy fallbacks", e)
+        _load_failed = True
+        return None
+    i64, i32p, f32p = ctypes.c_int64, \
+        np.ctypeslib.ndpointer(np.int32, flags="C"), \
+        np.ctypeslib.ndpointer(np.float32, flags="C")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+    lib.vri_abi_version.restype = ctypes.c_int32
+    lib.vri_triangulate_count.restype = i64
+    lib.vri_triangulate_count.argtypes = [i32p, i64]
+    lib.vri_triangulate.restype = i64
+    lib.vri_triangulate.argtypes = [i32p, i64, i32p, i64, i32p, i32p, i32p]
+    lib.vri_dedup_vertices.restype = i64
+    lib.vri_dedup_vertices.argtypes = [f32p, i64, ctypes.c_float, i32p, f32p]
+    lib.vri_quantize_positions.argtypes = [f32p, i64, u16p, f32p]
+    lib.vri_dequantize_positions.argtypes = [u16p, i64, f32p, f32p]
+    lib.vri_morton3d.argtypes = [f32p, i64, u32p]
+    if lib.vri_abi_version() != 1:
+        log.warning("native ABI mismatch; using numpy fallbacks")
+        _load_failed = True
+        return None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# API (native with numpy fallback)
+# ---------------------------------------------------------------------------
+
+def triangulate(counts: np.ndarray, indices: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fan triangulation; same contract as hydra.meshutil.triangulate."""
+    lib = _load()
+    counts = np.ascontiguousarray(counts, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    if lib is None:
+        from vri_tpu.hydra import meshutil
+
+        return meshutil.triangulate(counts, indices)
+    t = lib.vri_triangulate_count(counts, len(counts))
+    tris = np.empty((t, 3), np.int32)
+    face = np.empty((t,), np.int32)
+    corners = np.empty((t, 3), np.int32)
+    lib.vri_triangulate(counts, len(counts), indices, len(indices),
+                        tris, face, corners)
+    return tris, face, corners
+
+
+def dedup_vertices(positions: np.ndarray, tolerance: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Weld duplicate vertices. Returns (remap (n,), positions (m,3))."""
+    positions = np.ascontiguousarray(positions, np.float32)
+    n = len(positions)
+    lib = _load()
+    if lib is None:
+        if tolerance > 0:
+            key = np.round(positions / tolerance).astype(np.int64)
+        else:
+            key = positions.view(np.int32).astype(np.int64)
+        _, first, remap = np.unique(key, axis=0, return_index=True,
+                                    return_inverse=True)
+        # renumber in order of first appearance (match native semantics)
+        order = np.argsort(first, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        remap = rank[remap].astype(np.int32)
+        out = positions[np.sort(first)]
+        return remap, out
+    remap = np.empty((n,), np.int32)
+    out = np.empty((n, 3), np.float32)
+    m = lib.vri_dedup_vertices(positions, n, ctypes.c_float(tolerance),
+                               remap, out)
+    return remap, out[:m].copy()
+
+
+def quantize_positions(positions: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """uint16-quantize positions over their AABB -> (q (n,3) u16, aabb (2,3))."""
+    positions = np.ascontiguousarray(positions, np.float32)
+    n = len(positions)
+    lib = _load()
+    if lib is None:
+        lo = positions.min(0) if n else np.zeros(3, np.float32)
+        hi = positions.max(0) if n else np.zeros(3, np.float32)
+        ext = np.where(hi - lo > 0, hi - lo, 1.0)
+        q = np.clip(np.round((positions - lo) / ext * 65535.0), 0, 65535)
+        return q.astype(np.uint16), np.stack([lo, hi]).astype(np.float32)
+    q = np.empty((n, 3), np.uint16)
+    aabb = np.empty((6,), np.float32)
+    lib.vri_quantize_positions(positions, n, q, aabb)
+    return q, aabb.reshape(2, 3).copy()
+
+
+def dequantize_positions(q: np.ndarray, aabb: np.ndarray) -> np.ndarray:
+    q = np.ascontiguousarray(q, np.uint16)
+    aabb = np.ascontiguousarray(aabb, np.float32).reshape(2, 3)
+    lib = _load()
+    if lib is None:
+        lo, hi = aabb[0], aabb[1]
+        return (lo + (q.astype(np.float32) / 65535.0) * (hi - lo)).astype(
+            np.float32)
+    out = np.empty((len(q), 3), np.float32)
+    lib.vri_dequantize_positions(q, len(q), aabb.reshape(-1), out)
+    return out
+
+
+def morton3d(points01: np.ndarray) -> np.ndarray:
+    points01 = np.ascontiguousarray(points01, np.float32)
+    lib = _load()
+    if lib is None:
+        import jax.numpy as jnp
+
+        from vri_tpu.ops import bvh
+
+        return np.asarray(bvh.morton3d(jnp.asarray(points01)))
+    out = np.empty((len(points01),), np.uint32)
+    lib.vri_morton3d(points01, len(points01), out)
+    return out
