@@ -1,0 +1,126 @@
+"""Mip pyramid + trilinear/ray-cone LOD sampling tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vri_tpu.ops import texture
+
+
+def checker(res=64, cells=8):
+    y, x = np.mgrid[0:res, 0:res]
+    c = (((x * cells // res) + (y * cells // res)) % 2).astype(np.float32)
+    return np.stack([c, c, c], -1)[None]  # (1, res, res, 3)
+
+
+class TestMipAtlas:
+    def test_chain_shapes_and_means(self):
+        tex = jnp.asarray(checker(64))
+        atlas = texture.build_mip_atlas(tex)
+        sizes = np.asarray(atlas.sizes)
+        np.testing.assert_array_equal(sizes, [64, 32, 16, 8, 4, 2, 1])
+        # every level preserves the mean (box filter)
+        offs = np.asarray(atlas.offsets)
+        flat = np.asarray(atlas.flat)[0]
+        for o, s in zip(offs, sizes):
+            lvl = flat[o:o + s * s]
+            np.testing.assert_allclose(lvl.mean(), 0.5, atol=1e-6)
+
+    def test_level0_matches_source(self):
+        tex = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 3))
+                          .astype(np.float32))
+        atlas = texture.build_mip_atlas(tex)
+        uv = jnp.asarray([[(i + 0.5) / 16, 1.0 - (j + 0.5) / 16]
+                          for j in range(4) for i in range(4)], jnp.float32)
+        slot = jnp.ones((16,), jnp.int32)
+        out = texture.sample_trilinear(atlas, slot, uv,
+                                       jnp.zeros((16,)))
+        expect = np.asarray(tex)[1, np.repeat(np.arange(4), 4) % 16,
+                                 np.tile(np.arange(4), 4)]
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+    def test_high_lod_converges_to_mean(self):
+        tex = jnp.asarray(checker(64))
+        atlas = texture.build_mip_atlas(tex)
+        uv = jnp.asarray([[0.3, 0.7]], jnp.float32)
+        slot = jnp.zeros((1,), jnp.int32)
+        hi = texture.sample_trilinear(atlas, slot, uv, jnp.asarray([6.0]))
+        np.testing.assert_allclose(np.asarray(hi)[0], 0.5, atol=1e-5)
+        lo = texture.sample_trilinear(atlas, slot, uv, jnp.asarray([0.0]))
+        # level 0 of a checker is mostly 0 or 1 at cell centers
+        assert abs(float(lo[0, 0]) - 0.5) > 0.2
+
+    def test_lod_monotonic_with_distance(self):
+        density = jnp.asarray([128.0, 128.0])
+        lod_near = texture.ray_cone_lod(jnp.asarray([1.0, 1.0]),
+                                        jnp.ones(2), density, 0.01)
+        lod_far = texture.ray_cone_lod(jnp.asarray([10.0, 10.0]),
+                                       jnp.ones(2), density, 0.01)
+        assert (np.asarray(lod_far) > np.asarray(lod_near)).all()
+
+    def test_texel_density(self):
+        # unit-square quad triangle with uv spanning [0,1]: density = res
+        p0 = jnp.asarray([0.0, 0, 0])
+        p1 = jnp.asarray([1.0, 0, 0])
+        p2 = jnp.asarray([0.0, 1, 0])
+        uv0 = jnp.asarray([0.0, 0])
+        uv1 = jnp.asarray([1.0, 0])
+        uv2 = jnp.asarray([0.0, 1])
+        d = texture.triangle_texel_density(p0, p1, p2, uv0, uv1, uv2, 256)
+        np.testing.assert_allclose(float(d), 256.0, rtol=1e-5)
+
+
+class TestEndToEndMip:
+    def test_render_with_mips_still_correct(self, tmp_path):
+        """The textured-quad orientation test, now through the mip path."""
+        from PIL import Image
+
+        from vri_tpu.config import DebugMode, RenderConfig
+        from vri_tpu.hydra import RenderDelegate
+        from vri_tpu.passes import FrameParams, render_frame
+        from vri_tpu.usd import Stage
+
+        tex = np.zeros((64, 64, 3), np.uint8)
+        tex[:32, :32] = (255, 0, 0)
+        tex[32:, :32] = (0, 0, 255)
+        tex[:32, 32:] = (0, 255, 0)
+        tex[32:, 32:] = (255, 255, 0)
+        tp = tmp_path / "t.png"
+        Image.fromarray(tex).save(tp)
+        text = f'''#usda 1.0
+def Xform "W" {{
+    def Mesh "Q" {{
+        int[] faceVertexCounts = [4]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        point3f[] points = [(-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0)]
+        texCoord2f[] primvars:st = [(0, 0), (1, 0), (1, 1), (0, 1)] (interpolation = "faceVarying")
+        rel material:binding = </W/M>
+    }}
+    def Material "M" {{
+        token outputs:surface.connect = </W/M/S.outputs:surface>
+        def Shader "S" {{
+            uniform token info:id = "UsdPreviewSurface"
+            color3f inputs:diffuseColor.connect = </W/M/T.outputs:rgb>
+            color3f inputs:diffuseColor = (1, 1, 1)
+        }}
+        def Shader "T" {{
+            uniform token info:id = "UsdUVTexture"
+            asset inputs:file = @{tp}@
+        }}
+    }}
+    def Camera "C" {{
+        float3 vri:eye = (0, 0, 3)
+        float3 vri:target = (0, 0, 0)
+    }}
+}}
+'''
+        d = RenderDelegate(RenderConfig(width=64, height=64))
+        d.populate(Stage.from_string(text))
+        scene = d.sync()
+        fp = FrameParams.from_camera(d.camera, height=64)
+        assert float(fp.pixel_spread) > 0
+        aovs = render_frame(scene, fp, height=64, width=64,
+                            mode=DebugMode.ALBEDO)
+        c = np.asarray(aovs["color"])
+        assert c[16, 16, 0] > 0.4 and c[16, 16, 1] < 0.35, c[16, 16]
+        assert c[48, 16, 2] > 0.4, c[48, 16]
+        assert c[16, 48, 1] > 0.4, c[16, 48]

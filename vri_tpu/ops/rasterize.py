@@ -110,7 +110,8 @@ def _screen_morton_order(tx, ty, valid, height: int, width: int,
     # large -> key 0 block (front), normal -> morton+1, invalid -> back
     key = jnp.where(large, jnp.uint32(0), code + 1)
     key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
-    return jnp.argsort(key).astype(jnp.int32)
+    n_large = jnp.sum(large & valid).astype(jnp.int32)
+    return jnp.argsort(key).astype(jnp.int32), n_large
 
 
 def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
@@ -142,9 +143,10 @@ def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
     return data, bbox, c
 
 
-def _raster_kernel(overlap_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
+def _raster_kernel(nglobal_ref, ranges_ref, overlap_ref, tri_ref,
+                   z_out, tri_out, u_out, v_out, *,
                    tile_h: int, tile_w: int, tri_chunk: int,
-                   num_chunks: int, num_tx: int):
+                   num_chunks: int, num_tx: int, n_words: int):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_id = ti * num_tx + tj
@@ -198,8 +200,8 @@ def _raster_kernel(overlap_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
                     jnp.where(closer, l2s, best_l2),
                     jnp.where(closer, pack_w, best_w))
 
-        word = overlap_ref[tile_id, c // 32]
-        bit = (word >> (c % 32)) & 1
+        word = overlap_ref[tile_id * n_words + c // 32]
+        bit = jnp.reshape((word >> (c % 32)) & 1, ())
         return jax.lax.cond(bit != 0, compute, lambda cr: cr, carry)
 
     init = (jnp.full((p, 1), 3.0e38, jnp.float32),
@@ -207,8 +209,15 @@ def _raster_kernel(overlap_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 3), jnp.float32))
+    # two data-dependent loops: the global chunks (screen-spanning
+    # triangles, always walked) and this tile's local Morton chunk range —
+    # an empty tile runs zero iterations
+    n_glob = jnp.reshape(nglobal_ref[0], ())
+    carry = jax.lax.fori_loop(0, n_glob, chunk_body, init)
+    c_lo = jnp.reshape(ranges_ref[2 * tile_id], ())
+    c_hi = jnp.reshape(ranges_ref[2 * tile_id + 1], ())
     best_z, best_tri, best_l1, best_l2, best_w = jax.lax.fori_loop(
-        0, num_chunks, chunk_body, init)
+        c_lo, c_hi, chunk_body, carry)
     # perspective-correct barycentrics from screen-space weights + 1/w
     # (Barycentric.hlsl approach), one divide per pixel
     l1, l2 = best_l1[:, 0], best_l2[:, 0]
@@ -244,9 +253,11 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     tx, ty, tz, tw, valid = triangle_setup(
         world_verts, tri_vertices, num_faces, view_proj, height, width)
-    order = _screen_morton_order(tx, ty, valid, height, width)
+    order, n_large = _screen_morton_order(tx, ty, valid, height, width)
     tx, ty, tz, tw, valid = (a[order] for a in (tx, ty, tz, tw, valid))
     data, bbox, num_chunks = _pack_chunks(tx, ty, tz, tw, valid, tri_chunk)
+    n_global = jnp.minimum((n_large + tri_chunk - 1) // tri_chunk,
+                           num_chunks).astype(jnp.int32)
 
     grid = (hp // tile_h, wp // tile_w)
     # per-(tile, chunk) overlap mask, computed as one small XLA op and packed
@@ -259,6 +270,13 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     ov_y = ((bbox[None, :, 2] <= ty_ids[:, None] + tile_h)
             & (bbox[None, :, 3] >= ty_ids[:, None]))        # (TY, C)
     overlap = (ov_y[:, None, :] & ov_x[None, :, :])         # (TY, TX, C)
+    # per-tile [start, end) over local (non-global) chunks
+    cid = jnp.arange(num_chunks, dtype=jnp.int32)
+    local = overlap & (cid >= n_global)[None, None, :]
+    start = jnp.min(jnp.where(local, cid, jnp.int32(2**30)), axis=-1)
+    end = jnp.max(jnp.where(local, cid + 1, jnp.int32(0)), axis=-1)
+    start = jnp.minimum(start, end)
+    ranges = jnp.stack([start, end], -1).reshape(-1)        # (tiles*2,)
     n_words = (num_chunks + 31) // 32
     pad_c = n_words * 32 - num_chunks
     if pad_c:
@@ -276,12 +294,14 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # n_global (1,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # ranges (tiles, 2)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # overlap words (tiles, W)
         pl.BlockSpec(memory_space=pltpu.VMEM),   # tri data (C, 16, TC)
     ]
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tri_chunk,
-        num_chunks=num_chunks, num_tx=grid[1])
+        num_chunks=num_chunks, num_tx=grid[1], n_words=n_words)
     z, tri, u, v = pl.pallas_call(
         kernel,
         grid=grid,
@@ -289,7 +309,7 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(words, data)
+    )(n_global.reshape(1), ranges, words, data)
 
     z = z[:height, :width]
     tri = tri[:height, :width].reshape(-1)

@@ -70,10 +70,16 @@ def sample_texture_bilinear(textures: jnp.ndarray, slot: jnp.ndarray,
 
 def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
                     hit: HitRecord, origins: jnp.ndarray,
-                    dirs: jnp.ndarray) -> GBuffer:
+                    dirs: jnp.ndarray,
+                    pixel_spread: jnp.ndarray | float | None = None
+                    ) -> GBuffer:
     """Reconstruct surface attributes from visibility samples by indexed
     gathers into the packed pools (the reference's bindless fetch,
-    Debug.hlsl:38-57,94-144)."""
+    Debug.hlsl:38-57,94-144).
+
+    ``pixel_spread`` (2*tan(fov_y/2)/height) enables mip-mapped trilinear
+    texture sampling with ray-cone LOD; None falls back to bilinear level 0.
+    """
     tri = jnp.maximum(hit.tri, 0)
     valid = hit.tri >= 0
 
@@ -97,7 +103,19 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
     mat = scene.instance_material[inst]
     albedo = scene.mat_base_color[mat]
     tex_slot = scene.mat_texture[mat]
-    tex = sample_texture_bilinear(scene.textures, tex_slot, uv)
+    if pixel_spread is None:
+        tex = sample_texture_bilinear(scene.textures, tex_slot, uv)
+    else:
+        from vri_tpu.ops import texture as texture_mod
+
+        atlas = texture_mod.build_mip_atlas(scene.textures)
+        t_hit = jnp.linalg.norm(pos - origins, axis=-1)
+        cos_inc = jnp.abs(jnp.sum(n * dirs, axis=-1))
+        density = texture_mod.triangle_texel_density(
+            p[:, 0], p[:, 1], p[:, 2], uvs[:, 0], uvs[:, 1], uvs[:, 2],
+            scene.textures.shape[1])
+        lod = texture_mod.ray_cone_lod(t_hit, cos_inc, density, pixel_spread)
+        tex = texture_mod.sample_trilinear(atlas, tex_slot, uv, lod)
     albedo = jnp.where((tex_slot >= 0)[:, None], albedo * tex, albedo)
     emissive = scene.mat_emissive[mat]
 

@@ -34,14 +34,21 @@ class FrameParams:
     eye: jnp.ndarray            # (3,)
     near: jnp.ndarray           # ()
     far: jnp.ndarray            # ()
+    # ray-cone pixel spread (2*tan(fov_y/2)/height); 0 disables mip LOD
+    pixel_spread: jnp.ndarray = None  # ()
 
     @classmethod
-    def from_camera(cls, cam: CameraState) -> "FrameParams":
+    def from_camera(cls, cam: CameraState,
+                    height: int | None = None) -> "FrameParams":
+        import math
+
+        spread = (2.0 * math.tan(0.5 * cam.fov_y) / height) if height else 0.0
         return cls(view_proj=jnp.asarray(cam.view_proj),
                    inv_view_proj=jnp.asarray(cam.inv_view_proj),
                    eye=jnp.asarray(cam.eye),
                    near=jnp.asarray(cam.near, jnp.float32),
-                   far=jnp.asarray(cam.far, jnp.float32))
+                   far=jnp.asarray(cam.far, jnp.float32),
+                   pixel_spread=jnp.asarray(spread, jnp.float32))
 
 
 def _visibility_brute(scene: SceneBuffers, world_verts, origins, dirs):
@@ -82,7 +89,8 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d)
+    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
+                                 pixel_spread=frame.pixel_spread)
     if backend == "raster":
         # raster depth is NDC; replace with world-space ray t for AOV parity
         t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
@@ -164,7 +172,8 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
     else:
         hit = _visibility_brute(scene, world_verts, o, d)
 
-    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d)
+    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
+                                 pixel_spread=frame.pixel_spread)
     t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
     gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
 

@@ -121,7 +121,7 @@ class Renderer:
         assert self.scene is not None, "load_stage() first"
         cam = camera or self.camera
         assert cam is not None, "no camera"
-        fp = frame_mod.FrameParams.from_camera(cam)
+        fp = frame_mod.FrameParams.from_camera(cam, self.config.height)
         h, w = self.config.height, self.config.width
         if gi or mode >= DebugMode.SDF_DISTANCE:
             cascades = self.ensure_cascades(eye=cam.eye)
