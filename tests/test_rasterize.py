@@ -101,6 +101,46 @@ class TestRasterVsTrace:
         assert zi[32, 32] < zi[40, 40]
 
 
+class TestNearClip:
+    def test_camera_inside_scene(self):
+        """Camera inside the kitchen room: wall triangles cross the near
+        plane and must be clipped, not dropped (the hardware raster the
+        reference relies on does this implicitly)."""
+        from vri_tpu.hydra.camera import make_camera
+
+        res = 64
+        d = RenderDelegate(RenderConfig(width=res, height=res))
+        d.populate(scenes.kitchen_stress(num_objects=9))
+        scene = d.sync()
+        world = bake_world(scene)
+        # camera inside the room, near a wall, looking across
+        cam = make_camera(eye=(3.0, 1.2, 0.0), target=(-3, 1.0, 0),
+                          fov_y_deg=70, aspect=1.0, near=0.05, far=100.0)
+        hit_r, z = rasterize.rasterize(
+            world, scene.tri_vertices, scene.num_faces,
+            jnp.asarray(cam.view_proj), height=res, width=res)
+        o, dirs = raygen.camera_rays(jnp.asarray(cam.inv_view_proj),
+                                     jnp.asarray(cam.eye), res, res)
+        v0, e1, e2 = intersect.gather_triangles(world, scene.tri_vertices)
+        hit_b = intersect.trace_brute(o.reshape(-1, 3), dirs.reshape(-1, 3),
+                                      v0, e1, e2, scene.num_faces)
+        cov_r = np.asarray(hit_r.tri) >= 0
+        cov_b = np.asarray(hit_b.tri) >= 0
+        assert cov_b.mean() > 0.99          # enclosed: rays must hit
+        assert (cov_r == cov_b).mean() > 0.99, (cov_r.mean(), cov_b.mean())
+        both = cov_r & cov_b
+        same = (np.asarray(hit_r.tri) == np.asarray(hit_b.tri))[both]
+        assert same.mean() > 0.95
+        # barycentrics of clipped triangles still reference the source tri
+        tr = np.asarray(hit_r.tri)
+        tb = np.asarray(hit_b.tri)
+        match = both & (tr == tb)
+        np.testing.assert_allclose(np.asarray(hit_r.u)[match],
+                                   np.asarray(hit_b.u)[match], atol=5e-3)
+        np.testing.assert_allclose(np.asarray(hit_r.v)[match],
+                                   np.asarray(hit_b.v)[match], atol=5e-3)
+
+
 class TestRasterBackend:
     def test_render_frame_raster_parity(self, cornell):
         res = 48

@@ -78,6 +78,98 @@ def triangle_setup(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     return tx, ty, tz, tw, valid
 
 
+def triangle_setup_clipped(world_verts: jnp.ndarray,
+                           tri_vertices: jnp.ndarray,
+                           num_faces: jnp.ndarray, view_proj: jnp.ndarray,
+                           height: int, width: int, w_eps: float = 1e-4):
+    """Near-plane-clipped triangle setup.
+
+    The hardware raster the reference relies on clips against the near plane
+    for free; this is the TPU-native equivalent (vectorized Sutherland-
+    Hodgman against w = eps, static 2x expansion: each source triangle emits
+    up to two clipped triangles).  Each output corner carries the
+    *source-triangle barycentrics* (l1, l2) so attribute reconstruction maps
+    hits back to the authored triangle exactly.
+
+    Returns (x, y, z, inv_w, bary1, bary2, src_id, valid) where x.. are
+    (2F, 3), bary1/bary2 are (2F, 3) per-corner source barycentrics, src_id
+    is (2F,) and valid is (2F,) bool.
+    """
+    f = tri_vertices.shape[0]
+    v = world_verts
+    clip = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=1) @ view_proj.T
+    c = clip[tri_vertices]                     # (F, 3, 4) clip-space corners
+    # source barycentrics of the 3 corners: (l1, l2) = (0,0), (1,0), (0,1)
+    base_b = jnp.broadcast_to(
+        jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], jnp.float32),
+        (f, 3, 2))
+
+    w = c[..., 3]
+    inside = w > w_eps
+    n_in = inside.sum(axis=1)                  # (F,)
+
+    # rotate corners so the canonical patterns hold:
+    #   n_in==1 -> the inside corner first; n_in==2 -> the outside corner last
+    idx_in = jnp.argmax(inside, axis=1)                  # first inside
+    idx_out = jnp.argmax(~inside, axis=1)                # first outside
+    rot = jnp.where(n_in == 1, idx_in,
+                    jnp.where(n_in == 2, (idx_out + 1) % 3, 0))
+    corner_ids = (rot[:, None] + jnp.arange(3)[None, :]) % 3   # (F, 3)
+    gather = lambda a: jnp.take_along_axis(a, corner_ids[..., None], axis=1)
+    cr = gather(c)                                        # rotated corners
+    br = gather(base_b)
+    wr = cr[..., 3]
+
+    def lerp_to_plane(pa, pb, wa, wb):
+        t = (w_eps - wa) / jnp.where(jnp.abs(wb - wa) > 1e-20, wb - wa, 1.0)
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        return pa + (pb - pa) * t
+
+    A, B, C = cr[:, 0], cr[:, 1], cr[:, 2]
+    bA, bB, bC = br[:, 0], br[:, 1], br[:, 2]
+    wA, wB, wC = wr[:, 0], wr[:, 1], wr[:, 2]
+    # intersection points on each edge (lerp position and source bary
+    # together; clip-space lerp is exact for both)
+    posb_A = jnp.concatenate([A, bA], -1)
+    posb_B = jnp.concatenate([B, bB], -1)
+    posb_C = jnp.concatenate([C, bC], -1)
+    P_ab = lerp_to_plane(posb_A, posb_B, wA, wB)
+    P_ac = lerp_to_plane(posb_A, posb_C, wA, wC)
+    P_bc = lerp_to_plane(posb_B, posb_C, wB, wC)
+
+    full = jnp.stack([posb_A, posb_B, posb_C], axis=1)           # n_in == 3
+    one_in = jnp.stack([posb_A, P_ab, P_ac], axis=1)             # n_in == 1
+    two_in_1 = jnp.stack([posb_A, posb_B, P_bc], axis=1)         # n_in == 2
+    two_in_2 = jnp.stack([posb_A, P_bc, P_ac], axis=1)
+
+    sel = n_in[:, None, None]
+    out1 = jnp.where(sel == 3, full,
+                     jnp.where(sel == 2, two_in_1,
+                               jnp.where(sel == 1, one_in, full)))
+    out2 = two_in_2
+    valid1 = (n_in >= 1)
+    valid2 = (n_in == 2)
+
+    tri6 = jnp.concatenate([out1, out2], axis=0)          # (2F, 3, 6)
+    valid = jnp.concatenate([valid1, valid2], axis=0)
+    in_range = jnp.arange(f) < num_faces
+    valid &= jnp.concatenate([in_range, in_range])
+    src_id = jnp.concatenate([jnp.arange(f, dtype=jnp.int32)] * 2)
+
+    cpos = tri6[..., :4]
+    bary = tri6[..., 4:6]                                  # (2F, 3, 2)
+    wv = jnp.maximum(cpos[..., 3], w_eps)
+    inv_w = 1.0 / wv
+    ndc = cpos[..., :3] * inv_w[..., None]
+    tx = (ndc[..., 0] * 0.5 + 0.5) * width
+    ty = (0.5 - ndc[..., 1] * 0.5) * height
+    tz = ndc[..., 2]
+    area = ((tx[:, 1] - tx[:, 0]) * (ty[:, 2] - ty[:, 0])
+            - (ty[:, 1] - ty[:, 0]) * (tx[:, 2] - tx[:, 0]))
+    valid &= jnp.abs(area) > 1e-12
+    return (tx, ty, tz, inv_w, bary[..., 0], bary[..., 1], src_id, valid)
+
+
 def _screen_morton_order(tx, ty, valid, height: int, width: int,
                          large_span: float = 160.0) -> jnp.ndarray:
     """Spatial-locality permutation for the chunk cull.
@@ -114,15 +206,21 @@ def _screen_morton_order(tx, ty, valid, height: int, width: int,
     return jnp.argsort(key).astype(jnp.int32), n_large
 
 
-def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
-    """Pack setup into (C, 16, TC) f32 + (C, 4) SMEM bbox."""
+def _pack_chunks(tx, ty, tz, tw, b1, b2, valid, tri_chunk: int):
+    """Pack setup into (C, 24, TC) f32 + (C, 4) bbox.
+
+    Row layout: 0-2 x, 3-5 y, 6-8 z, 9-11 1/w, 12-14 source-bary l1,
+    15-17 source-bary l2 per corner (near-clipped triangles reference their
+    source triangle's barycentric frame), rows 18-23 padding.
+    """
     f = tx.shape[0]
     fp = _round_up(f, tri_chunk)
     pad = fp - f
     if pad:
         padf = lambda a: jnp.concatenate(
             [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-        tx, ty, tz, tw, valid = map(padf, (tx, ty, tz, tw, valid))
+        tx, ty, tz, tw, b1, b2, valid = map(
+            padf, (tx, ty, tz, tw, b1, b2, valid))
     # cull invalid triangles via the z-range test
     tz = jnp.where(valid[:, None], tz, 10.0)
     c = fp // tri_chunk
@@ -130,9 +228,10 @@ def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
     def rows(a):      # (Fp, 3) -> (C, 3, TC)
         return a.reshape(c, tri_chunk, 3).transpose(0, 2, 1)
 
-    zero = jnp.zeros((c, 4, tri_chunk), jnp.float32)
+    zero = jnp.zeros((c, 6, tri_chunk), jnp.float32)
     data = jnp.concatenate(
-        [rows(tx), rows(ty), rows(tz), rows(tw), zero], axis=1)  # (C, 16, TC)
+        [rows(tx), rows(ty), rows(tz), rows(tw), rows(b1), rows(b2), zero],
+        axis=1)                                           # (C, 24, TC)
 
     vx = jnp.where(valid[:, None], tx, _BIG).reshape(c, tri_chunk, 3)
     vy = jnp.where(valid[:, None], ty, _BIG).reshape(c, tri_chunk, 3)
@@ -143,13 +242,20 @@ def _pack_chunks(tx, ty, tz, tw, valid, tri_chunk: int):
     return data, bbox, c
 
 
-def _raster_kernel(nglobal_ref, ranges_ref, overlap_ref, tri_ref,
+def _raster_kernel(meta_ref, tri_ref,
                    z_out, tri_out, u_out, v_out, *,
                    tile_h: int, tile_w: int, tri_chunk: int,
-                   num_chunks: int, num_tx: int, n_words: int):
+                   num_chunks: int, num_tx: int, n_words: int,
+                   num_tiles: int):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_id = ti * num_tx + tj
+
+    # meta layout (one SMEM int32 table, 128 values per 512-byte row):
+    # [0] = n_global; [1 + 2*tile] = range start; [2 + 2*tile] = range end;
+    # [1 + 2*num_tiles + tile*n_words + w] = overlap bitmask words
+    def meta(idx):
+        return meta_ref[idx // 128, idx % 128]
     p = tile_h * tile_w
     y0 = (ti * tile_h).astype(jnp.float32)
     x0 = (tj * tile_w).astype(jnp.float32)
@@ -160,7 +266,7 @@ def _raster_kernel(nglobal_ref, ranges_ref, overlap_ref, tri_ref,
 
     def chunk_body(c, carry):
         def compute(carry):
-            best_z, best_tri, best_l1, best_l2, best_w = carry
+            best_z, best_tri, best_l1, best_l2, best_w, best_b = carry
             d = tri_ref[c]                                    # (16, TC)
             ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
             ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
@@ -189,47 +295,59 @@ def _raster_kernel(nglobal_ref, ranges_ref, overlap_ref, tri_ref,
             pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=-1,
                                      keepdims=True)
             l1s, l2s = pick(l1), pick(l2)
-            aw, bw, cw = d[9][None, :], d[10][None, :], d[11][None, :]
-            w0, w1, w2 = pick(aw), pick(bw), pick(cw)
+            pack_w = jnp.concatenate(
+                [pick(d[9][None, :]), pick(d[10][None, :]),
+                 pick(d[11][None, :])], axis=-1)              # (P, 3) 1/w
+            pack_b = jnp.concatenate(
+                [pick(d[12][None, :]), pick(d[13][None, :]),
+                 pick(d[14][None, :]), pick(d[15][None, :]),
+                 pick(d[16][None, :]), pick(d[17][None, :])],
+                axis=-1)                                      # (P, 6) src bary
             closer = z_best < best_z
             tri_id = c * tri_chunk + k
-            pack_w = jnp.concatenate([w0, w1, w2], axis=-1)   # (P, 3)
             return (jnp.where(closer, z_best, best_z),
                     jnp.where(closer, tri_id, best_tri),
                     jnp.where(closer, l1s, best_l1),
                     jnp.where(closer, l2s, best_l2),
-                    jnp.where(closer, pack_w, best_w))
+                    jnp.where(closer, pack_w, best_w),
+                    jnp.where(closer, pack_b, best_b))
 
-        word = overlap_ref[tile_id * n_words + c // 32]
-        bit = jnp.reshape((word >> (c % 32)) & 1, ())
+        word = meta(1 + 2 * num_tiles + tile_id * n_words + c // 32)
+        bit = (word >> (c % 32)) & 1
         return jax.lax.cond(bit != 0, compute, lambda cr: cr, carry)
 
     init = (jnp.full((p, 1), 3.0e38, jnp.float32),
             jnp.full((p, 1), -1, jnp.int32),
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((p, 3), jnp.float32))
+            jnp.zeros((p, 3), jnp.float32),
+            jnp.zeros((p, 6), jnp.float32))
     # two data-dependent loops: the global chunks (screen-spanning
     # triangles, always walked) and this tile's local Morton chunk range —
     # an empty tile runs zero iterations
-    n_glob = jnp.reshape(nglobal_ref[0], ())
-    carry = jax.lax.fori_loop(0, n_glob, chunk_body, init)
-    c_lo = jnp.reshape(ranges_ref[2 * tile_id], ())
-    c_hi = jnp.reshape(ranges_ref[2 * tile_id + 1], ())
-    best_z, best_tri, best_l1, best_l2, best_w = jax.lax.fori_loop(
+    carry = jax.lax.fori_loop(0, meta(0), chunk_body, init)
+    c_lo = meta(1 + 2 * tile_id)
+    c_hi = meta(2 + 2 * tile_id)
+    best_z, best_tri, best_l1, best_l2, best_w, best_b = jax.lax.fori_loop(
         c_lo, c_hi, chunk_body, carry)
     # perspective-correct barycentrics from screen-space weights + 1/w
-    # (Barycentric.hlsl approach), one divide per pixel
+    # (Barycentric.hlsl approach), one divide per pixel; then map through
+    # the clipped corners' source barycentrics to the authored triangle
     l1, l2 = best_l1[:, 0], best_l2[:, 0]
     l0 = 1.0 - l1 - l2
     p0 = l0 * best_w[:, 0]
     p1 = l1 * best_w[:, 1]
     p2 = l2 * best_w[:, 2]
     inv = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
+    u_c = p1 * inv
+    v_c = p2 * inv
+    w_c = 1.0 - u_c - v_c
+    src_u = w_c * best_b[:, 0] + u_c * best_b[:, 1] + v_c * best_b[:, 2]
+    src_v = w_c * best_b[:, 3] + u_c * best_b[:, 4] + v_c * best_b[:, 5]
     z_out[:, :] = best_z.reshape(tile_h, tile_w)
     tri_out[:, :] = best_tri.reshape(tile_h, tile_w)
-    u_out[:, :] = (p1 * inv).reshape(tile_h, tile_w)
-    v_out[:, :] = (p2 * inv).reshape(tile_h, tile_w)
+    u_out[:, :] = src_u.reshape(tile_h, tile_w)
+    v_out[:, :] = src_v.reshape(tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -251,11 +369,14 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
 
-    tx, ty, tz, tw, valid = triangle_setup(
+    tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj, height, width)
     order, n_large = _screen_morton_order(tx, ty, valid, height, width)
-    tx, ty, tz, tw, valid = (a[order] for a in (tx, ty, tz, tw, valid))
-    data, bbox, num_chunks = _pack_chunks(tx, ty, tz, tw, valid, tri_chunk)
+    tx, ty, tz, tw, b1, b2, valid = (
+        a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
+    src_sorted = src_id[order]
+    data, bbox, num_chunks = _pack_chunks(tx, ty, tz, tw, b1, b2, valid,
+                                          tri_chunk)
     n_global = jnp.minimum((n_large + tri_chunk - 1) // tri_chunk,
                            num_chunks).astype(jnp.int32)
 
@@ -283,7 +404,16 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         overlap = jnp.concatenate(
             [overlap, jnp.zeros(overlap.shape[:2] + (pad_c,), bool)], -1)
     bits = overlap.reshape(grid[0] * grid[1], n_words, 32).astype(jnp.uint32)
-    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :])        .sum(-1).astype(jnp.int32)                          # (tiles, W)
+    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :])\
+        .sum(-1).astype(jnp.int32).reshape(-1)              # (tiles*W,)
+    num_tiles = grid[0] * grid[1]
+    # single SMEM int32 table, 128 values per (512-byte) row — 2-D SMEM rows
+    # are padded to 512B, so narrow rows waste the whole budget
+    meta = jnp.concatenate([n_global.reshape(1), ranges, words])
+    pad_m = (-meta.shape[0]) % 128
+    if pad_m:
+        meta = jnp.concatenate([meta, jnp.zeros((pad_m,), jnp.int32)])
+    meta = meta.reshape(-1, 128)
 
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
@@ -294,14 +424,13 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # n_global (1,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # ranges (tiles, 2)
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # overlap words (tiles, W)
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # tri data (C, 16, TC)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # meta table (rows, 128)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # tri data (C, 24, TC)
     ]
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tri_chunk,
-        num_chunks=num_chunks, num_tx=grid[1], n_words=n_words)
+        num_chunks=num_chunks, num_tx=grid[1], n_words=n_words,
+        num_tiles=num_tiles)
     z, tri, u, v = pl.pallas_call(
         kernel,
         grid=grid,
@@ -309,15 +438,16 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(n_global.reshape(1), ranges, words, data)
+    )(meta, data)
 
     z = z[:height, :width]
     tri = tri[:height, :width].reshape(-1)
     u = u[:height, :width]
     v = v[:height, :width]
-    # undo the Morton permutation: kernel ids index the sorted order
+    # kernel ids index sorted clipped slots; map back to source triangles
     tri = jnp.where(tri >= 0,
-                    order[jnp.clip(tri, 0, order.shape[0] - 1)], -1)
+                    src_sorted[jnp.clip(tri, 0, src_sorted.shape[0] - 1)],
+                    -1)
     hit = HitRecord(t=z.reshape(-1), tri=tri,
                     u=u.reshape(-1), v=v.reshape(-1))
     return hit, z
