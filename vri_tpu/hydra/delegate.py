@@ -93,9 +93,18 @@ class RenderDelegate:
         (reference: UsdImagingDelegate::Populate -> CreateRprim/CreateSprim,
         Source/Main.cpp:41-46, Source/RenderDelegate.cpp:30-50)."""
         self.stage = stage
+        instanced: set = set()
+        for prim in stage.traverse():
+            if prim.type_name == "PointInstancer":
+                for proto in self._instancer_prototypes(prim):
+                    instanced.add(proto.path)
         for prim in stage.traverse():
             if prim.type_name in ("Mesh", "Material", "Camera", "SphereLight",
-                                  "DistantLight"):
+                                  "DistantLight", "PointInstancer"):
+                if prim.type_name == "Mesh" and any(
+                        prim.path == p or prim.path.startswith(p + "/")
+                        for p in instanced):
+                    continue  # prototype meshes render only via instances
                 self.tracker.mark(prim.path, DirtyBits.ALL)
 
     # -- sync ----------------------------------------------------------------
@@ -114,6 +123,8 @@ class RenderDelegate:
                 continue
             if prim.type_name == "Mesh":
                 self._sync_mesh(prim, bits)
+            elif prim.type_name == "PointInstancer":
+                self._sync_instancer(prim)
             elif prim.type_name == "Material":
                 self._sync_material(prim)
             elif prim.type_name == "Camera":
@@ -170,6 +181,91 @@ class RenderDelegate:
             transform=stage.world_transform(prim),
             material_path=mat.path if mat is not None else None,
             extent=extent))
+
+    def _instancer_prototypes(self, prim: Prim):
+        """Resolve the ``prototypes`` rel targets to Mesh prims (descends
+        one level when a target is an Xform wrapping a mesh)."""
+        rel = prim.attributes.get("prototypes")
+        targets = rel.value if rel is not None and rel.value is not None else []
+        if not isinstance(targets, list):
+            targets = [targets]
+        protos = []
+        for t in targets:
+            p = self.stage.prim_at_path(str(t))
+            if p is None:
+                continue
+            if p.type_name == "Mesh":
+                protos.append(p)
+            else:
+                mesh = next((c for c in p.traverse()
+                             if c.type_name == "Mesh"), None)
+                if mesh is not None:
+                    protos.append(mesh)
+        return protos
+
+    def _sync_instancer(self, prim: Prim) -> None:
+        """Flatten a PointInstancer into per-instance draw items —
+        UsdImagingDelegate does the same flattening for render delegates
+        (like the reference) that don't implement native instancing."""
+        from vri_tpu.utils import math3d
+
+        stage = self.stage
+        protos = self._instancer_prototypes(prim)
+        if not protos:
+            log.warning("PointInstancer %s has no resolvable prototypes",
+                        prim.path)
+            return
+        positions = np.asarray(prim.get("positions", ()),
+                               np.float32).reshape(-1, 3)
+        proto_idx = np.asarray(prim.get("protoIndices", ()),
+                               np.int64).reshape(-1)
+        orientations = prim.get("orientations")
+        scales = prim.get("scales")
+        pi_world = stage.world_transform(prim)
+
+        # extract prototype geometry once
+        proto_data = []
+        from vri_tpu.runtime import native
+
+        for proto in protos:
+            points = np.asarray(proto.get("points", ()),
+                                np.float32).reshape(-1, 3)
+            counts = np.asarray(proto.get("faceVertexCounts", ()),
+                                np.int64).reshape(-1)
+            indices = np.asarray(proto.get("faceVertexIndices", ()),
+                                 np.int64).reshape(-1)
+            tris, tri_face, tri_corners = native.triangulate(counts, indices)
+            st_attr = proto.attributes.get("primvars:st")
+            if st_attr is not None and st_attr.value is not None:
+                uvs = meshutil.expand_primvar(
+                    st_attr.value, st_attr.interpolation or "faceVarying",
+                    counts, tris, tri_face, tri_corners)[..., :2]
+            else:
+                uvs = np.zeros((len(tris), 3, 2), np.float32)
+            extent = proto.get("extent")
+            extent = (np.asarray(extent, np.float32) if extent is not None
+                      else meshutil.compute_extent(points))
+            mat = stage.bound_material(proto)
+            if mat is not None and mat.path not in self.registry._materials:
+                self._sync_material(mat)
+            local = stage.local_transform(proto)
+            proto_data.append((points, tris, tri_face,
+                               uvs.astype(np.float32), extent,
+                               mat.path if mat is not None else None, local))
+
+        for i in range(len(positions)):
+            k = int(proto_idx[i]) if len(proto_idx) else 0
+            k = min(k, len(proto_data) - 1)
+            pts, tris, tri_face, uvs, extent, mat_path, local = proto_data[k]
+            trs = math3d.compose_trs(
+                positions[i],
+                None if orientations is None else orientations[i],
+                None if scales is None else scales[i])
+            self.registry.push_mesh(MeshRecord(
+                path=f"{prim.path}.inst{i:05d}", points=pts, tris=tris,
+                tri_face=tri_face, uvs=uvs,
+                transform=(pi_world @ trs @ local).astype(np.float32),
+                material_path=mat_path, extent=extent))
 
     def _sync_material(self, prim: Prim) -> None:
         desc = material_mod.sync_material(

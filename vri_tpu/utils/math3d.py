@@ -136,6 +136,28 @@ def inverse(m):
     return np.linalg.inv(np.asarray(m, np.float64)).astype(np.float32)
 
 
+def quat_to_matrix(q) -> np.ndarray:
+    """(w, x, y, z) quaternion -> 3x3 rotation (GfQuat layout in usda)."""
+    w, x, y, z = [float(v) for v in q]
+    n = (w * w + x * x + y * y + z * z) ** 0.5
+    if n > 0:
+        w, x, y, z = w / n, x / n, y / n, z / n
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def compose_trs(translate_v, quat_wxyz=None, scale_v=None) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    r = quat_to_matrix(quat_wxyz) if quat_wxyz is not None else np.eye(3)
+    s = np.ones(3) if scale_v is None else np.asarray(scale_v, np.float32)
+    m[:3, :3] = r * s[None, :]
+    m[:3, 3] = np.asarray(translate_v, np.float32)
+    return m
+
+
 def decompose_rigid(m: np.ndarray):
     """Split a rigid(+uniform scale) transform into (rotation3x3*scale, translation)."""
     return m[:3, :3].copy(), m[:3, 3].copy()
