@@ -41,9 +41,9 @@ def main():
     vp = jnp.asarray(d.camera.view_proj)
 
     def frame():
-        hit, z = rasterize.rasterize(world, scene.tri_vertices,
-                                     scene.num_faces, vp,
-                                     height=height, width=width)
+        hit, z = rasterize.rasterize_binned(world, scene.tri_vertices,
+                                            scene.num_faces, vp,
+                                            height=height, width=width)
         return z
 
     # warm / compile

@@ -5,6 +5,7 @@ with ray-traced primary visibility for pinhole cameras.)
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from vri_tpu.config import RenderConfig
@@ -21,10 +22,11 @@ def _setup(stage, res=48):
     return d.sync(), d.camera
 
 
-def _raster_vs_brute(scene, cam, res):
+def _raster_vs_brute(scene, cam, res, fn=None):
     world = bake_world(scene)
     vp = jnp.asarray(cam.view_proj)
-    hit_r, zimg = rasterize.rasterize(
+    fn = fn or rasterize.rasterize
+    hit_r, zimg = fn(
         world, scene.tri_vertices, scene.num_faces, vp,
         height=res, width=res)
     o, dirs = raygen.camera_rays(jnp.asarray(cam.inv_view_proj),
@@ -35,11 +37,15 @@ def _raster_vs_brute(scene, cam, res):
     return hit_r, hit_b
 
 
+RASTER_FNS = [rasterize.rasterize, rasterize.rasterize_binned]
+
+
 class TestRasterVsTrace:
-    def test_cornell_same_triangles(self, cornell):
+    @pytest.mark.parametrize("fn", RASTER_FNS)
+    def test_cornell_same_triangles(self, cornell, fn):
         res = 48
         scene, cam = _setup(cornell, res)
-        hit_r, hit_b = _raster_vs_brute(scene, cam, res)
+        hit_r, hit_b = _raster_vs_brute(scene, cam, res, fn)
         tr = np.asarray(hit_r.tri)
         tb = np.asarray(hit_b.tri)
         assert ((tr >= 0) == (tb >= 0)).mean() > 0.995
@@ -57,10 +63,11 @@ class TestRasterVsTrace:
         np.testing.assert_allclose(np.asarray(hit_r.v)[same],
                                    np.asarray(hit_b.v)[same], atol=2e-3)
 
-    def test_kitchen_scene(self):
+    @pytest.mark.parametrize("fn", RASTER_FNS)
+    def test_kitchen_scene(self, fn):
         res = 64
         scene, cam = _setup(scenes.kitchen_stress(num_objects=24), res)
-        hit_r, hit_b = _raster_vs_brute(scene, cam, res)
+        hit_r, hit_b = _raster_vs_brute(scene, cam, res, fn)
         tr, tb = np.asarray(hit_r.tri), np.asarray(hit_b.tri)
         assert ((tr >= 0) == (tb >= 0)).mean() > 0.99
         both = (tr >= 0) & (tb >= 0)

@@ -451,3 +451,248 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     hit = HitRecord(t=z.reshape(-1), tri=tri,
                     u=u.reshape(-1), v=v.reshape(-1))
     return hit, z
+
+
+# ---------------------------------------------------------------------------
+# Binned rasterizer: exact per-tile triangle lists
+# ---------------------------------------------------------------------------
+
+def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
+                group: int, cap_groups: int):
+    """Per-tile lists of 8-triangle groups.
+
+    Groups are ``group`` Morton-consecutive triangle slots; a group belongs
+    to a tile when its screen bbox overlaps it.  Returns (group_ids
+    (tiles, capG) — padded with the last (all-invalid) group, counts
+    (tiles,), overflowed (tiles,) bool).
+    """
+    fp = tx.shape[0]
+    g = fp // group
+    vx = jnp.where(valid[:, None], tx, _BIG).reshape(g, group, 3)
+    vy = jnp.where(valid[:, None], ty, _BIG).reshape(g, group, 3)
+    wx = jnp.where(valid[:, None], tx, -_BIG).reshape(g, group, 3)
+    wy = jnp.where(valid[:, None], ty, -_BIG).reshape(g, group, 3)
+    gbox = jnp.stack([vx.min((1, 2)), wx.max((1, 2)),
+                      vy.min((1, 2)), wy.max((1, 2))], axis=1)   # (G, 4)
+
+    ty_ids = jnp.arange(grid[0], dtype=jnp.float32) * tile_h
+    tx_ids = jnp.arange(grid[1], dtype=jnp.float32) * tile_w
+    ov_x = ((gbox[None, :, 0] <= tx_ids[:, None] + tile_w)
+            & (gbox[None, :, 1] >= tx_ids[:, None]))            # (TX, G)
+    ov_y = ((gbox[None, :, 2] <= ty_ids[:, None] + tile_h)
+            & (gbox[None, :, 3] >= ty_ids[:, None]))            # (TY, G)
+    overlap = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(-1, g)
+
+    counts = overlap.sum(axis=-1).astype(jnp.int32)
+    overflowed = counts > cap_groups
+    # overlapping group ids first (stable argsort of the negated mask)
+    order = jnp.argsort(~overlap, axis=-1, stable=True)[:, :cap_groups]
+    in_list = jnp.take_along_axis(overlap, order, axis=-1)
+    group_ids = jnp.where(in_list, order, g - 1).astype(jnp.int32)
+    return group_ids, jnp.minimum(counts, cap_groups), overflowed
+
+
+def _raster_binned_kernel(meta_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
+                          tile_h: int, tile_w: int, tri_chunk: int,
+                          num_subs: int, num_tx: int):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_id = ti * num_tx + tj
+    p = tile_h * tile_w
+    y0 = (ti * tile_h).astype(jnp.float32)
+    x0 = (tj * tile_w).astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    py = y0 + 0.5 + (pix // tile_w).astype(jnp.float32)      # (P, 1)
+    px = x0 + 0.5 + (pix % tile_w).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
+
+    def sub_body(s, carry):
+        best_z, best_tri, best_l1, best_l2, best_w, best_b = carry
+        d = tri_ref[0, s]                                 # (24, TC)
+        ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
+        ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
+        az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
+        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                 ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        inv_area = 1.0 / area
+        l1 = e1 * inv_area
+        l2 = e2 * inv_area
+        z = (az + l1 * (bz - az) + l2 * (cz - az))
+        ok = inside & (z >= 0.0) & (z <= 1.0)
+        zm = jnp.where(ok, z, 3.0e38)
+        z_best = jnp.min(zm, axis=-1, keepdims=True)      # (P, 1)
+        is_best = (zm == z_best) & ok
+        k = jnp.min(jnp.where(is_best, lane, jnp.int32(2**30)), axis=-1,
+                    keepdims=True)
+        sel = lane == k
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=-1,
+                                 keepdims=True)
+        l1s, l2s = pick(l1), pick(l2)
+        pack_w = jnp.concatenate(
+            [pick(d[9][None, :]), pick(d[10][None, :]),
+             pick(d[11][None, :])], axis=-1)
+        pack_b = jnp.concatenate(
+            [pick(d[12][None, :]), pick(d[13][None, :]),
+             pick(d[14][None, :]), pick(d[15][None, :]),
+             pick(d[16][None, :]), pick(d[17][None, :])], axis=-1)
+        slot = pick(d[18][None, :])                       # slot id as f32
+        closer = z_best < best_z
+        return (jnp.where(closer, z_best, best_z),
+                jnp.where(closer, slot.astype(jnp.int32), best_tri),
+                jnp.where(closer, l1s, best_l1),
+                jnp.where(closer, l2s, best_l2),
+                jnp.where(closer, pack_w, best_w),
+                jnp.where(closer, pack_b, best_b))
+
+    init = (jnp.full((p, 1), 3.0e38, jnp.float32),
+            jnp.full((p, 1), -1, jnp.int32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 3), jnp.float32),
+            jnp.zeros((p, 6), jnp.float32))
+    n_sub = meta_ref[tile_id // 128, tile_id % 128]
+    best_z, best_tri, best_l1, best_l2, best_w, best_b = jax.lax.fori_loop(
+        0, jnp.minimum(n_sub, num_subs), sub_body, init)
+
+    l1, l2 = best_l1[:, 0], best_l2[:, 0]
+    l0 = 1.0 - l1 - l2
+    p0 = l0 * best_w[:, 0]
+    p1 = l1 * best_w[:, 1]
+    p2 = l2 * best_w[:, 2]
+    inv = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
+    u_c = p1 * inv
+    v_c = p2 * inv
+    w_c = 1.0 - u_c - v_c
+    src_u = w_c * best_b[:, 0] + u_c * best_b[:, 1] + v_c * best_b[:, 2]
+    src_v = w_c * best_b[:, 3] + u_c * best_b[:, 4] + v_c * best_b[:, 5]
+    hit = best_tri[:, 0] >= 0
+    z_img = jnp.where(hit, best_z[:, 0], 3.0e38)
+    z_out[:, :] = z_img.reshape(tile_h, tile_w)
+    tri_out[:, :] = best_tri.reshape(tile_h, tile_w)
+    u_out[:, :] = src_u.reshape(tile_h, tile_w)
+    v_out[:, :] = src_v.reshape(tile_h, tile_w)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "tile_h", "tile_w", "tri_chunk", "cap_groups",
+    "interpret"))
+def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
+                     num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
+                     height: int, width: int, tile_h: int = 8,
+                     tile_w: int = 128, tri_chunk: int = 128,
+                     cap_groups: int = 32,
+                     interpret: bool | None = None
+                     ) -> Tuple[HitRecord, jnp.ndarray]:
+    """Visibility raster with exact per-tile triangle lists.
+
+    XLA builds, per Pallas tile, the capacity-bounded list of 8-triangle
+    Morton groups overlapping it (the TPU-native "indirect draw batching":
+    the per-tile gather replaces the reference's per-draw command stream,
+    RenderPass.cpp:642-664) and gathers their packed setup rows; the kernel
+    walks exactly ceil(count/16) 128-triangle sub-chunks.  Tiles a group
+    doesn't touch never see it — wasted (pixel, triangle) work is bounded by
+    the group granularity, not the scene size.
+
+    Memory note: the binning matrix is (tiles x groups) bool and the
+    gathered setup is (tiles, 24, cap) f32 — fine up to ~100k triangles at
+    1080p; beyond that raise ``group`` or use the ranged `rasterize`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    group = 8
+    hp = _round_up(height, tile_h)
+    wp = _round_up(width, tile_w)
+    grid = (hp // tile_h, wp // tile_w)
+    num_tiles = grid[0] * grid[1]
+    cap_t = cap_groups * group
+    num_subs = _round_up(cap_t, tri_chunk) // tri_chunk
+
+    tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
+        world_verts, tri_vertices, num_faces, view_proj, height, width)
+    order, _ = _screen_morton_order(tx, ty, valid, height, width)
+    tx, ty, tz, tw, b1, b2, valid = (
+        a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
+    src_sorted = src_id[order]
+
+    # pad slot count to a group multiple; padded slots are invalid
+    f2 = tx.shape[0]
+    fp = _round_up(f2, tri_chunk)
+    pad = fp - f2
+    if pad:
+        padf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        tx, ty, tz, tw, b1, b2, valid = map(
+            padf, (tx, ty, tz, tw, b1, b2, valid))
+        src_sorted = jnp.concatenate(
+            [src_sorted, jnp.zeros((pad,), jnp.int32)])
+    tz = jnp.where(valid[:, None], tz, 10.0)
+
+    group_ids, counts, overflowed = _bin_groups(
+        tx, ty, valid, grid, tile_h, tile_w, group, cap_groups)
+
+    # gather per-tile packed rows: (tiles, 24, capT)
+    slots = (group_ids[:, :, None] * group
+             + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+             ).reshape(num_tiles, cap_t)                       # (tiles, capT)
+    slot_f = slots.astype(jnp.float32)
+
+    def rows(a):          # (Fp, 3) -> (tiles, 3, capT)
+        return a[slots].transpose(0, 2, 1)
+
+    zero = jnp.zeros((num_tiles, 5, cap_t), jnp.float32)
+    data = jnp.concatenate(
+        [rows(tx), rows(ty), rows(tz), rows(tw), rows(b1), rows(b2),
+         slot_f[:, None, :], zero], axis=1)                    # (tiles,24,capT)
+    # reshape to (tiles, subs, 24, TC): dynamic indexing stays on the two
+    # untiled leading dims
+    data = data.reshape(num_tiles, 24, num_subs, tri_chunk)\
+        .transpose(0, 2, 1, 3)
+
+    n_sub_per_tile = (counts * group + tri_chunk - 1) // tri_chunk
+    meta = n_sub_per_tile.astype(jnp.int32)
+    pad_m = (-meta.shape[0]) % 128
+    if pad_m:
+        meta = jnp.concatenate([meta, jnp.zeros((pad_m,), jnp.int32)])
+    meta = meta.reshape(-1, 128)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # sub counts (rows, 128)
+        pl.BlockSpec((1, num_subs, 24, tri_chunk),
+                     lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),      # per-tile tri data
+    ]
+    kernel = functools.partial(
+        _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
+        tri_chunk=tri_chunk, num_subs=num_subs, num_tx=grid[1])
+    z, tri, u, v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(meta, data)
+
+    z = z[:height, :width]
+    tri = tri[:height, :width].reshape(-1)
+    u = u[:height, :width]
+    v = v[:height, :width]
+    tri = jnp.where(tri >= 0,
+                    src_sorted[jnp.clip(tri, 0, src_sorted.shape[0] - 1)],
+                    -1)
+    hit = HitRecord(t=z.reshape(-1), tri=tri,
+                    u=u.reshape(-1), v=v.reshape(-1))
+    return hit, z

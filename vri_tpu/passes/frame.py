@@ -83,7 +83,7 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
     elif backend == "raster":
         from vri_tpu.ops import rasterize as raster_mod
 
-        hit, _ = raster_mod.rasterize(
+        hit, _ = raster_mod.rasterize_binned(
             world_verts, scene.tri_vertices, scene.num_faces,
             frame.view_proj, height=height, width=width)
     else:
@@ -162,7 +162,7 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
     if backend == "raster":
         from vri_tpu.ops import rasterize as raster_mod
 
-        hit, _ = raster_mod.rasterize(
+        hit, _ = raster_mod.rasterize_binned(
             world_verts, scene.tri_vertices, scene.num_faces,
             frame.view_proj, height=height, width=width)
     elif backend == "bvh":
