@@ -185,3 +185,28 @@ class TestMarch:
         n = np.asarray(sdf_trace.normal(cas, p, config=TINY))[0]
         assert abs(np.linalg.norm(n) - 1.0) < 1e-3
         assert n[1] > 0.8, n
+
+
+class TestAtlasU8:
+    def test_u8_atlas_march_parity(self, cornell_sdf):
+        """uint8 atlas (the reference's R8 format) marches within
+        quantization error of the f32 atlas."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        scene, world, cas32 = cornell_sdf
+        cfg8 = dataclasses.replace(TINY, atlas_u8=True)
+        cas8 = sdf.build_for_scene(scene, world, focus=(0.0, 0.0, 0.0),
+                                   config=cfg8, chunk=32, brick_block=128)
+        assert cas8.atlas.dtype == jnp.uint8
+        o = np.tile(np.array([[0.0, 0.0, 0.9]], np.float32), (4, 1))
+        dirs = np.array([[0, 0, -1], [0.6, 0, -0.8], [0, 0.6, -0.8],
+                         [0, -0.6, -0.8]], np.float32)
+        r32 = sdf_trace.march(cas32, jnp.asarray(o), jnp.asarray(dirs),
+                              t_max=10.0, config=TINY)
+        r8 = sdf_trace.march(cas8, jnp.asarray(o), jnp.asarray(dirs),
+                             t_max=10.0, config=cfg8)
+        np.testing.assert_array_equal(np.asarray(r32.hit), np.asarray(r8.hit))
+        np.testing.assert_allclose(np.asarray(r32.t), np.asarray(r8.t),
+                                   atol=5e-3)

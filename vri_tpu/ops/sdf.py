@@ -249,6 +249,8 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         dmin, _ = jax.lax.scan(k_body, d0, jnp.arange(k_tris))
         d01 = jnp.clip(dmin / trunc_w[:, None], 0.0, 1.0)
         d01 = jnp.where(live[:, None], d01, 1.0)
+        if config.atlas_u8:
+            d01 = jnp.round(d01 * 255.0).astype(jnp.uint8)
         # nearest-surface shading cache (the radiance-cache analog the
         # reference's GI lightloop would have needed; used by the 1-bounce
         # gather in ops/gi.py)

@@ -88,6 +88,10 @@ def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
             iz = jnp.clip(t0i[:, 2] + dz, 0, bsz - 1)
             return sdf.atlas[b_idx, iz, iy, ix]
 
+        if sdf.atlas.dtype == jnp.uint8:
+            raw_tap = tap
+            tap = lambda dx, dy, dz: \
+                raw_tap(dx, dy, dz).astype(jnp.float32) * (1.0 / 255.0)
         fx, fy, fz = fr[:, 0], fr[:, 1], fr[:, 2]
         d00 = tap(0, 0, 0) * (1 - fx) + tap(1, 0, 0) * fx
         d10 = tap(0, 1, 0) * (1 - fx) + tap(1, 1, 0) * fx
