@@ -489,12 +489,23 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
     order = jnp.argsort(~overlap, axis=-1, stable=True)[:, :cap_groups]
     in_list = jnp.take_along_axis(overlap, order, axis=-1)
     group_ids = jnp.where(in_list, order, g - 1).astype(jnp.int32)
+    if group_ids.shape[1] < cap_groups:   # fewer groups than capacity
+        fill = jnp.full((group_ids.shape[0],
+                         cap_groups - group_ids.shape[1]), g - 1, jnp.int32)
+        group_ids = jnp.concatenate([group_ids, fill], axis=1)
     return group_ids, jnp.minimum(counts, cap_groups), overflowed
 
 
-def _raster_binned_kernel(meta_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
+def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
                           num_subs: int, num_tx: int):
+    """Minimal visibility inner loop: barycentric-coefficient matmuls on the
+    MXU + depth/winner reduction on the VPU.
+
+    Only (depth, winner list position) leave the kernel; every other
+    attribute is recovered afterwards by one XLA gather pass over the
+    framebuffer (no per-(pixel, triangle) attribute work at all).
+    """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     tile_id = ti * num_tx + tj
@@ -502,79 +513,38 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, tri_out, u_out, v_out, *,
     y0 = (ti * tile_h).astype(jnp.float32)
     x0 = (tj * tile_w).astype(jnp.float32)
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    py = y0 + 0.5 + (pix // tile_w).astype(jnp.float32)      # (P, 1)
+    py = y0 + 0.5 + (pix // tile_w).astype(jnp.float32)
     px = x0 + 0.5 + (pix % tile_w).astype(jnp.float32)
+    pixmat = jnp.concatenate([px, py, jnp.ones_like(px)], axis=-1)  # (P, 3)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
 
     def sub_body(s, carry):
-        best_z, best_tri, best_l1, best_l2, best_w, best_b = carry
-        d = tri_ref[0, s]                                 # (24, TC)
-        ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
-        ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
-        az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
-        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
-                 ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
-        inv_area = 1.0 / area
-        l1 = e1 * inv_area
-        l2 = e2 * inv_area
-        z = (az + l1 * (bz - az) + l2 * (cz - az))
+        best_z, best_pos = carry
+        d = tri_ref[0, s]                                 # (16, TC)
+        # barycentrics + depth are all linear in (px, py, 1): three small
+        # MXU matmuls per 128-triangle sub-chunk
+        l1 = jnp.dot(pixmat, d[0:3], preferred_element_type=jnp.float32)
+        l2 = jnp.dot(pixmat, d[3:6], preferred_element_type=jnp.float32)
+        z = jnp.dot(pixmat, d[6:9], preferred_element_type=jnp.float32)
+        inside = (l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
         ok = inside & (z >= 0.0) & (z <= 1.0)
         zm = jnp.where(ok, z, 3.0e38)
         z_best = jnp.min(zm, axis=-1, keepdims=True)      # (P, 1)
         is_best = (zm == z_best) & ok
         k = jnp.min(jnp.where(is_best, lane, jnp.int32(2**30)), axis=-1,
                     keepdims=True)
-        sel = lane == k
-        pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=-1,
-                                 keepdims=True)
-        l1s, l2s = pick(l1), pick(l2)
-        pack_w = jnp.concatenate(
-            [pick(d[9][None, :]), pick(d[10][None, :]),
-             pick(d[11][None, :])], axis=-1)
-        pack_b = jnp.concatenate(
-            [pick(d[12][None, :]), pick(d[13][None, :]),
-             pick(d[14][None, :]), pick(d[15][None, :]),
-             pick(d[16][None, :]), pick(d[17][None, :])], axis=-1)
-        slot = pick(d[18][None, :])                       # slot id as f32
         closer = z_best < best_z
+        pos = s * tri_chunk + k
         return (jnp.where(closer, z_best, best_z),
-                jnp.where(closer, slot.astype(jnp.int32), best_tri),
-                jnp.where(closer, l1s, best_l1),
-                jnp.where(closer, l2s, best_l2),
-                jnp.where(closer, pack_w, best_w),
-                jnp.where(closer, pack_b, best_b))
+                jnp.where(closer, pos, best_pos))
 
     init = (jnp.full((p, 1), 3.0e38, jnp.float32),
-            jnp.full((p, 1), -1, jnp.int32),
-            jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((p, 3), jnp.float32),
-            jnp.zeros((p, 6), jnp.float32))
+            jnp.full((p, 1), -1, jnp.int32))
     n_sub = meta_ref[tile_id // 128, tile_id % 128]
-    best_z, best_tri, best_l1, best_l2, best_w, best_b = jax.lax.fori_loop(
+    best_z, best_pos = jax.lax.fori_loop(
         0, jnp.minimum(n_sub, num_subs), sub_body, init)
-
-    l1, l2 = best_l1[:, 0], best_l2[:, 0]
-    l0 = 1.0 - l1 - l2
-    p0 = l0 * best_w[:, 0]
-    p1 = l1 * best_w[:, 1]
-    p2 = l2 * best_w[:, 2]
-    inv = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
-    u_c = p1 * inv
-    v_c = p2 * inv
-    w_c = 1.0 - u_c - v_c
-    src_u = w_c * best_b[:, 0] + u_c * best_b[:, 1] + v_c * best_b[:, 2]
-    src_v = w_c * best_b[:, 3] + u_c * best_b[:, 4] + v_c * best_b[:, 5]
-    hit = best_tri[:, 0] >= 0
-    z_img = jnp.where(hit, best_z[:, 0], 3.0e38)
-    z_out[:, :] = z_img.reshape(tile_h, tile_w)
-    tri_out[:, :] = best_tri.reshape(tile_h, tile_w)
-    u_out[:, :] = src_u.reshape(tile_h, tile_w)
-    v_out[:, :] = src_v.reshape(tile_h, tile_w)
+    z_out[:, :] = best_z.reshape(tile_h, tile_w)
+    pos_out[:, :] = best_pos.reshape(tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -584,7 +554,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     cap_groups: int = 32,
+                     cap_groups: int = 64,
                      interpret: bool | None = None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with exact per-tile triangle lists.
@@ -592,14 +562,16 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     XLA builds, per Pallas tile, the capacity-bounded list of 8-triangle
     Morton groups overlapping it (the TPU-native "indirect draw batching":
     the per-tile gather replaces the reference's per-draw command stream,
-    RenderPass.cpp:642-664) and gathers their packed setup rows; the kernel
-    walks exactly ceil(count/16) 128-triangle sub-chunks.  Tiles a group
-    doesn't touch never see it — wasted (pixel, triangle) work is bounded by
-    the group granularity, not the scene size.
+    RenderPass.cpp:642-664) and gathers their barycentric/depth coefficient
+    rows; the kernel walks exactly ceil(count/16) 128-triangle sub-chunks
+    and emits only (depth, winner).  Perspective-correct barycentrics and
+    the source-triangle mapping are recovered by one XLA pass over the
+    framebuffer.
 
     Memory note: the binning matrix is (tiles x groups) bool and the
-    gathered setup is (tiles, 24, cap) f32 — fine up to ~100k triangles at
-    1080p; beyond that raise ``group`` or use the ranged `rasterize`.
+    gathered coefficients are (tiles, subs, 16, 128) f32 — fine up to ~100k
+    triangles at 1080p; beyond that raise ``group`` or use the ranged
+    `rasterize`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -619,7 +591,6 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
     src_sorted = src_id[order]
 
-    # pad slot count to a group multiple; padded slots are invalid
     f2 = tx.shape[0]
     fp = _round_up(f2, tri_chunk)
     pad = fp - f2
@@ -630,28 +601,42 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
             padf, (tx, ty, tz, tw, b1, b2, valid))
         src_sorted = jnp.concatenate(
             [src_sorted, jnp.zeros((pad,), jnp.int32)])
-    tz = jnp.where(valid[:, None], tz, 10.0)
+
+    # barycentric / depth coefficient rows: l = inv(M) @ (px, py, 1)
+    m = jnp.stack([
+        jnp.stack([tx[:, 0], tx[:, 1], tx[:, 2]], -1),
+        jnp.stack([ty[:, 0], ty[:, 1], ty[:, 2]], -1),
+        jnp.ones((fp, 3), jnp.float32)], axis=1)          # (Fp, 3, 3)
+    det = jnp.linalg.det(m)
+    ok_det = jnp.abs(det) > 1e-12
+    safe_m = jnp.where(ok_det[:, None, None], m,
+                       jnp.broadcast_to(jnp.eye(3), m.shape))
+    inv = jnp.linalg.inv(safe_m)                          # rows: l0, l1, l2
+    l1c = inv[:, 1, :]
+    l2c = inv[:, 2, :]
+    zc = (tz[:, 0, None] * inv[:, 0, :] + tz[:, 1, None] * inv[:, 1, :]
+          + tz[:, 2, None] * inv[:, 2, :])
+    valid = valid & ok_det
+    # invalid triangles: constant z = 10 -> culled by the z-range test
+    zero3 = jnp.zeros((fp, 3), jnp.float32)
+    bad_z = jnp.concatenate([zero3[:, :2], jnp.full((fp, 1), 10.0)], -1)
+    l1c = jnp.where(valid[:, None], l1c, zero3)
+    l2c = jnp.where(valid[:, None], l2c, zero3)
+    zc = jnp.where(valid[:, None], zc, bad_z)
 
     group_ids, counts, overflowed = _bin_groups(
         tx, ty, valid, grid, tile_h, tile_w, group, cap_groups)
-
-    # gather per-tile packed rows: (tiles, 24, capT)
     slots = (group_ids[:, :, None] * group
              + jnp.arange(group, dtype=jnp.int32)[None, None, :]
-             ).reshape(num_tiles, cap_t)                       # (tiles, capT)
-    slot_f = slots.astype(jnp.float32)
+             ).reshape(num_tiles, cap_t)                  # (tiles, capT)
 
     def rows(a):          # (Fp, 3) -> (tiles, 3, capT)
         return a[slots].transpose(0, 2, 1)
 
-    zero = jnp.zeros((num_tiles, 5, cap_t), jnp.float32)
-    data = jnp.concatenate(
-        [rows(tx), rows(ty), rows(tz), rows(tw), rows(b1), rows(b2),
-         slot_f[:, None, :], zero], axis=1)                    # (tiles,24,capT)
-    # reshape to (tiles, subs, 24, TC): dynamic indexing stays on the two
-    # untiled leading dims
-    data = data.reshape(num_tiles, 24, num_subs, tri_chunk)\
-        .transpose(0, 2, 1, 3)
+    zero = jnp.zeros((num_tiles, 7, cap_t), jnp.float32)
+    data = jnp.concatenate([rows(l1c), rows(l2c), rows(zc), zero], axis=1)
+    data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
+        .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
 
     n_sub_per_tile = (counts * group + tri_chunk - 1) // tri_chunk
     meta = n_sub_per_tile.astype(jnp.int32)
@@ -663,36 +648,58 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
     ]
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),      # sub counts (rows, 128)
-        pl.BlockSpec((1, num_subs, 24, tri_chunk),
+        pl.BlockSpec((1, num_subs, 16, tri_chunk),
                      lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
-                     memory_space=pltpu.VMEM),      # per-tile tri data
+                     memory_space=pltpu.VMEM),      # per-tile coefficients
     ]
     kernel = functools.partial(
         _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
         tri_chunk=tri_chunk, num_subs=num_subs, num_tx=grid[1])
-    z, tri, u, v = pl.pallas_call(
+    z, pos = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 2,
         out_shape=out_shape,
         interpret=interpret,
     )(meta, data)
 
+    # ---- XLA resolve: winner position -> slot -> attributes --------------
     z = z[:height, :width]
-    tri = tri[:height, :width].reshape(-1)
-    u = u[:height, :width]
-    v = v[:height, :width]
-    tri = jnp.where(tri >= 0,
-                    src_sorted[jnp.clip(tri, 0, src_sorted.shape[0] - 1)],
-                    -1)
-    hit = HitRecord(t=z.reshape(-1), tri=tri,
-                    u=u.reshape(-1), v=v.reshape(-1))
+    pos = pos[:height, :width]
+    yy = jnp.arange(height) // tile_h
+    xx = jnp.arange(width) // tile_w
+    pix_tile = (yy[:, None] * grid[1] + xx[None, :])      # (H, W)
+    hit_mask = pos >= 0
+    slot = slots[pix_tile, jnp.maximum(pos, 0)]           # (H, W)
+
+    pxc = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    pyc = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    g = lambda a: a[slot]                                 # gather (H, W, ...)
+    l1 = (g(l1c[:, 0]) * pxc + g(l1c[:, 1]) * pyc + g(l1c[:, 2]))
+    l2 = (g(l2c[:, 0]) * pxc + g(l2c[:, 1]) * pyc + g(l2c[:, 2]))
+    l0 = 1.0 - l1 - l2
+    w0 = g(tw[:, 0])
+    w1 = g(tw[:, 1])
+    w2 = g(tw[:, 2])
+    p0 = l0 * w0
+    p1 = l1 * w1
+    p2 = l2 * w2
+    inv_sum = 1.0 / jnp.maximum(p0 + p1 + p2, 1e-20)
+    u_c = p1 * inv_sum
+    v_c = p2 * inv_sum
+    w_c = 1.0 - u_c - v_c
+    src_u = w_c * g(b1[:, 0]) + u_c * g(b1[:, 1]) + v_c * g(b1[:, 2])
+    src_v = w_c * g(b2[:, 0]) + u_c * g(b2[:, 1]) + v_c * g(b2[:, 2])
+    tri = jnp.where(hit_mask, src_sorted[slot], -1)
+    z = jnp.where(hit_mask, z, _BIG)
+
+    hit = HitRecord(t=z.reshape(-1), tri=tri.reshape(-1),
+                    u=jnp.where(hit_mask, src_u, 0.0).reshape(-1),
+                    v=jnp.where(hit_mask, src_v, 0.0).reshape(-1))
     return hit, z
