@@ -49,6 +49,16 @@ def make_camera(eye, target, fov_y_deg: float, aspect: float,
         near=near, far=far, fov_y=fov)
 
 
+def make_ortho_camera(eye, target, half_height: float, aspect: float,
+                      near: float = 0.05, far: float = 100.0,
+                      up=(0.0, 1.0, 0.0)) -> CameraState:
+    return CameraState(
+        eye=np.asarray(eye, np.float32),
+        view=math3d.look_at(eye, target, up),
+        proj=math3d.orthographic(half_height, aspect, near, far),
+        near=near, far=far, fov_y=0.0)
+
+
 def sync_camera(stage: Stage, prim: Prim, aspect: float) -> CameraState:
     eye = np.asarray(prim.get("vri:eye", (0, 0, 3)), np.float32)
     target = np.asarray(prim.get("vri:target", (0, 0, 0)), np.float32)

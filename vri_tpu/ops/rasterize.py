@@ -515,18 +515,27 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     py = y0 + 0.5 + (pix // tile_w).astype(jnp.float32)
     px = x0 + 0.5 + (pix % tile_w).astype(jnp.float32)
-    pixmat = jnp.concatenate([px, py, jnp.ones_like(px)], axis=-1)  # (P, 3)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
 
     def sub_body(s, carry):
         best_z, best_pos = carry
         d = tri_ref[0, s]                                 # (16, TC)
-        # barycentrics + depth are all linear in (px, py, 1): three small
-        # MXU matmuls per 128-triangle sub-chunk
-        l1 = jnp.dot(pixmat, d[0:3], preferred_element_type=jnp.float32)
-        l2 = jnp.dot(pixmat, d[3:6], preferred_element_type=jnp.float32)
-        z = jnp.dot(pixmat, d[6:9], preferred_element_type=jnp.float32)
-        inside = (l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
+        ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
+        ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
+        az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
+        # corner-difference edge functions: numerically stable at any
+        # screen coordinate (coefficient forms cancel catastrophically at
+        # 1080p pixel magnitudes)
+        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                 ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        inv_area = 1.0 / area
+        l1 = e1 * inv_area
+        l2 = e2 * inv_area
+        z = az + l1 * (bz - az) + l2 * (cz - az)
         ok = inside & (z >= 0.0) & (z <= 1.0)
         zm = jnp.where(ok, z, 3.0e38)
         z_best = jnp.min(zm, axis=-1, keepdims=True)      # (P, 1)
@@ -602,27 +611,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         src_sorted = jnp.concatenate(
             [src_sorted, jnp.zeros((pad,), jnp.int32)])
 
-    # barycentric / depth coefficient rows: l = inv(M) @ (px, py, 1)
-    m = jnp.stack([
-        jnp.stack([tx[:, 0], tx[:, 1], tx[:, 2]], -1),
-        jnp.stack([ty[:, 0], ty[:, 1], ty[:, 2]], -1),
-        jnp.ones((fp, 3), jnp.float32)], axis=1)          # (Fp, 3, 3)
-    det = jnp.linalg.det(m)
-    ok_det = jnp.abs(det) > 1e-12
-    safe_m = jnp.where(ok_det[:, None, None], m,
-                       jnp.broadcast_to(jnp.eye(3), m.shape))
-    inv = jnp.linalg.inv(safe_m)                          # rows: l0, l1, l2
-    l1c = inv[:, 1, :]
-    l2c = inv[:, 2, :]
-    zc = (tz[:, 0, None] * inv[:, 0, :] + tz[:, 1, None] * inv[:, 1, :]
-          + tz[:, 2, None] * inv[:, 2, :])
-    valid = valid & ok_det
     # invalid triangles: constant z = 10 -> culled by the z-range test
-    zero3 = jnp.zeros((fp, 3), jnp.float32)
-    bad_z = jnp.concatenate([zero3[:, :2], jnp.full((fp, 1), 10.0)], -1)
-    l1c = jnp.where(valid[:, None], l1c, zero3)
-    l2c = jnp.where(valid[:, None], l2c, zero3)
-    zc = jnp.where(valid[:, None], zc, bad_z)
+    tz = jnp.where(valid[:, None], tz, 10.0)
 
     group_ids, counts, overflowed = _bin_groups(
         tx, ty, valid, grid, tile_h, tile_w, group, cap_groups)
@@ -634,7 +624,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         return a[slots].transpose(0, 2, 1)
 
     zero = jnp.zeros((num_tiles, 7, cap_t), jnp.float32)
-    data = jnp.concatenate([rows(l1c), rows(l2c), rows(zc), zero], axis=1)
+    data = jnp.concatenate([rows(tx), rows(ty), rows(tz), zero], axis=1)
     data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
         .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
 
@@ -681,8 +671,14 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     pxc = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     pyc = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
     g = lambda a: a[slot]                                 # gather (H, W, ...)
-    l1 = (g(l1c[:, 0]) * pxc + g(l1c[:, 1]) * pyc + g(l1c[:, 2]))
-    l2 = (g(l2c[:, 0]) * pxc + g(l2c[:, 1]) * pyc + g(l2c[:, 2]))
+    ax, bx, cx = g(tx[:, 0]), g(tx[:, 1]), g(tx[:, 2])
+    ay, by, cy = g(ty[:, 0]), g(ty[:, 1]), g(ty[:, 2])
+    e1 = (ax - cx) * (pyc - cy) - (ay - cy) * (pxc - cx)
+    e2 = (bx - ax) * (pyc - ay) - (by - ay) * (pxc - ax)
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-20, area, 1.0)
+    l1 = e1 * inv_area
+    l2 = e2 * inv_area
     l0 = 1.0 - l1 - l2
     w0 = g(tw[:, 0])
     w1 = g(tw[:, 1])

@@ -44,5 +44,8 @@ def camera_rays(inv_view_proj: jnp.ndarray, eye: jnp.ndarray,
     p_far = unproject(0.98)
     d = p_far - p_near
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    origins = jnp.broadcast_to(eye, d.shape)
+    # perspective rays share the eye; orthographic rays start on the near
+    # plane (rays parallel <=> unprojected directions identical everywhere)
+    is_persp = jnp.linalg.norm(d[0, 0] - d[-1, -1]) > 1e-6
+    origins = jnp.where(is_persp, jnp.broadcast_to(eye, d.shape), p_near)
     return origins, d

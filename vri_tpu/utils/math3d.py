@@ -112,6 +112,18 @@ def perspective(fov_y_rad: float, aspect: float, near: float, far: float) -> np.
     return m
 
 
+def orthographic(half_height: float, aspect: float, near: float,
+                 far: float) -> np.ndarray:
+    """Orthographic projection, depth mapped to [0,1] like perspective()."""
+    m = np.zeros((4, 4), dtype=np.float32)
+    m[0, 0] = 1.0 / (half_height * aspect)
+    m[1, 1] = 1.0 / half_height
+    m[2, 2] = 1.0 / (near - far)
+    m[2, 3] = near / (near - far)
+    m[3, 3] = 1.0
+    return m
+
+
 def transform_points(m, pts):
     """Apply a (4,4) matrix to (..., 3) points; returns (..., 3)."""
     xp = _xp(pts)
