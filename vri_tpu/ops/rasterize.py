@@ -11,20 +11,30 @@ not copied, Visibility.hlsl:21), NDC depth, and perspective-correct
 barycentrics (computed as in Shaders/Source/Barycentric.hlsl:17-56, from
 screen-space edge weights and 1/w).
 
-Layout is chosen for Mosaic: triangle setup is packed into a
-(num_chunks, 16, tri_chunk) f32 array — dynamic indexing happens only on the
-untiled leading (chunk) dimension; the 16 sublane rows hold x/y/z/1/w per
-corner.  Per-chunk screen bounds live in SMEM for the coarse tile-vs-chunk
-cull.  Edge/depth math runs on (pixels, tri_chunk) = (1024, 128) VPU blocks.
+Two variants share the math:
 
-Triangle setup (clip transform, pixel-space projection, validity) runs as
-plain XLA ops — one (V,4)x(4,4) matmul on the MXU — before the kernel.
+* :func:`rasterize` — triangle chunks in screen-Morton order with per-tile
+  chunk *ranges* (traced fori bounds) + an overlap bitmask cull; scales to
+  arbitrary triangle counts.
+* :func:`rasterize_binned` (default) — exact per-tile lists of 8-triangle
+  groups gathered by XLA (the TPU-native indirect-draw batching); the Pallas
+  kernel evaluates corner-difference edge functions on (1024 px, 128 tri)
+  VPU blocks and emits only (depth, winner); all attribute reconstruction
+  (perspective-correct uv, near-clip source-bary mapping) happens in one XLA
+  gather pass over the framebuffer.
+
+Triangle setup (clip transform, near-plane clipping with a static 2x
+expansion, pixel-space projection, validity) runs as plain XLA ops — one
+(V,4)x(4,4) matmul on the MXU — before the kernel.  Layout constraints that
+shaped the design: dynamic indexing only on untiled leading dims; SMEM
+scalars packed into 128-wide int32 rows (narrow SMEM rows pad to 512B);
+edge functions evaluated in corner-difference form (coefficient forms
+cancel catastrophically in f32 at 1080p pixel magnitudes).
 
 Conventions: pixel (0,0) top-left, sample at pixel centers (+0.5); two-sided
 rasterization (edge weights all >= 0 or all <= 0); depth test on z_ndc in
-[0,1], smaller = nearer.  Triangles crossing the near plane are dropped in
-v1 (no near clipping yet); invalid/padded triangles are encoded with z = 10
-so the depth-range test culls them.
+[0,1], smaller = nearer; invalid/padded triangles are encoded with z = 10 so
+the depth-range test culls them.
 """
 
 from __future__ import annotations
