@@ -181,7 +181,8 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
 
 
 def _screen_morton_order(tx, ty, valid, height: int, width: int,
-                         large_span: float = 160.0) -> jnp.ndarray:
+                         large_span: float = 160.0,
+                         partition_large: bool = True) -> jnp.ndarray:
     """Spatial-locality permutation for the chunk cull.
 
     Triangles are sorted by the Morton code of their screen-AABB center so
@@ -208,11 +209,19 @@ def _screen_morton_order(tx, ty, valid, height: int, width: int,
         return v
 
     code = (spread(cx.astype(jnp.uint32)) << 1) | spread(cy.astype(jnp.uint32))
-    large = ((hix - lox) > large_span) | ((hiy - loy) > large_span)
-    # large -> key 0 block (front), normal -> morton+1, invalid -> back
-    key = jnp.where(large, jnp.uint32(0), code + 1)
+    if partition_large:
+        # ranged kernel: screen-spanning triangles go to a front block every
+        # tile walks, so local chunk ranges stay compact
+        large = ((hix - lox) > large_span) | ((hiy - loy) > large_span)
+        key = jnp.where(large, jnp.uint32(0), code + 1)
+        n_large = jnp.sum(large & valid).astype(jnp.int32)
+    else:
+        # binned kernel: per-group bboxes already reflect triangle size;
+        # partitioning would pack unrelated screen-spanning triangles into
+        # shared mega-bbox groups that overlap every tile
+        key = code
+        n_large = jnp.int32(0)
     key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
-    n_large = jnp.sum(large & valid).astype(jnp.int32)
     return jnp.argsort(key).astype(jnp.int32), n_large
 
 
@@ -506,25 +515,22 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
     return group_ids, jnp.minimum(counts, cap_groups), overflowed
 
 
-def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
+def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
                           num_subs: int, num_tx: int):
-    """Minimal visibility inner loop: barycentric-coefficient matmuls on the
-    MXU + depth/winner reduction on the VPU.
+    """Minimal visibility inner loop: corner-difference edge functions on
+    the VPU, depth/winner reduction, nothing else.
 
     Only (depth, winner list position) leave the kernel; every other
     attribute is recovered afterwards by one XLA gather pass over the
-    framebuffer (no per-(pixel, triangle) attribute work at all).
+    framebuffer.  Triangle coordinates arrive pre-translated to tile-local
+    pixel space, so the pixel pattern below is a loop constant; the sub-chunk
+    loop has static bounds (padding slots carry z=10 and never win).
     """
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile_id = ti * num_tx + tj
     p = tile_h * tile_w
-    y0 = (ti * tile_h).astype(jnp.float32)
-    x0 = (tj * tile_w).astype(jnp.float32)
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    py = y0 + 0.5 + (pix // tile_w).astype(jnp.float32)
-    px = x0 + 0.5 + (pix % tile_w).astype(jnp.float32)
+    py = 0.5 + (pix // tile_w).astype(jnp.float32)
+    px = 0.5 + (pix % tile_w).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
 
     def sub_body(s, carry):
@@ -559,9 +565,9 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
 
     init = (jnp.full((p, 1), 3.0e38, jnp.float32),
             jnp.full((p, 1), -1, jnp.int32))
-    n_sub = meta_ref[tile_id // 128, tile_id % 128]
-    best_z, best_pos = jax.lax.fori_loop(
-        0, jnp.minimum(n_sub, num_subs), sub_body, init)
+    best_z, best_pos = init
+    for s in range(num_subs):      # static: Mosaic unrolls and pipelines
+        best_z, best_pos = sub_body(s, (best_z, best_pos))
     z_out[:, :] = best_z.reshape(tile_h, tile_w)
     pos_out[:, :] = best_pos.reshape(tile_h, tile_w)
 
@@ -605,7 +611,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj, height, width)
-    order, _ = _screen_morton_order(tx, ty, valid, height, width)
+    order, _ = _screen_morton_order(tx, ty, valid, height, width,
+                                    partition_large=False)
     tx, ty, tz, tw, b1, b2, valid = (
         a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
     src_sorted = src_id[order]
@@ -633,17 +640,16 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     def rows(a):          # (Fp, 3) -> (tiles, 3, capT)
         return a[slots].transpose(0, 2, 1)
 
+    # tile-local coordinates: the kernel's pixel pattern becomes a constant
+    tile_x0 = ((jnp.arange(num_tiles) % grid[1]) * tile_w
+               ).astype(jnp.float32)[:, None, None]
+    tile_y0 = ((jnp.arange(num_tiles) // grid[1]) * tile_h
+               ).astype(jnp.float32)[:, None, None]
     zero = jnp.zeros((num_tiles, 7, cap_t), jnp.float32)
-    data = jnp.concatenate([rows(tx), rows(ty), rows(tz), zero], axis=1)
+    data = jnp.concatenate(
+        [rows(tx) - tile_x0, rows(ty) - tile_y0, rows(tz), zero], axis=1)
     data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
         .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
-
-    n_sub_per_tile = (counts * group + tri_chunk - 1) // tri_chunk
-    meta = n_sub_per_tile.astype(jnp.int32)
-    pad_m = (-meta.shape[0]) % 128
-    if pad_m:
-        meta = jnp.concatenate([meta, jnp.zeros((pad_m,), jnp.int32)])
-    meta = meta.reshape(-1, 128)
 
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
@@ -652,10 +658,9 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # sub counts (rows, 128)
         pl.BlockSpec((1, num_subs, 16, tri_chunk),
                      lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
-                     memory_space=pltpu.VMEM),      # per-tile coefficients
+                     memory_space=pltpu.VMEM),      # per-tile corner rows
     ]
     kernel = functools.partial(
         _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -667,7 +672,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, data)
+    )(data)
 
     # ---- XLA resolve: winner position -> slot -> attributes --------------
     z = z[:height, :width]
