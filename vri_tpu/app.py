@@ -33,6 +33,9 @@ def parse_args(argv=None):
                         "sdf_grad|sdf_brick_id|sdf_cascade_id")
     p.add_argument("--no-gi", action="store_true",
                    help="direct lighting only (no SDF cascades)")
+    p.add_argument("--sdf", default="room",
+                   choices=["reference", "room", "tiny"],
+                   help="SDF cascade preset (scale of the GI structure)")
     p.add_argument("--backend", default="raster",
                    choices=["raster", "bvh", "brute"])
     p.add_argument("--samples", type=int, default=1, help="GI samples/frame")
@@ -63,8 +66,11 @@ def main(argv=None) -> int:
     from vri_tpu.usd import scenes
     from vri_tpu.utils.image import write_png
 
+    from vri_tpu.config import SDFConfig
+
     mode = getattr(DebugMode, args.mode.upper())
-    cfg = RenderConfig(width=args.width, height=args.height)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       sdf=SDFConfig.preset(args.sdf))
     renderer = Renderer(cfg)
 
     if args.cache and os.path.exists(args.cache):

@@ -75,6 +75,24 @@ class SDFConfig:
     atlas_u8: bool = False
     max_triangles_per_brick: int = 64
 
+    @classmethod
+    def preset(cls, name: str) -> "SDFConfig":
+        """Named presets: 'reference' mirrors the reference's scale
+        (8 cascades, 64^3); 'room' suits interior scenes a few meters
+        across; 'tiny' keeps CPU tests fast."""
+        if name == "reference":
+            return cls()
+        if name == "room":
+            return cls(num_cascades=6, cascade_resolution=64,
+                       base_voxel_size=0.05, max_bricks=1 << 15,
+                       max_triangles_per_brick=32)
+        if name == "tiny":
+            return cls(num_cascades=2, cascade_resolution=16,
+                       base_voxel_size=0.15, max_bricks=8192,
+                       truncation_voxels=3.0, max_triangles_per_brick=16,
+                       march_max_steps=64)
+        raise ValueError(f"unknown SDF preset {name!r}")
+
     @property
     def bricks_per_axis(self) -> int:
         return self.cascade_resolution // self.brick_size
