@@ -532,9 +532,16 @@ def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
     py = 0.5 + (pix // tile_w).astype(jnp.float32)
     px = 0.5 + (pix % tile_w).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
+    # depth + winner position packed into one sortable int32: the low 9
+    # mantissa bits of (positive) z carry the list position, so the whole
+    # depth test + tie-break collapses into a single lane-min reduction.
+    # Costs 9 mantissa bits of depth resolution (relative 2^-14) — far below
+    # any geometric tolerance here.
+    pos_bits = 9
+    assert num_subs * tri_chunk <= (1 << pos_bits)
+    mask = jnp.int32(~((1 << pos_bits) - 1))
 
-    def sub_body(s, carry):
-        best_z, best_pos = carry
+    def sub_body(s, best_key):
         d = tri_ref[0, s]                                 # (16, TC)
         ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
         ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
@@ -553,23 +560,21 @@ def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
         l2 = e2 * inv_area
         z = az + l1 * (bz - az) + l2 * (cz - az)
         ok = inside & (z >= 0.0) & (z <= 1.0)
-        zm = jnp.where(ok, z, 3.0e38)
-        z_best = jnp.min(zm, axis=-1, keepdims=True)      # (P, 1)
-        is_best = (zm == z_best) & ok
-        k = jnp.min(jnp.where(is_best, lane, jnp.int32(2**30)), axis=-1,
-                    keepdims=True)
-        closer = z_best < best_z
-        pos = s * tri_chunk + k
-        return (jnp.where(closer, z_best, best_z),
-                jnp.where(closer, pos, best_pos))
+        zm = jnp.where(ok, z, 2.0)
+        key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) \
+            | (s * tri_chunk + lane)
+        return jnp.minimum(best_key,
+                           jnp.min(key, axis=-1, keepdims=True))
 
-    init = (jnp.full((p, 1), 3.0e38, jnp.float32),
-            jnp.full((p, 1), -1, jnp.int32))
-    best_z, best_pos = init
+    miss_key = jax.lax.bitcast_convert_type(jnp.float32(2.0), jnp.int32)
+    best_key = jnp.full((p, 1), miss_key, jnp.int32)
     for s in range(num_subs):      # static: Mosaic unrolls and pipelines
-        best_z, best_pos = sub_body(s, (best_z, best_pos))
-    z_out[:, :] = best_z.reshape(tile_h, tile_w)
-    pos_out[:, :] = best_pos.reshape(tile_h, tile_w)
+        best_key = sub_body(s, best_key)
+    z = jax.lax.bitcast_convert_type(best_key & mask, jnp.float32)
+    hit = z <= 1.0
+    pos = jnp.where(hit, best_key & ~mask, -1)
+    z_out[:, :] = jnp.where(hit, z, 3.0e38).reshape(tile_h, tile_w)
+    pos_out[:, :] = pos.reshape(tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
