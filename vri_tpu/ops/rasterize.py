@@ -566,7 +566,7 @@ def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
         return jnp.minimum(best_key,
                            jnp.min(key, axis=-1, keepdims=True))
 
-    miss_key = jax.lax.bitcast_convert_type(jnp.float32(2.0), jnp.int32)
+    miss_key = 1073741824  # f32 2.0 bit pattern (scalar bitcast is unsupported)
     best_key = jnp.full((p, 1), miss_key, jnp.int32)
     for s in range(num_subs):      # static: Mosaic unrolls and pipelines
         best_key = sub_body(s, best_key)
