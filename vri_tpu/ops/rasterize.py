@@ -515,7 +515,7 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
     return group_ids, jnp.minimum(counts, cap_groups), overflowed
 
 
-def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
+def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
                           num_subs: int, num_tx: int):
     """Minimal visibility inner loop: corner-difference edge functions on
@@ -527,6 +527,9 @@ def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
     pixel space, so the pixel pattern below is a loop constant; the sub-chunk
     loop has static bounds (padding slots carry z=10 and never win).
     """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_id = ti * num_tx + tj
     p = tile_h * tile_w
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     py = 0.5 + (pix // tile_w).astype(jnp.float32)
@@ -568,8 +571,9 @@ def _raster_binned_kernel(tri_ref, z_out, pos_out, *,
 
     miss_key = 1073741824  # f32 2.0 bit pattern (scalar bitcast is unsupported)
     best_key = jnp.full((p, 1), miss_key, jnp.int32)
-    for s in range(num_subs):      # static: Mosaic unrolls and pipelines
-        best_key = sub_body(s, best_key)
+    n_sub = meta_ref[tile_id // 128, tile_id % 128]
+    best_key = jax.lax.fori_loop(0, jnp.minimum(n_sub, num_subs), sub_body,
+                                 best_key)
     z = jax.lax.bitcast_convert_type(best_key & mask, jnp.float32)
     hit = z <= 1.0
     pos = jnp.where(hit, best_key & ~mask, -1)
@@ -656,6 +660,13 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
         .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
 
+    n_sub_per_tile = (counts * group + tri_chunk - 1) // tri_chunk
+    meta = n_sub_per_tile.astype(jnp.int32)
+    pad_m = (-meta.shape[0]) % 128
+    if pad_m:
+        meta = jnp.concatenate([meta, jnp.zeros((pad_m,), jnp.int32)])
+    meta = meta.reshape(-1, 128)
+
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),
@@ -663,6 +674,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # sub counts (rows, 128)
         pl.BlockSpec((1, num_subs, 16, tri_chunk),
                      lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
                      memory_space=pltpu.VMEM),      # per-tile corner rows
@@ -677,7 +689,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
         interpret=interpret,
-    )(data)
+    )(meta, data)
 
     # ---- XLA resolve: winner position -> slot -> attributes --------------
     z = z[:height, :width]
@@ -688,11 +700,18 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     hit_mask = pos >= 0
     slot = slots[pix_tile, jnp.maximum(pos, 0)]           # (H, W)
 
+    # one contiguous row gather per pixel: XLA's per-index gather overhead
+    # dominated when this was 15 separate gathers
+    table = jnp.concatenate(
+        [tx, ty, tw, b1, b2, src_sorted.astype(jnp.float32)[:, None]],
+        axis=1)                                           # (Fp, 16)
+    attrs = table[slot]                                   # (H, W, 16)
+    ax, bx, cx = attrs[..., 0], attrs[..., 1], attrs[..., 2]
+    ay, by, cy = attrs[..., 3], attrs[..., 4], attrs[..., 5]
+    w0, w1, w2 = attrs[..., 6], attrs[..., 7], attrs[..., 8]
+
     pxc = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     pyc = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
-    g = lambda a: a[slot]                                 # gather (H, W, ...)
-    ax, bx, cx = g(tx[:, 0]), g(tx[:, 1]), g(tx[:, 2])
-    ay, by, cy = g(ty[:, 0]), g(ty[:, 1]), g(ty[:, 2])
     e1 = (ax - cx) * (pyc - cy) - (ay - cy) * (pxc - cx)
     e2 = (bx - ax) * (pyc - ay) - (by - ay) * (pxc - ax)
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
@@ -700,9 +719,6 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     l1 = e1 * inv_area
     l2 = e2 * inv_area
     l0 = 1.0 - l1 - l2
-    w0 = g(tw[:, 0])
-    w1 = g(tw[:, 1])
-    w2 = g(tw[:, 2])
     p0 = l0 * w0
     p1 = l1 * w1
     p2 = l2 * w2
@@ -710,9 +726,11 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     u_c = p1 * inv_sum
     v_c = p2 * inv_sum
     w_c = 1.0 - u_c - v_c
-    src_u = w_c * g(b1[:, 0]) + u_c * g(b1[:, 1]) + v_c * g(b1[:, 2])
-    src_v = w_c * g(b2[:, 0]) + u_c * g(b2[:, 1]) + v_c * g(b2[:, 2])
-    tri = jnp.where(hit_mask, src_sorted[slot], -1)
+    src_u = (w_c * attrs[..., 9] + u_c * attrs[..., 10]
+             + v_c * attrs[..., 11])
+    src_v = (w_c * attrs[..., 12] + u_c * attrs[..., 13]
+             + v_c * attrs[..., 14])
+    tri = jnp.where(hit_mask, attrs[..., 15].astype(jnp.int32), -1)
     z = jnp.where(hit_mask, z, _BIG)
 
     hit = HitRecord(t=z.reshape(-1), tri=tri.reshape(-1),
