@@ -56,76 +56,75 @@ def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
     bsz = config.brick_size
     m = p.shape[0]
 
-    d_best = jnp.full((m,), BIG, jnp.float32)
-    cas_best = jnp.full((m,), -1, jnp.int32)
-    brick_best = jnp.full((m,), -1, jnp.int32)
-    uvw_best = jnp.zeros((m, 3), jnp.float32)
-    exit_best = jnp.zeros((m,), jnp.float32)
-    chosen = jnp.zeros((m,), bool)
+    # cascade selection is pure arithmetic (no gathers): the finest cascade
+    # whose grid contains the point.  TPU per-index gather cost dominates
+    # this function, so everything below gathers exactly once per point.
+    vs_all = sdf.voxel_size                       # (N,)
+    org_all = cascade_origin(sdf.center, vs_all, r)          # (N, 3)
+    local_all = (p[:, None, :] - org_all[None]) / vs_all[None, :, None]
+    inside_all = jnp.all((local_all >= 0) & (local_all < r), axis=-1)  # (m,N)
+    ncol = jnp.arange(n_cas, dtype=jnp.int32)
+    cas = jnp.min(jnp.where(inside_all, ncol[None, :], n_cas), axis=-1)
+    chosen = cas < n_cas
+    cas_c = jnp.minimum(cas, n_cas - 1)
 
-    # finest-first: once a ray is inside a cascade, coarser ones are skipped
-    for n in range(n_cas):
-        vs = sdf.voxel_size[n]
-        org = cascade_origin(sdf.center[n], vs, r)
-        local = (p - org) / vs                     # voxel coords (x, y, z)
-        vox = jnp.floor(local).astype(jnp.int32)
-        inside = jnp.all((vox >= 0) & (vox < r), axis=-1)
-        take = inside & ~chosen
-        vox_c = jnp.clip(vox, 0, r - 1)
-        brick = sdf.brick_map[n, vox_c[:, 2], vox_c[:, 1], vox_c[:, 0]]
-        frac = local - vox_c.astype(jnp.float32)   # [0,1) within voxel
+    vs = vs_all[cas_c]                                        # (m,)
+    local = jnp.take_along_axis(local_all, cas_c[:, None, None],
+                                axis=1)[:, 0, :]              # (m, 3)
+    vox = jnp.floor(local).astype(jnp.int32)
+    vox_c = jnp.clip(vox, 0, r - 1)
+    brick = sdf.brick_map[cas_c, vox_c[:, 2], vox_c[:, 1], vox_c[:, 0]]
+    frac = local - vox_c.astype(jnp.float32)      # [0,1) within voxel
 
-        # trilinear sample of the brick's (B,B,B) texel grid
-        tc = frac * bsz - 0.5
-        t0 = jnp.floor(tc)
-        fr = tc - t0
-        t0i = t0.astype(jnp.int32)
-        b_idx = jnp.maximum(brick, 0)
+    # trilinear sample of the brick's (B,B,B) texel grid
+    tc = frac * bsz - 0.5
+    t0 = jnp.floor(tc)
+    fr = tc - t0
+    t0i = t0.astype(jnp.int32)
+    b_idx = jnp.maximum(brick, 0)
 
-        def tap(dx, dy, dz):
-            ix = jnp.clip(t0i[:, 0] + dx, 0, bsz - 1)
-            iy = jnp.clip(t0i[:, 1] + dy, 0, bsz - 1)
-            iz = jnp.clip(t0i[:, 2] + dz, 0, bsz - 1)
-            return sdf.atlas[b_idx, iz, iy, ix]
+    # two contiguous (2, B)-row gathers instead of eight point gathers
+    iz0 = jnp.clip(t0i[:, 2], 0, bsz - 1)
+    iz1 = jnp.clip(t0i[:, 2] + 1, 0, bsz - 1)
+    iy0 = jnp.clip(t0i[:, 1], 0, bsz - 1)
+    iy1 = jnp.clip(t0i[:, 1] + 1, 0, bsz - 1)
+    rows = jnp.stack([sdf.atlas[b_idx, iz0, iy0],
+                      sdf.atlas[b_idx, iz0, iy1],
+                      sdf.atlas[b_idx, iz1, iy0],
+                      sdf.atlas[b_idx, iz1, iy1]], axis=1)    # (m, 4, B)
+    if rows.dtype == jnp.uint8:
+        rows = rows.astype(jnp.float32) * (1.0 / 255.0)
+    ix0 = jnp.clip(t0i[:, 0], 0, bsz - 1)
+    ix1 = jnp.clip(t0i[:, 0] + 1, 0, bsz - 1)
+    c0 = jnp.take_along_axis(rows, ix0[:, None, None], axis=2)[:, :, 0]
+    c1 = jnp.take_along_axis(rows, ix1[:, None, None], axis=2)[:, :, 0]
+    fx, fy, fz = fr[:, 0], fr[:, 1], fr[:, 2]
+    dx = c0 * (1 - fx)[:, None] + c1 * fx[:, None]            # (m, 4)
+    d0 = dx[:, 0] * (1 - fy) + dx[:, 1] * fy
+    d1 = dx[:, 2] * (1 - fy) + dx[:, 3] * fy
+    d01v = d0 * (1 - fz) + d1 * fz                # normalized [0,1]
 
-        if sdf.atlas.dtype == jnp.uint8:
-            raw_tap = tap
-            tap = lambda dx, dy, dz: \
-                raw_tap(dx, dy, dz).astype(jnp.float32) * (1.0 / 255.0)
-        fx, fy, fz = fr[:, 0], fr[:, 1], fr[:, 2]
-        d00 = tap(0, 0, 0) * (1 - fx) + tap(1, 0, 0) * fx
-        d10 = tap(0, 1, 0) * (1 - fx) + tap(1, 1, 0) * fx
-        d01_ = tap(0, 0, 1) * (1 - fx) + tap(1, 0, 1) * fx
-        d11 = tap(0, 1, 1) * (1 - fx) + tap(1, 1, 1) * fx
-        d0 = d00 * (1 - fy) + d10 * fy
-        d1 = d01_ * (1 - fy) + d11 * fy
-        d01v = d0 * (1 - fz) + d1 * fz             # normalized [0,1]
+    trunc_w = config.truncation_voxels * vs
+    has_brick = (brick >= 0) & chosen
+    d_best = jnp.where(has_brick, d01v * trunc_w, BIG)
 
-        trunc_w = config.truncation_voxels * vs
-        has_brick = brick >= 0
-        d_world = jnp.where(has_brick, d01v * trunc_w, BIG)
+    if dirs is not None:
+        # distance (world) along the ray to this voxel's exit planes;
+        # axes the ray doesn't move along never produce an exit
+        safe_d = jnp.where(jnp.abs(dirs) < 1e-9,
+                           jnp.where(dirs < 0, -1e-9, 1e-9), dirs)
+        target = jnp.where(dirs > 0, vox_c.astype(jnp.float32) + 1.0,
+                           vox_c.astype(jnp.float32))
+        t_ax = (target - local) * vs[:, None] / safe_d
+        t_ax = jnp.where(jnp.abs(dirs) < 1e-9, BIG, t_ax)
+        exit_t = jnp.maximum(jnp.min(t_ax, axis=-1), 0.0)
+    else:
+        exit_t = jnp.zeros((m,), jnp.float32)
 
-        if dirs is not None:
-            # distance (world) along the ray to this voxel's exit planes;
-            # axes the ray doesn't move along never produce an exit
-            safe_d = jnp.where(jnp.abs(dirs) < 1e-9,
-                               jnp.where(dirs < 0, -1e-9, 1e-9), dirs)
-            target = jnp.where(dirs > 0, vox_c.astype(jnp.float32) + 1.0,
-                               vox_c.astype(jnp.float32))
-            t_ax = (target - local) * vs / safe_d
-            t_ax = jnp.where(jnp.abs(dirs) < 1e-9, BIG, t_ax)
-            exit_t = jnp.maximum(jnp.min(t_ax, axis=-1), 0.0)
-        else:
-            exit_t = jnp.zeros((m,), jnp.float32)
-
-        d_best = jnp.where(take, d_world, d_best)
-        cas_best = jnp.where(take, n, cas_best)
-        brick_best = jnp.where(take, brick, brick_best)
-        uvw_best = jnp.where(take[:, None], frac, uvw_best)
-        exit_best = jnp.where(take, exit_t, exit_best)
-        chosen = chosen | take
-
-    return d_best, cas_best, brick_best, uvw_best, chosen, exit_best
+    cas_best = jnp.where(chosen, cas_c, -1)
+    brick_best = jnp.where(chosen, brick, -1)
+    uvw_best = jnp.where(chosen[:, None], frac, 0.0)
+    return d_best, cas_best, brick_best, uvw_best, chosen, exit_t
 
 
 @functools.partial(jax.jit, static_argnames=("config", "max_steps"))
