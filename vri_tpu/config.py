@@ -84,8 +84,8 @@ class SDFConfig:
             return cls()
         if name == "room":
             return cls(num_cascades=6, cascade_resolution=64,
-                       base_voxel_size=0.05, max_bricks=1 << 15,
-                       max_triangles_per_brick=32)
+                       base_voxel_size=0.05, max_bricks=1 << 17,
+                       max_triangles_per_brick=32, atlas_u8=True)
         if name == "tiny":
             return cls(num_cascades=2, cascade_resolution=16,
                        base_voxel_size=0.15, max_bricks=8192,

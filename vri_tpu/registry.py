@@ -232,8 +232,10 @@ class ResourceRegistry:
         return tr, lo, hi
 
     def _pack_lights(self):
+        # exact capacity: every padded light slot costs a full SDF shadow
+        # march per pixel in the lightloop, so no padding quantum here
         n = len(self._lights)
-        cap = max(_round_up(max(n, 1), 4), 4)
+        cap = max(n, 1)
         lp = np.zeros((cap, 3), np.float32)
         lc = np.ones((cap, 3), np.float32)
         li = np.zeros((cap,), np.float32)
