@@ -104,11 +104,11 @@ def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("config", "samples",
                                              "gi_steps", "shadow_steps",
-                                             "gi_clamp"))
+                                             "gi_clamp", "use_cache"))
 def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
               key: jax.Array, *, config: SDFConfig, samples: int = 1,
               gi_steps: int = 64, shadow_steps: int = 48,
-              gi_clamp: float = 4.0) -> jnp.ndarray:
+              gi_clamp: float = 4.0, use_cache: bool = False) -> jnp.ndarray:
     """Full shading: emissive + albedo * (direct + 1-bounce GI).
     ``gi_clamp`` bounds each bounce sample's radiance (firefly control)."""
     n = gb.position.shape[0]
@@ -132,9 +132,14 @@ def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
         # two-sided surface cache: face the incoming ray
         n_hit = jnp.where(jnp.sum(n_hit * wi, axis=-1, keepdims=True) > 0,
                           -n_hit, n_hit)
-        hit_bias = surface_bias(hit_p, cascades, config)[:, None]
-        l_hit = direct_radiance(hit_p + n_hit * hit_bias, n_hit, scene,
-                                cascades, config, shadow_steps=shadow_steps)
+        if use_cache:
+            # radiance cache: irradiance baked per brick at build time
+            l_hit = cascades.brick_irradiance[b]
+        else:
+            hit_bias = surface_bias(hit_p, cascades, config)[:, None]
+            l_hit = direct_radiance(hit_p + n_hit * hit_bias, n_hit, scene,
+                                    cascades, config,
+                                    shadow_steps=shadow_steps)
         bounce = jnp.minimum(alb_hit * l_hit, gi_clamp)
         sky = jnp.asarray(SKY, jnp.float32)
         contrib = jnp.where(rec.hit[:, None], bounce, sky)

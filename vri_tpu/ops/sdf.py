@@ -60,6 +60,9 @@ class SDFCascades:
     brick_voxel: jnp.ndarray  # (max_bricks,) i32 flattened (n*R^3 + voxel)
     brick_albedo: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface albedo
     brick_normal: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface normal
+    # direct irradiance baked at the brick surface (radiance cache for the
+    # GI bounce; see bake_brick_lighting) — zeros until baked
+    brick_irradiance: jnp.ndarray  # (max_bricks, 3) f32
     num_bricks: jnp.ndarray   # () i32
     overflow: jnp.ndarray     # () i32 — occupied voxels dropped (capacity)
 
@@ -267,7 +270,49 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     return SDFCascades(center=centers, voxel_size=vs, brick_map=brick_map,
                        atlas=atlas, brick_voxel=brick_voxel,
                        brick_albedo=brick_albedo, brick_normal=brick_normal,
+                       brick_irradiance=jnp.zeros((max_bricks, 3),
+                                                  jnp.float32),
                        num_bricks=num_bricks, overflow=overflow)
+
+
+def brick_positions(cascades: "SDFCascades", config: SDFConfig):
+    """World-space voxel centers + cascade index per brick slot."""
+    r = config.cascade_resolution
+    bv = cascades.brick_voxel
+    n = bv // (r * r * r)
+    rem = bv % (r * r * r)
+    z = rem // (r * r)
+    y = (rem // r) % r
+    x = rem % r
+    vs = cascades.voxel_size[n]
+    org = cascades.center[n] - 0.5 * r * vs[:, None]
+    centers = org + (jnp.stack([x, y, z], -1).astype(jnp.float32) + 0.5) \
+        * vs[:, None]
+    return centers, n
+
+
+@functools.partial(jax.jit, static_argnames=("config", "shadow_steps"))
+def bake_brick_lighting(cascades: "SDFCascades", scene, *,
+                        config: SDFConfig, shadow_steps: int = 32
+                        ) -> "SDFCascades":
+    """Bake SDF-shadowed direct irradiance at every brick's surface point.
+
+    This is the radiance-cache step Brixelizer-GI pairs with its SDF (the
+    reference never reached it — its lightloop is stubbed): the 1-bounce
+    gather then reads cached irradiance instead of marching shadow rays from
+    every GI hit, amortizing lighting over all pixels and frames.
+    """
+    from vri_tpu.ops import gi as gi_mod
+
+    centers, _ = brick_positions(cascades, config)
+    nrm = cascades.brick_normal
+    bias = gi_mod.surface_bias(centers, cascades, config)[:, None]
+    pts = centers + nrm * bias
+    irr = gi_mod.direct_radiance(pts, nrm, scene, cascades, config,
+                                 shadow_steps=shadow_steps)
+    live = (jnp.arange(cascades.atlas.shape[0]) < cascades.num_bricks)
+    irr = jnp.where(live[:, None], irr, 0.0)
+    return cascades.replace(brick_irradiance=irr)
 
 
 def build_for_scene(scene, world_verts, focus, config: SDFConfig,

@@ -133,12 +133,13 @@ def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "mode",
-                                             "config", "backend", "samples"))
+                                             "config", "backend", "samples",
+                                             "use_cache"))
 def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
                     cascades, key, *, height: int, width: int,
                     config, mode: int = DebugMode.NONE,
-                    backend: str = "raster", samples: int = 1
-                    ) -> Dict[str, jnp.ndarray]:
+                    backend: str = "raster", samples: int = 1,
+                    use_cache: bool = False) -> Dict[str, jnp.ndarray]:
     """Full frame with the SDF-driven lightloop (BASELINE config 4):
     visibility -> G-buffer resolve -> direct + 1-bounce GI, or the
     Brixelizer-style SDF debug resolve (reference debug visualization,
@@ -179,7 +180,7 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
 
     if mode == DebugMode.NONE:
         color = gi_mod.lightloop(gb, scene, cascades, key, config=config,
-                                 samples=samples)
+                                 samples=samples, use_cache=use_cache)
     else:
         color = shading.debug_color(mode, gb)
 

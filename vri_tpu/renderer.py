@@ -102,8 +102,12 @@ class Renderer:
         if force or self.cascades is None or moved or stale:
             t0 = time.perf_counter()
             world = bake_world(self.scene)
-            self.cascades = sdf_mod.build_for_scene(
+            cascades = sdf_mod.build_for_scene(
                 self.scene, world, focus=focus, config=cfg)
+            # radiance cache: bake direct irradiance at every brick so the
+            # GI bounce reads cached lighting instead of marching shadows
+            self.cascades = sdf_mod.bake_brick_lighting(
+                cascades, self.scene, config=cfg)
             self._cascade_focus = focus
             self._scene_version = self._sync_count
             log.info("SDF cascades rebuilt in %.1f ms (%d bricks, %d overflow)",
@@ -129,7 +133,7 @@ class Renderer:
             aovs = frame_mod.render_frame_gi(
                 self.scene, fp, cascades, key, height=h, width=w,
                 config=self.config.sdf, mode=mode, backend=backend,
-                samples=samples)
+                samples=samples, use_cache=True)
         else:
             aovs = frame_mod.render_frame(self.scene, fp, height=h, width=w,
                                           mode=mode, shadows=True,
