@@ -40,25 +40,34 @@ def main():
     world = bake_world(scene)
     vp = jnp.asarray(d.camera.view_proj)
 
-    def frame():
+    def frame(v):
         hit, z = rasterize.rasterize_binned(world, scene.tri_vertices,
-                                            scene.num_faces, vp,
+                                            scene.num_faces, v,
                                             height=height, width=width)
         return z
 
     # warm / compile
-    z = frame()
+    z = frame(vp)
     _ = float(z[540, 960])
 
+    # readback RTT baseline (block_until_ready does not sync through the
+    # axon tunnel; a scalar readback is the only reliable fence)
+    t0 = time.time()
+    for _ in range(5):
+        _ = float(z[540, 960])
+    rtt = (time.time() - t0) / 5
+
     def timed(k):
+        """K frames chained through a data dependency, one readback."""
+        v = vp
         t0 = time.time()
         for _ in range(k):
-            _ = float(frame()[540, 960])
-        return time.time() - t0
+            z = frame(v)
+            v = vp + 0.0 * z[:4, :4]
+        _ = float(z[540, 960])
+        return (time.time() - t0 - rtt) / k
 
-    t1 = timed(2) / 2
-    tk = timed(10) / 10
-    per_frame = min(t1, tk)
+    per_frame = min(timed(4), timed(16))
     rays = height * width
     mrays = rays / per_frame / 1e6
 
