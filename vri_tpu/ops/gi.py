@@ -115,6 +115,10 @@ def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
     direct = direct_radiance(gb.position, gb.normal, scene, cascades, config,
                              shadow_steps=shadow_steps)
 
+    if samples == 0:   # direct-only (SDF-shadowed) fast path
+        color = gb.emissive + gb.albedo * direct
+        return jnp.where(gb.valid[:, None], color, 0.0)
+
     bias = surface_bias(gb.position, cascades, config)[:, None]
     gi_range = cascades.voxel_size[-1] * config.cascade_resolution
 

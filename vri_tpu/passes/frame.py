@@ -51,6 +51,21 @@ class FrameParams:
                    pixel_spread=jnp.asarray(spread, jnp.float32))
 
 
+def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
+                       width):
+    """Raster dispatch: exact per-tile binning for ordinary scenes; the
+    chunk-range kernel beyond ~128k triangles (the binning matrix and
+    per-tile gathers scale with tiles x triangles)."""
+    from vri_tpu.ops import rasterize as raster_mod
+
+    fn = (raster_mod.rasterize_binned
+          if scene.tri_vertices.shape[0] <= (1 << 17)
+          else raster_mod.rasterize)
+    hit, _ = fn(world_verts, scene.tri_vertices, scene.num_faces,
+                frame.view_proj, height=height, width=width)
+    return hit
+
+
 def _visibility_brute(scene: SceneBuffers, world_verts, origins, dirs):
     v0, e1, e2 = intersect.gather_triangles(world_verts, scene.tri_vertices)
     return intersect.trace_brute(origins, dirs, v0, e1, e2, scene.num_faces)
@@ -81,11 +96,7 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
 
         hit = trace_mod.trace_scene(scene, world_verts, o, d)
     elif backend == "raster":
-        from vri_tpu.ops import rasterize as raster_mod
-
-        hit, _ = raster_mod.rasterize_binned(
-            world_verts, scene.tri_vertices, scene.num_faces,
-            frame.view_proj, height=height, width=width)
+        hit = _visibility_raster(scene, world_verts, frame, height, width)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -161,11 +172,7 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
                 "depth": rec.t.reshape(height, width)}
 
     if backend == "raster":
-        from vri_tpu.ops import rasterize as raster_mod
-
-        hit, _ = raster_mod.rasterize_binned(
-            world_verts, scene.tri_vertices, scene.num_faces,
-            frame.view_proj, height=height, width=width)
+        hit = _visibility_raster(scene, world_verts, frame, height, width)
     elif backend == "bvh":
         from vri_tpu.ops import trace as trace_mod
 
