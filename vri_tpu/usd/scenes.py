@@ -240,8 +240,11 @@ def kitchen_stress(num_objects: int = 256, seed: int = 7,
     _author_camera(stage, "/World/Camera",
                    eye=(room * 0.42, room * 0.3, room * 0.42),
                    target=(0, 0.6, 0), fov_deg=55.0, far=200.0)
-    _author_light(stage, "/World/Sun", position=(room, room, room * 0.5),
-                  color=(1.0, 0.95, 0.8), intensity=6.0)
+    # ceiling light inside the room (a light outside a closed room is
+    # fully occluded once SDF shadows exist)
+    _author_light(stage, "/World/CeilingLight",
+                  position=(0.0, room * 0.46, 0.0),
+                  color=(1.0, 0.95, 0.8), intensity=18.0)
     stage._reindex()
     return stage
 
