@@ -183,3 +183,26 @@ class TestRadianceCache:
         # same direct term; indirect differs only by the cache approximation
         assert np.isfinite(c).all()
         assert abs(c.sum() - m.sum()) / max(m.sum(), 1e-6) < 0.35
+
+
+class TestAnimatedEndToEnd:
+    def test_animated_flythrough_with_rebuilds(self):
+        """BASELINE config 3+5 shape: animated stage, per-frame sync +
+        cascade rebuild + GI render over a scripted camera."""
+        from vri_tpu.hydra.camera import FreeCamera
+
+        r = Renderer(RenderConfig(width=24, height=24, sdf=TINY))
+        stage = scenes.animated_stage(num_objects=4)
+        r.load_stage(stage)
+        cam = FreeCamera(center=(0, 0.5, 0), radius=4.0, height=2.0)
+        builds = []
+        for i in range(3):
+            changed = scenes.animate(stage, i * 0.7)
+            r.delegate.apply_animation(changed)
+            r.sync()
+            aovs = r.render(camera=cam.at_time(i / 8.0, 1.0), gi=True,
+                            samples=1, backend="brute")
+            builds.append(r.cascades)
+            assert np.isfinite(aovs["color"]).all()
+        # animation dirtied geometry every frame -> cascades rebuilt
+        assert builds[0] is not builds[1] and builds[1] is not builds[2]

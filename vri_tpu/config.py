@@ -70,6 +70,9 @@ class SDFConfig:
     march_max_steps: int = 96
     march_epsilon: float = 1.0        # hit threshold, in brick texels
     march_min_step: float = 0.5       # minimum advance, in brick texels
+    # lightloop step budgets (shadow rays, GI gather rays)
+    shadow_steps: int = 32
+    gi_steps: int = 48
     # store the brick atlas as uint8 (the reference's R8_UNORM atlas,
     # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization
     atlas_u8: bool = False

@@ -77,11 +77,12 @@ def surface_bias(points: jnp.ndarray, cascades: SDFCascades,
 
 def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
                     scene: SceneBuffers, cascades: SDFCascades,
-                    config: SDFConfig, shadow_steps: int = 48,
+                    config: SDFConfig, shadow_steps: int | None = None,
                     light_radius: float = 0.1) -> jnp.ndarray:
     """Incoming direct radiance (N, 3) at surface points, SDF-shadowed.
     ``light_radius`` clamps the inverse-square falloff (fireflies when a
     bounce lands next to a light)."""
+    shadow_steps = shadow_steps or config.shadow_steps
     lp, lc, li = _light_arrays(scene)
     n_pts, n_lights = points.shape[0], lp.shape[0]
     to_l = lp[None, :, :] - points[:, None, :]
@@ -107,10 +108,12 @@ def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
                                              "gi_clamp", "use_cache"))
 def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
               key: jax.Array, *, config: SDFConfig, samples: int = 1,
-              gi_steps: int = 64, shadow_steps: int = 48,
+              gi_steps: int | None = None, shadow_steps: int | None = None,
               gi_clamp: float = 4.0, use_cache: bool = False) -> jnp.ndarray:
     """Full shading: emissive + albedo * (direct + 1-bounce GI).
     ``gi_clamp`` bounds each bounce sample's radiance (firefly control)."""
+    gi_steps = gi_steps or config.gi_steps
+    shadow_steps = shadow_steps or config.shadow_steps
     n = gb.position.shape[0]
     direct = direct_radiance(gb.position, gb.normal, scene, cascades, config,
                              shadow_steps=shadow_steps)
