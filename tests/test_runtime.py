@@ -168,3 +168,19 @@ class TestApp:
                        "--no-gi", "--backend", "brute", "--out", out,
                        "--cache", cache_path, "--orbit"])
         assert rc == 0
+
+
+class TestAppMultichip:
+    def test_cli_multichip_renders(self, tmp_path):
+        import jax
+
+        from vri_tpu import app
+
+        assert len(jax.devices()) >= 8
+        out = str(tmp_path / "mc")
+        rc = app.main(["--builtin", "cornell", "--width", "32", "--height",
+                       "64", "--sdf", "tiny", "--multichip", "--out", out])
+        assert rc == 0
+        import os
+
+        assert os.path.exists(os.path.join(out, "multichip.png"))

@@ -47,6 +47,10 @@ def parse_args(argv=None):
                                    "writes it after sync otherwise")
     p.add_argument("--progressive", action="store_true",
                    help="accumulate frames instead of re-rendering")
+    p.add_argument("--multichip", action="store_true",
+                   help="shard the framebuffer over all local devices "
+                        "(shard_map row tiling; 1-device mesh degenerates "
+                        "to single-chip)")
     p.add_argument("--trace", help="write a jax profiler trace to this dir")
     p.add_argument("-v", "--verbose", action="store_true")
     return p.parse_args(argv)
@@ -98,7 +102,28 @@ def main(argv=None) -> int:
         profiler.start_trace(args.trace)
     gi = not args.no_gi
 
-    if args.progressive:
+    if args.multichip:
+        import jax
+        import jax.numpy as jnp
+
+        from vri_tpu.parallel import make_mesh, tiling
+        from vri_tpu.passes.frame import FrameParams
+
+        mesh = make_mesh()
+        n = mesh.shape["tiles"]
+        h = (args.height // (8 * n)) * 8 * n or 8 * n
+        cam = renderer.camera or FreeCamera().at_time(0.0, aspect)
+        cascades = renderer.ensure_cascades(eye=cam.eye)
+        out = tiling.render_frame_tiled(
+            renderer.scene, FrameParams.from_camera(cam, h), cascades,
+            jax.random.PRNGKey(0), mesh=mesh, height=h, width=args.width,
+            config=renderer.config.sdf, gi=gi, samples=args.samples)
+        path = os.path.join(args.out, "multichip.png")
+        write_png(path, np.asarray(out["color"]))
+        stats_v = np.asarray(out["stats"])
+        log.info("multichip frame over %d device(s): %s | rays %d hits %d",
+                 n, path, int(stats_v[0]), int(stats_v[1]))
+    elif args.progressive:
         img = renderer.render_progressive(args.frames, samples=args.samples,
                                           backend=args.backend)
         path = os.path.join(args.out, "progressive.png")
