@@ -206,3 +206,12 @@ class TestAnimatedEndToEnd:
             assert np.isfinite(aovs["color"]).all()
         # animation dirtied geometry every frame -> cascades rebuilt
         assert builds[0] is not builds[1] and builds[1] is not builds[2]
+
+
+class TestHalfResGI:
+    def test_gi_scale_matches_full_res_statistically(self, renderer):
+        a = renderer.render(gi=True, samples=1, backend="brute")
+        b = renderer.render(gi=True, samples=1, backend="brute", gi_scale=2)
+        ca, cb = a["color"], b["color"]
+        assert np.isfinite(cb).all()
+        assert abs(ca.mean() - cb.mean()) / max(ca.mean(), 1e-6) < 0.1

@@ -122,6 +122,21 @@ def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
         color = gb.emissive + gb.albedo * direct
         return jnp.where(gb.valid[:, None], color, 0.0)
 
+    indirect = indirect_radiance(gb, scene, cascades, key, config=config,
+                                 samples=samples, gi_steps=gi_steps,
+                                 gi_clamp=gi_clamp, use_cache=use_cache)
+    color = gb.emissive + gb.albedo * (direct + indirect)
+    return jnp.where(gb.valid[:, None], color, 0.0)
+
+
+def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
+                      cascades: SDFCascades, key, *, config: SDFConfig,
+                      samples: int = 1, gi_steps: int | None = None,
+                      shadow_steps: int | None = None, gi_clamp: float = 4.0,
+                      use_cache: bool = False) -> jnp.ndarray:
+    """Incoming 1-bounce diffuse irradiance estimate (N, 3)."""
+    gi_steps = gi_steps or config.gi_steps
+    n = gb.position.shape[0]
     bias = surface_bias(gb.position, cascades, config)[:, None]
     gi_range = cascades.voxel_size[-1] * config.cascade_resolution
 
@@ -151,10 +166,7 @@ def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
         sky = jnp.asarray(SKY, jnp.float32)
         contrib = jnp.where(rec.hit[:, None], bounce, sky)
         indirect = indirect + contrib
-    indirect = indirect / samples
-
-    color = gb.emissive + gb.albedo * (direct + indirect)
-    return jnp.where(gb.valid[:, None], color, 0.0)
+    return indirect / samples
 
 
 def sdf_debug_color(mode: int, rec: sdf_trace.SDFHit,

@@ -145,12 +145,13 @@ def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "mode",
                                              "config", "backend", "samples",
-                                             "use_cache"))
+                                             "use_cache", "gi_scale"))
 def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
                     cascades, key, *, height: int, width: int,
                     config, mode: int = DebugMode.NONE,
                     backend: str = "raster", samples: int = 1,
-                    use_cache: bool = False) -> Dict[str, jnp.ndarray]:
+                    use_cache: bool = False, gi_scale: int = 1
+                    ) -> Dict[str, jnp.ndarray]:
     """Full frame with the SDF-driven lightloop (BASELINE config 4):
     visibility -> G-buffer resolve -> direct + 1-bounce GI, or the
     Brixelizer-style SDF debug resolve (reference debug visualization,
@@ -186,8 +187,27 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
     gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
 
     if mode == DebugMode.NONE:
-        color = gi_mod.lightloop(gb, scene, cascades, key, config=config,
-                                 samples=samples, use_cache=use_cache)
+        if gi_scale <= 1 or samples == 0:
+            color = gi_mod.lightloop(gb, scene, cascades, key, config=config,
+                                     samples=samples, use_cache=use_cache)
+        else:
+            # half/quarter-res GI: indirect gathered on a strided pixel
+            # subset and nearest-upsampled; direct stays full-rate
+            direct = gi_mod.direct_radiance(gb.position, gb.normal, scene,
+                                            cascades, config)
+            sub = jax.tree_util.tree_map(
+                lambda a: a.reshape((height, width) + a.shape[1:])
+                [::gi_scale, ::gi_scale].reshape(
+                    (-1,) + a.shape[1:]), gb)
+            ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
+                                           config=config, samples=samples,
+                                           use_cache=use_cache)
+            hs, ws = height // gi_scale, width // gi_scale
+            ind = ind.reshape(hs, ws, 3)
+            ind = jnp.repeat(jnp.repeat(ind, gi_scale, axis=0), gi_scale,
+                             axis=1).reshape(-1, 3)
+            color = gb.emissive + gb.albedo * (direct + ind)
+            color = jnp.where(gb.valid[:, None], color, 0.0)
     else:
         color = shading.debug_color(mode, gb)
 

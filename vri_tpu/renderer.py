@@ -121,6 +121,7 @@ class Renderer:
     def render(self, camera: Optional[CameraState] = None,
                mode: int = DebugMode.NONE, gi: bool = True,
                samples: int = 1, backend: str = "raster",
+               gi_scale: int = 1,
                to_numpy: bool = True) -> Dict[str, np.ndarray]:
         assert self.scene is not None, "load_stage() first"
         cam = camera or self.camera
@@ -133,7 +134,7 @@ class Renderer:
             aovs = frame_mod.render_frame_gi(
                 self.scene, fp, cascades, key, height=h, width=w,
                 config=self.config.sdf, mode=mode, backend=backend,
-                samples=samples, use_cache=True)
+                samples=samples, use_cache=True, gi_scale=gi_scale)
         else:
             aovs = frame_mod.render_frame(self.scene, fp, height=h, width=w,
                                           mode=mode, shadows=True,
