@@ -91,8 +91,9 @@ class TestBuild:
         # voxel in the empty interior (origin is ~0.65 from nearest surface,
         # beyond truncation 3*0.15=0.45) must be empty
         vox0 = np.floor((np.array([0.0, 0.1, 0.9]) - org) / vs).astype(int)
-        # point near the open front center, far from walls/boxes
-        assert bm[0, vox0[2], vox0[1], vox0[0]] == -1
+        # point near the open front center, far from walls/boxes: empty
+        # voxels store -esd (negative chebyshev skip distance)
+        assert bm[0, vox0[2], vox0[1], vox0[0]] < 0
 
     def test_atlas_distances_match_exact(self, cornell_sdf):
         scene, world, cas = cornell_sdf

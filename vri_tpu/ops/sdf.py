@@ -48,9 +48,13 @@ class SDFCascades:
     """Device-resident cascade set.
 
     ``brick_map[n, z, y, x]`` holds the atlas brick id for voxel (x,y,z) of
-    cascade n, or -1 when empty.  ``atlas[b]`` is the (B,B,B) normalized
-    truncated distance field covering that voxel (0 = on surface, 1 = at or
-    beyond truncation distance).
+    cascade n; empty voxels store ``-esd`` where esd >= 1 is the chebyshev
+    empty-space distance (in voxels) to the nearest brick — the march steps
+    ``esd-1`` whole voxels through empty space for free, the TPU equivalent
+    of Brixelizer's two-level AABB-tree skip (ffx_brixelizer_trace_ops.h:
+    144-196) folded into the same single gather.  ``atlas[b]`` is the
+    (B,B,B) normalized truncated distance field covering that voxel (0 = on
+    surface, 1 = at or beyond truncation distance).
     """
 
     center: jnp.ndarray       # (N, 3) cascade centers (world)
@@ -189,12 +193,24 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     alloc = occ_flat & (ids < max_bricks)
     num_bricks = jnp.minimum(total_occ, max_bricks)
     overflow = total_occ - num_bricks
-    brick_map = jnp.where(alloc, ids, -1).reshape(n_cas, r, r, r)
 
     voxel_flat_idx = jnp.arange(n_cas * r * r * r, dtype=jnp.int32)
     scatter_ids = jnp.where(alloc, ids, max_bricks)  # max_bricks -> dropped
     brick_voxel = jnp.zeros((max_bricks,), jnp.int32).at[scatter_ids].set(
         voxel_flat_idx, mode="drop")
+
+    # chebyshev empty-space distance (iterated 3D min-pool): empty voxels
+    # store -esd in the brick map so the march can skip esd-1 voxels with
+    # the same single gather
+    max_esd = 15
+    esd = jnp.where(occ, 0, max_esd).astype(jnp.float32)  # (N, r, r, r)
+    for _ in range(max_esd - 1):
+        pooled = -jax.lax.reduce_window(
+            -esd, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1),
+            "SAME")
+        esd = jnp.minimum(esd, pooled + 1.0)
+    esd_i = jnp.clip(esd.reshape(-1).astype(jnp.int32), 1, max_esd)
+    brick_map = jnp.where(alloc, ids, -esd_i).reshape(n_cas, r, r, r)
 
     # -- 3. emit (per brick: K nearest tris, exact texel distances) --------
     tri_lo, tri_hi = geometry.tri_aabb(a, b, c)

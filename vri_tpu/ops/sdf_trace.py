@@ -174,9 +174,13 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
         hit_now = s["active"] & inside & has_brick & (d < eps_w)
         # outside every cascade after entering: the ray left the clipmap
         escaped = s["active"] & ~inside & (s["t"] > t_enter + 1e-3)
-        # brick voxel: sphere step; empty voxel: DDA step to voxel exit
+        # brick voxel: sphere step; empty voxel: skip the chebyshev
+        # empty-space distance encoded in the brick map (at least to the
+        # voxel exit)
         sphere = jnp.maximum(d * 0.9, config.march_min_step * texel)
-        dda = exit_t + 0.05 * vs_here
+        esd = jnp.maximum(-brick, 1).astype(jnp.float32)
+        skip = jnp.maximum(exit_t, (esd - 1.0) * vs_here)
+        dda = skip + 0.05 * vs_here
         adv = jnp.where(has_brick, sphere, dda)
         adv = jnp.where(inside, adv, vs_c)       # outside: coarse stride
         new_t = s["t"] + adv
