@@ -70,9 +70,13 @@ class SDFConfig:
     march_max_steps: int = 96
     march_epsilon: float = 1.0        # hit threshold, in brick texels
     march_min_step: float = 0.5       # minimum advance, in brick texels
-    # lightloop step budgets (shadow rays, GI gather rays)
-    shadow_steps: int = 32
-    gi_steps: int = 48
+    # lightloop step budgets (shadow rays, GI gather rays).  The march is a
+    # lock-step while_loop: cost scales with the budget, not the average
+    # ray; chebyshev empty-space skipping makes small budgets reach far.
+    shadow_steps: int = 20
+    gi_steps: int = 28
+    # GI gather rays stop at this fraction of the coarsest cascade extent
+    gi_range_factor: float = 0.5
     # store the brick atlas as uint8 (the reference's R8_UNORM atlas,
     # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization
     atlas_u8: bool = False

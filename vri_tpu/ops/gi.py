@@ -138,7 +138,8 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
     gi_steps = gi_steps or config.gi_steps
     n = gb.position.shape[0]
     bias = surface_bias(gb.position, cascades, config)[:, None]
-    gi_range = cascades.voxel_size[-1] * config.cascade_resolution
+    gi_range = (cascades.voxel_size[-1] * config.cascade_resolution
+                * config.gi_range_factor)
 
     indirect = jnp.zeros((n, 3))
     for s in range(samples):
