@@ -77,6 +77,10 @@ class SDFConfig:
     gi_steps: int = 28
     # GI gather rays stop at this fraction of the coarsest cascade extent
     gi_range_factor: float = 0.5
+    # nearest-texel (1-element-gather) sampling for occlusion/GI rays:
+    # ~3x cheaper march steps at the cost of shadows fattening by up to
+    # ~2 texels on grazing rays
+    approx_occlusion: bool = False
     # store the brick atlas as uint8 (the reference's R8_UNORM atlas,
     # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization
     atlas_u8: bool = False
@@ -92,7 +96,8 @@ class SDFConfig:
         if name == "room":
             return cls(num_cascades=6, cascade_resolution=64,
                        base_voxel_size=0.05, max_bricks=1 << 17,
-                       max_triangles_per_brick=32, atlas_u8=True)
+                       max_triangles_per_brick=32, atlas_u8=True,
+                       approx_occlusion=True)
         if name == "tiny":
             return cls(num_cascades=2, cascade_resolution=16,
                        base_voxel_size=0.15, max_bricks=8192,

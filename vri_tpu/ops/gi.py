@@ -147,7 +147,8 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
         wi = cosine_sample_hemisphere(gb.normal, u[:, 0], u[:, 1])
         o = gb.position + gb.normal * bias
         rec = sdf_trace.march(cascades, o, wi, t_max=gi_range,
-                              config=config, max_steps=gi_steps)
+                              config=config, max_steps=gi_steps,
+                              approx=config.approx_occlusion)
         hit_p = o + wi * jnp.minimum(rec.t, gi_range)[:, None]
         b = jnp.maximum(rec.brick, 0)
         alb_hit = cascades.brick_albedo[b]

@@ -43,13 +43,18 @@ class SDFHit:
 
 
 def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
-            dirs: jnp.ndarray | None = None):
+            dirs: jnp.ndarray | None = None, trilinear: bool = True):
     """Sample the cascade set at world points p (M, 3).
 
     Returns (d_world, cascade, brick, uvw, inside_any, exit_t):
-      d_world — trilinear truncated distance where a brick exists, else BIG;
+      d_world — truncated distance where a brick exists, else BIG;
       exit_t — world-space distance along ``dirs`` to the current voxel's
       exit face (0 when dirs is None).
+
+    ``trilinear=False`` samples the nearest texel (one gathered element
+    instead of 32) and subtracts a half-texel diagonal so the value stays a
+    conservative sphere-march bound — the marching loops use this; quality
+    paths (debug views, gradients) keep trilinear.
     """
     n_cas = config.num_cascades
     r = config.cascade_resolution
@@ -76,33 +81,41 @@ def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
     brick = sdf.brick_map[cas_c, vox_c[:, 2], vox_c[:, 1], vox_c[:, 0]]
     frac = local - vox_c.astype(jnp.float32)      # [0,1) within voxel
 
-    # trilinear sample of the brick's (B,B,B) texel grid
-    tc = frac * bsz - 0.5
-    t0 = jnp.floor(tc)
-    fr = tc - t0
-    t0i = t0.astype(jnp.int32)
     b_idx = jnp.maximum(brick, 0)
-
-    # two contiguous (2, B)-row gathers instead of eight point gathers
-    iz0 = jnp.clip(t0i[:, 2], 0, bsz - 1)
-    iz1 = jnp.clip(t0i[:, 2] + 1, 0, bsz - 1)
-    iy0 = jnp.clip(t0i[:, 1], 0, bsz - 1)
-    iy1 = jnp.clip(t0i[:, 1] + 1, 0, bsz - 1)
-    rows = jnp.stack([sdf.atlas[b_idx, iz0, iy0],
-                      sdf.atlas[b_idx, iz0, iy1],
-                      sdf.atlas[b_idx, iz1, iy0],
-                      sdf.atlas[b_idx, iz1, iy1]], axis=1)    # (m, 4, B)
-    if rows.dtype == jnp.uint8:
-        rows = rows.astype(jnp.float32) * (1.0 / 255.0)
-    ix0 = jnp.clip(t0i[:, 0], 0, bsz - 1)
-    ix1 = jnp.clip(t0i[:, 0] + 1, 0, bsz - 1)
-    c0 = jnp.take_along_axis(rows, ix0[:, None, None], axis=2)[:, :, 0]
-    c1 = jnp.take_along_axis(rows, ix1[:, None, None], axis=2)[:, :, 0]
-    fx, fy, fz = fr[:, 0], fr[:, 1], fr[:, 2]
-    dx = c0 * (1 - fx)[:, None] + c1 * fx[:, None]            # (m, 4)
-    d0 = dx[:, 0] * (1 - fy) + dx[:, 1] * fy
-    d1 = dx[:, 2] * (1 - fy) + dx[:, 3] * fy
-    d01v = d0 * (1 - fz) + d1 * fz                # normalized [0,1]
+    if trilinear:
+        tc = frac * bsz - 0.5
+        t0 = jnp.floor(tc)
+        fr = tc - t0
+        t0i = t0.astype(jnp.int32)
+        # two contiguous (2, B)-row gathers instead of eight point gathers
+        iz0 = jnp.clip(t0i[:, 2], 0, bsz - 1)
+        iz1 = jnp.clip(t0i[:, 2] + 1, 0, bsz - 1)
+        iy0 = jnp.clip(t0i[:, 1], 0, bsz - 1)
+        iy1 = jnp.clip(t0i[:, 1] + 1, 0, bsz - 1)
+        rows = jnp.stack([sdf.atlas[b_idx, iz0, iy0],
+                          sdf.atlas[b_idx, iz0, iy1],
+                          sdf.atlas[b_idx, iz1, iy0],
+                          sdf.atlas[b_idx, iz1, iy1]], axis=1)    # (m, 4, B)
+        if rows.dtype == jnp.uint8:
+            rows = rows.astype(jnp.float32) * (1.0 / 255.0)
+        ix0 = jnp.clip(t0i[:, 0], 0, bsz - 1)
+        ix1 = jnp.clip(t0i[:, 0] + 1, 0, bsz - 1)
+        c0 = jnp.take_along_axis(rows, ix0[:, None, None], axis=2)[:, :, 0]
+        c1 = jnp.take_along_axis(rows, ix1[:, None, None], axis=2)[:, :, 0]
+        fx, fy, fz = fr[:, 0], fr[:, 1], fr[:, 2]
+        dx = c0 * (1 - fx)[:, None] + c1 * fx[:, None]            # (m, 4)
+        d0 = dx[:, 0] * (1 - fy) + dx[:, 1] * fy
+        d1 = dx[:, 2] * (1 - fy) + dx[:, 3] * fy
+        d01v = d0 * (1 - fz) + d1 * fz                # normalized [0,1]
+    else:
+        ti = jnp.clip((frac * bsz).astype(jnp.int32), 0, bsz - 1)
+        d01v = sdf.atlas[b_idx, ti[:, 2], ti[:, 1], ti[:, 0]]
+        if d01v.dtype == jnp.uint8:
+            d01v = d01v.astype(jnp.float32) * (1.0 / 255.0)
+        # conservative: value holds at the texel center, point is within
+        # half a texel diagonal of it
+        d01v = jnp.maximum(
+            d01v - 0.8660254 / (config.truncation_voxels * bsz), 0.0)
 
     trunc_w = config.truncation_voxels * vs
     has_brick = (brick >= 0) & chosen
@@ -127,11 +140,18 @@ def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
     return d_best, cas_best, brick_best, uvw_best, chosen, exit_t
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("config", "max_steps",
+                                              "approx"))
 def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
-          t_max, *, config: SDFConfig, max_steps: int | None = None
-          ) -> SDFHit:
-    """Sphere march rays (M, 3) through the cascades."""
+          t_max, *, config: SDFConfig, max_steps: int | None = None,
+          approx: bool = False) -> SDFHit:
+    """Sphere march rays (M, 3) through the cascades.
+
+    ``approx=True`` uses nearest-texel sampling (one gathered element per
+    step instead of 32): hits may trigger up to ~2 texels early, so use it
+    for occlusion/gather rays where that only slightly fattens contacts —
+    not for primary visibility.
+    """
     m = origins.shape[0]
     max_steps = max_steps or config.march_max_steps
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
@@ -165,7 +185,8 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
 
     def body(s):
         p = origins + dirs * s["t"][:, None]
-        d, cas, brick, uvw, inside, exit_t = _sample(sdf, p, config, dirs)
+        d, cas, brick, uvw, inside, exit_t = _sample(sdf, p, config, dirs,
+                                                     trilinear=not approx)
         vs_here = jnp.where(cas >= 0, sdf.voxel_size[jnp.maximum(cas, 0)],
                             vs_c)
         texel = vs_here / config.brick_size
@@ -232,5 +253,5 @@ def occlusion(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
               ) -> jnp.ndarray:
     """Shadow factor in [0,1]: 0 = fully blocked (hard via sphere march)."""
     rec = march(sdf, origins, dirs, t_max, config=config,
-                max_steps=max_steps)
+                max_steps=max_steps, approx=config.approx_occlusion)
     return 1.0 - rec.hit.astype(jnp.float32)
