@@ -549,20 +549,20 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
         ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
         ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
         az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
-        # corner-difference edge functions: numerically stable at any
-        # screen coordinate (coefficient forms cancel catastrophically at
-        # 1080p pixel magnitudes)
-        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        # corner-difference edge functions (numerically stable; coefficient
+        # forms cancel in f32); normalizing by the signed area makes the
+        # barycentrics orientation-invariant, so two-sided inside is just
+        # l0, l1, l2 >= 0 and e0 never needs computing (l0 = 1 - l1 - l2)
         e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
         e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
         area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
-                 ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
         inv_area = 1.0 / area
         l1 = e1 * inv_area
         l2 = e2 * inv_area
+        lsum = l1 + l2
         z = az + l1 * (bz - az) + l2 * (cz - az)
-        ok = inside & (z >= 0.0) & (z <= 1.0)
+        ok = ((l1 >= 0.0) & (l2 >= 0.0) & (lsum <= 1.0)
+              & (z >= 0.0) & (z <= 1.0))
         zm = jnp.where(ok, z, 2.0)
         key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) \
             | (s * tri_chunk + lane)
