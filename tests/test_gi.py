@@ -215,3 +215,47 @@ class TestHalfResGI:
         ca, cb = a["color"], b["color"]
         assert np.isfinite(cb).all()
         assert abs(ca.mean() - cb.mean()) / max(ca.mean(), 1e-6) < 0.1
+
+
+class TestDistantLight:
+    def test_distant_light_lights_and_shadows(self):
+        """DistantLight: constant irradiance, direction-based shadows."""
+        from vri_tpu.usd import Stage
+
+        text = '''#usda 1.0
+def Xform "W" {
+    def Mesh "Floor" {
+        int[] faceVertexCounts = [4]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        point3f[] points = [(-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)]
+    }
+    def Mesh "Blocker" {
+        int[] faceVertexCounts = [4]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        point3f[] points = [(-0.5, 1, -0.5), (0.5, 1, -0.5), (0.5, 1, 0.5), (-0.5, 1, 0.5)]
+    }
+    def DistantLight "Sun" {
+        float3 vri:direction = (0, -1, 0)
+        float inputs:intensity = 2.0
+    }
+    def Camera "Cam" {
+        float3 vri:eye = (0, 3, 4)
+        float3 vri:target = (0, 0, 0)
+    }
+}
+'''
+        r = Renderer(RenderConfig(width=48, height=48, sdf=TINY))
+        r.load_stage(Stage.from_string(text))
+        scene = r.scene
+        assert int(scene.num_lights) == 1
+        assert int(scene.light_type[0]) == 1
+        np.testing.assert_allclose(np.asarray(scene.light_position[0]),
+                                   [0, 1, 0], atol=1e-6)
+        aovs = r.render(gi=True, samples=0, backend="brute")
+        img = aovs["color"]
+        inst = aovs["instance_id"]
+        # floor pixels directly under the blocker are shadowed; open floor
+        # is lit with constant irradiance (no falloff)
+        lit = img[(inst == 0)].sum(-1)
+        assert lit.max() > 0.5
+        assert lit.min() < 0.25 * lit.max()   # shadowed region exists

@@ -273,8 +273,24 @@ class RenderDelegate:
         self.registry.push_material(desc)
 
     def _sync_light(self, prim: Prim) -> None:
-        pos = np.asarray(prim.get("vri:position", (0, 5, 0)), np.float32)
         m = self.stage.world_transform(prim)
+        if prim.type_name == "DistantLight":
+            # USD convention: a distant light emits along its local -Z;
+            # store the unit direction TO the light
+            d = -(m[:3, :3] @ np.asarray([0.0, 0.0, -1.0], np.float32))
+            d = d / max(np.linalg.norm(d), 1e-12)
+            # optional override for stages authored without orientation
+            d_attr = prim.get("vri:direction")
+            if d_attr is not None:
+                d = -np.asarray(d_attr, np.float32)
+                d = d / max(np.linalg.norm(d), 1e-12)
+            self.registry.push_light(LightRecord(
+                path=prim.path, position=d,
+                color=np.asarray(prim.get("inputs:color", (1, 1, 1)),
+                                 np.float32),
+                intensity=float(prim.get("inputs:intensity", 1.0)), kind=1))
+            return
+        pos = np.asarray(prim.get("vri:position", (0, 5, 0)), np.float32)
         pos = (m[:3, :3] @ pos) + m[:3, 3]
         self.registry.push_light(LightRecord(
             path=prim.path, position=pos,

@@ -59,8 +59,8 @@ def cosine_sample_hemisphere(normal: jnp.ndarray, u1: jnp.ndarray,
 def _light_arrays(scene: SceneBuffers):
     nl = scene.light_position.shape[0]
     live = (jnp.arange(nl) < scene.num_lights).astype(jnp.float32)
-    return scene.light_position, scene.light_color, \
-        scene.light_intensity * live
+    return (scene.light_position, scene.light_color,
+            scene.light_intensity * live, scene.light_type)
 
 
 def surface_bias(points: jnp.ndarray, cascades: SDFCascades,
@@ -83,23 +83,29 @@ def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
     ``light_radius`` clamps the inverse-square falloff (fireflies when a
     bounce lands next to a light)."""
     shadow_steps = shadow_steps or config.shadow_steps
-    lp, lc, li = _light_arrays(scene)
+    lp, lc, li, lt = _light_arrays(scene)
     n_pts, n_lights = points.shape[0], lp.shape[0]
-    to_l = lp[None, :, :] - points[:, None, :]
+    is_distant = (lt == 1)[None, :]
+    # distant lights store a unit direction TO the light in light_position
+    to_l = jnp.where(is_distant[..., None], lp[None, :, :],
+                     lp[None, :, :] - points[:, None, :])
     dist = jnp.linalg.norm(to_l, axis=-1)
     wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
     ndotl = jnp.maximum(jnp.sum(normals[:, None, :] * wi, axis=-1), 0.0)
 
     bias = surface_bias(points, cascades, config)[:, None]
+    shadow_span = (cascades.voxel_size[-1] * config.cascade_resolution)
+    t_max = jnp.where(is_distant, shadow_span, dist - 2.0 * bias)
     o = jnp.broadcast_to(points[:, None, :] + normals[:, None, :]
                          * bias[..., None], (n_pts, n_lights, 3)).reshape(-1, 3)
     occ = sdf_trace.occlusion(
         cascades, o, wi.reshape(-1, 3),
-        t_max=jnp.maximum((dist - 2.0 * bias).reshape(-1), 1e-3),
+        t_max=jnp.maximum(t_max.reshape(-1), 1e-3),
         config=config, max_steps=shadow_steps).reshape(n_pts, n_lights)
 
-    irr = li[None, :] * ndotl * occ / jnp.maximum(dist * dist,
-                                                  light_radius ** 2)
+    falloff = jnp.where(is_distant, 1.0,
+                        1.0 / jnp.maximum(dist * dist, light_radius ** 2))
+    irr = li[None, :] * ndotl * occ * falloff
     return (irr[..., None] * lc[None, :, :]).sum(axis=1)
 
 

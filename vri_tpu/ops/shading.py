@@ -143,14 +143,18 @@ def shade_direct(gb: GBuffer, scene: SceneBuffers,
     This is the "lightloop" stage the reference scaffolds but stubs
     (Source/RenderPass.cpp:1023-1029).
     """
-    to_l = scene.light_position[None, :, :] - gb.position[:, None, :]  # (N,L,3)
+    is_distant = (scene.light_type == 1)[None, :, None]
+    to_l = jnp.where(is_distant, scene.light_position[None, :, :],
+                     scene.light_position[None, :, :]
+                     - gb.position[:, None, :])                    # (N,L,3)
     dist2 = jnp.sum(to_l * to_l, axis=-1)
     wi = to_l / jnp.sqrt(jnp.maximum(dist2, 1e-12))[..., None]
     ndotl = jnp.maximum(jnp.sum(gb.normal[:, None, :] * wi, axis=-1), 0.0)
     nlights = scene.light_position.shape[0]
     live = (jnp.arange(nlights) < scene.num_lights).astype(jnp.float32)
-    irr = (scene.light_intensity[None, :] * ndotl
-           / jnp.maximum(dist2, 1e-6)) * live[None, :]
+    falloff = jnp.where(is_distant[..., 0], 1.0,
+                        1.0 / jnp.maximum(dist2, 1e-6))
+    irr = scene.light_intensity[None, :] * ndotl * falloff * live[None, :]
     if shadow is not None:
         irr = irr * shadow
     radiance = (irr[..., None] * scene.light_color[None, :, :]).sum(axis=1)

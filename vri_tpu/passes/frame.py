@@ -131,9 +131,14 @@ def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
     Replaced by the SDF-marched soft test once cascades exist."""
     v0, e1, e2 = intersect.gather_triangles(world_verts, scene.tri_vertices)
     n, L = gb.position.shape[0], scene.light_position.shape[0]
-    to_l = scene.light_position[None, :, :] - gb.position[:, None, :]
+    is_distant = (scene.light_type == 1)[None, :, None]
+    to_l = jnp.where(is_distant, scene.light_position[None, :, :],
+                     scene.light_position[None, :, :]
+                     - gb.position[:, None, :])
     dist = jnp.linalg.norm(to_l, axis=-1)
-    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
+    dist = jnp.where(is_distant[..., 0], 1e4, dist)
+    wi = to_l / jnp.maximum(jnp.linalg.norm(to_l, axis=-1),
+                            1e-12)[..., None]
     o = jnp.broadcast_to(
         gb.position[:, None, :] + gb.normal[:, None, :] * 1e-3, (n, L, 3))
     o = o.reshape(n * L, 3)

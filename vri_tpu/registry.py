@@ -62,9 +62,10 @@ class SceneBuffers:
     mat_texture: jnp.ndarray         # (M,) i32 texture slot or -1
     textures: jnp.ndarray            # (S, T, T, 3) f32
     # lights
-    light_position: jnp.ndarray      # (L, 3) f32
+    light_position: jnp.ndarray      # (L, 3) f32 (direction TO a distant light)
     light_color: jnp.ndarray         # (L, 3) f32
     light_intensity: jnp.ndarray     # (L,) f32
+    light_type: jnp.ndarray          # (L,) i32 — 0 point, 1 distant
     # live counts (device scalars — masking, not shapes)
     num_vertices: jnp.ndarray        # () i32
     num_faces: jnp.ndarray           # () i32
@@ -101,9 +102,10 @@ class MeshRecord:
 @dataclasses.dataclass
 class LightRecord:
     path: str
-    position: np.ndarray
+    position: np.ndarray    # position (point) or unit direction TO the light
     color: np.ndarray
     intensity: float
+    kind: int = 0           # 0 point, 1 distant (directional)
 
 
 class ResourceRegistry:
@@ -183,10 +185,11 @@ class ResourceRegistry:
                     instance_aabb_lo=jnp.asarray(lo),
                     instance_aabb_hi=jnp.asarray(hi))
             if self._lights_dirty:
-                lp, lc, li, nl = self._pack_lights()
+                lp, lc, li, lt, nl = self._pack_lights()
                 self._scene = self._scene.replace(
                     light_position=jnp.asarray(lp), light_color=jnp.asarray(lc),
                     light_intensity=jnp.asarray(li),
+                    light_type=jnp.asarray(lt),
                     num_lights=jnp.asarray(nl, jnp.int32))
         self._geometry_dirty = self._transforms_dirty = False
         self._materials_dirty = self._lights_dirty = False
@@ -239,10 +242,12 @@ class ResourceRegistry:
         lp = np.zeros((cap, 3), np.float32)
         lc = np.ones((cap, 3), np.float32)
         li = np.zeros((cap,), np.float32)
+        lt = np.zeros((cap,), np.int32)
         for i, path in enumerate(sorted(self._lights)):
             rec = self._lights[path]
             lp[i], lc[i], li[i] = rec.position, rec.color, rec.intensity
-        return lp, lc, li, n
+            lt[i] = rec.kind
+        return lp, lc, li, lt, n
 
     def _full_pack(self) -> SceneBuffers:
         lim = self.limits
@@ -312,7 +317,7 @@ class ResourceRegistry:
         else:
             textures = np.ones((1, T, T, 3), np.float32)
 
-        lp, lc, li, nl = self._pack_lights()
+        lp, lc, li, lt, nl = self._pack_lights()
 
         scene = SceneBuffers(
             positions=jnp.asarray(positions),
@@ -336,6 +341,7 @@ class ResourceRegistry:
             light_position=jnp.asarray(lp),
             light_color=jnp.asarray(lc),
             light_intensity=jnp.asarray(li),
+            light_type=jnp.asarray(lt),
             num_vertices=jnp.asarray(total_v, jnp.int32),
             num_faces=jnp.asarray(total_f, jnp.int32),
             num_instances=jnp.asarray(n_inst, jnp.int32),

@@ -56,7 +56,8 @@ def save_scene_cache(registry: ResourceRegistry, path: str) -> None:
     for k, light_path in enumerate(sorted(registry._lights)):
         rec = registry._lights[light_path]
         arrays[f"l{k}"] = np.concatenate(
-            [rec.position, rec.color, [rec.intensity]]).astype(np.float32)
+            [rec.position, rec.color, [rec.intensity],
+             [float(rec.kind)]]).astype(np.float32)
         meta["lights"].append({"path": light_path})
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), np.uint8)
@@ -93,7 +94,9 @@ def load_scene_cache(registry: ResourceRegistry, path: str) -> None:
             extent=z[f"m{i}_extent"]))
     for k, l in enumerate(meta["lights"]):
         v = z[f"l{k}"]
+        kind = int(v[7]) if len(v) > 7 else 0
         registry.push_light(LightRecord(path=l["path"], position=v[:3],
-                                        color=v[3:6], intensity=float(v[6])))
+                                        color=v[3:6], intensity=float(v[6]),
+                                        kind=kind))
     log.info("scene cache loaded: %s in %.1f ms", path,
              1e3 * (time.perf_counter() - t0))
