@@ -259,3 +259,46 @@ def Xform "W" {
         lit = img[(inst == 0)].sum(-1)
         assert lit.max() > 0.5
         assert lit.min() < 0.25 * lit.max()   # shadowed region exists
+
+
+class TestEmissiveGI:
+    def test_emissive_quad_illuminates_via_bounce(self):
+        """An emissive surface (the Cornell light quad) contributes to the
+        GI gather even with no point lights."""
+        from vri_tpu.usd import Stage
+
+        text = '''#usda 1.0
+def Xform "W" {
+    def Mesh "Floor" {
+        int[] faceVertexCounts = [4]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        point3f[] points = [(-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)]
+    }
+    def Mesh "Glow" {
+        int[] faceVertexCounts = [4]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        point3f[] points = [(-0.4, 1, 0.4), (0.4, 1, 0.4), (0.4, 1, -0.4), (-0.4, 1, -0.4)]
+        rel material:binding = </W/Lamp>
+    }
+    def Material "Lamp" {
+        token outputs:surface.connect = </W/Lamp/S.outputs:surface>
+        def Shader "S" {
+            uniform token info:id = "UsdPreviewSurface"
+            color3f inputs:emissiveColor = (8, 6, 2)
+        }
+    }
+    def Camera "Cam" {
+        float3 vri:eye = (0, 1.2, 2.5)
+        float3 vri:target = (0, 0.3, 0)
+    }
+}
+'''
+        r = Renderer(RenderConfig(width=48, height=48, sdf=TINY))
+        r.load_stage(Stage.from_string(text))
+        assert int(r.scene.num_lights) == 0
+        gi_img = r.render_progressive(4, samples=1, backend="brute")
+        direct = r.render(gi=True, samples=0, backend="brute")["color"]
+        inst = r.render(gi=False, backend="brute")["instance_id"]
+        floor = inst == 0
+        # no lights: direct is ~ambient only; GI adds emissive bounce energy
+        assert gi_img[floor].sum() > direct[floor].sum() * 1.3

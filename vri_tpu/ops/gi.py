@@ -170,7 +170,9 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
             l_hit = direct_radiance(hit_p + n_hit * hit_bias, n_hit, scene,
                                     cascades, config,
                                     shadow_steps=shadow_steps)
-        bounce = jnp.minimum(alb_hit * l_hit, gi_clamp)
+        # emissive surfaces (area lights) contribute directly at the hit
+        bounce = jnp.minimum(alb_hit * l_hit + cascades.brick_emissive[b],
+                             gi_clamp)
         sky = jnp.asarray(SKY, jnp.float32)
         contrib = jnp.where(rec.hit[:, None], bounce, sky)
         indirect = indirect + contrib

@@ -63,6 +63,7 @@ class SDFCascades:
     atlas: jnp.ndarray        # (max_bricks, B, B, B) f32
     brick_voxel: jnp.ndarray  # (max_bricks,) i32 flattened (n*R^3 + voxel)
     brick_albedo: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface albedo
+    brick_emissive: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface emission
     brick_normal: jnp.ndarray  # (max_bricks, 3) f32 — nearest-surface normal
     # direct irradiance baked at the brick surface (radiance cache for the
     # GI bounce; see bake_brick_lighting) — zeros until baked
@@ -146,6 +147,7 @@ def _occupancy_one_cascade(a, b, c, valid, origin, vs, config: SDFConfig,
 def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                    num_faces: jnp.ndarray, centers: jnp.ndarray, *,
                    tri_albedo: jnp.ndarray | None = None,
+                   tri_emissive: jnp.ndarray | None = None,
                    config: SDFConfig, chunk: int = 64,
                    brick_block: int = 256) -> SDFCascades:
     """Full cascade build from the world-space triangle soup.
@@ -166,11 +168,15 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     p = world_verts[tri_vertices]             # (F, 3, 3)
     if tri_albedo is None:
         tri_albedo = jnp.full((f, 3), 0.5, jnp.float32)
+    if tri_emissive is None:
+        tri_emissive = jnp.zeros((f, 3), jnp.float32)
     pad = fp - f
     if pad:
         p = jnp.concatenate([p, jnp.zeros((pad, 3, 3), p.dtype)])
         tri_albedo = jnp.concatenate(
             [tri_albedo, jnp.zeros((pad, 3), jnp.float32)])
+        tri_emissive = jnp.concatenate(
+            [tri_emissive, jnp.zeros((pad, 3), jnp.float32)])
     valid = jnp.arange(fp) < num_faces
     a, b, c = p[:, 0], p[:, 1], p[:, 2]
     tri_n = jnp.cross(b - a, c - a)
@@ -275,17 +281,21 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         # gather in ops/gi.py)
         nearest = knn[:, 0]
         alb = jnp.where(live[:, None], tri_albedo[nearest], 0.0)
+        emi = jnp.where(live[:, None], tri_emissive[nearest], 0.0)
         nrm = jnp.where(live[:, None], tri_n[nearest], 0.0)
-        return (d01.reshape(brick_block, bsz, bsz, bsz), alb, nrm)
+        return (d01.reshape(brick_block, bsz, bsz, bsz), alb, emi, nrm)
 
-    blocks, albs, nrms = jax.lax.map(emit_block, jnp.arange(num_blocks))
+    blocks, albs, emis, nrms = jax.lax.map(emit_block, jnp.arange(num_blocks))
     atlas = blocks.reshape(max_bricks, bsz, bsz, bsz)
     brick_albedo = albs.reshape(max_bricks, 3)
+    brick_emissive = emis.reshape(max_bricks, 3)
     brick_normal = nrms.reshape(max_bricks, 3)
 
     return SDFCascades(center=centers, voxel_size=vs, brick_map=brick_map,
                        atlas=atlas, brick_voxel=brick_voxel,
-                       brick_albedo=brick_albedo, brick_normal=brick_normal,
+                       brick_albedo=brick_albedo,
+                       brick_emissive=brick_emissive,
+                       brick_normal=brick_normal,
                        brick_irradiance=jnp.zeros((max_bricks, 3),
                                                   jnp.float32),
                        num_bricks=num_bricks, overflow=overflow)
@@ -336,6 +346,7 @@ def build_for_scene(scene, world_verts, focus, config: SDFConfig,
     centers = default_centers(config, focus)
     mat = scene.instance_material[scene.tri_instance]
     tri_albedo = scene.mat_base_color[mat]
+    tri_emissive = scene.mat_emissive[mat]
     return build_cascades(world_verts, scene.tri_vertices, scene.num_faces,
-                          centers, tri_albedo=tri_albedo, config=config,
-                          **kw)
+                          centers, tri_albedo=tri_albedo,
+                          tri_emissive=tri_emissive, config=config, **kw)
