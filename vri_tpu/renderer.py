@@ -146,13 +146,14 @@ class Renderer:
 
     def render_progressive(self, n_frames: int,
                            camera: Optional[CameraState] = None,
-                           samples: int = 1,
+                           samples: int = 1, gi_scale: int = 1,
                            backend: str = "raster") -> np.ndarray:
         """Accumulate n GI frames (fixed camera) into a running mean."""
         color = None
         count = jnp.zeros(())
         for _ in range(n_frames):
             aovs = self.render(camera=camera, gi=True, samples=samples,
+                               gi_scale=gi_scale,
                                backend=backend, to_numpy=False)
             if color is None:
                 color = jnp.zeros_like(aovs["color"])
