@@ -104,7 +104,6 @@ def main(argv=None) -> int:
 
     if args.multichip:
         import jax
-        import jax.numpy as jnp
 
         from vri_tpu.parallel import make_mesh, tiling
         from vri_tpu.passes.frame import FrameParams

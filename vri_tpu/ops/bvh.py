@@ -24,8 +24,6 @@ batches by the caller.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import flax.struct
 import jax
 import jax.numpy as jnp

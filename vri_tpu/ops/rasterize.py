@@ -56,38 +56,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def triangle_setup(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
-                   num_faces: jnp.ndarray, view_proj: jnp.ndarray,
-                   height: int, width: int):
-    """Project triangles to pixel space.
-
-    Returns per-triangle-corner arrays x, y (pixels), z (ndc), inv_w and a
-    per-triangle valid mask.  This is the raster VS (Visibility.hlsl:14-17)
-    as one batched matmul.
-    """
-    v = world_verts
-    clip = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=1) @ view_proj.T
-    w = clip[:, 3]
-    w_ok = w > 1e-6
-    inv_w = jnp.where(w_ok, 1.0 / jnp.where(w_ok, w, 1.0), 0.0)
-    ndc = clip[:, :3] * inv_w[:, None]
-    px = (ndc[:, 0] * 0.5 + 0.5) * width
-    py = (0.5 - ndc[:, 1] * 0.5) * height
-    pz = ndc[:, 2]
-
-    tx = px[tri_vertices]            # (F, 3)
-    ty = py[tri_vertices]
-    tz = pz[tri_vertices]
-    tw = inv_w[tri_vertices]
-    valid = (jnp.arange(tri_vertices.shape[0]) < num_faces)
-    valid &= w_ok[tri_vertices].all(axis=1)
-    # degenerate screen-space triangles
-    area = ((tx[:, 1] - tx[:, 0]) * (ty[:, 2] - ty[:, 0])
-            - (ty[:, 1] - ty[:, 0]) * (tx[:, 2] - tx[:, 0]))
-    valid &= jnp.abs(area) > 1e-12
-    return tx, ty, tz, tw, valid
-
-
 def triangle_setup_clipped(world_verts: jnp.ndarray,
                            tri_vertices: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,

@@ -31,7 +31,6 @@ animation reuses the compiled executable.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import flax.struct
 import jax

@@ -15,7 +15,6 @@ debug-resolve sampling.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import flax.struct
 import jax

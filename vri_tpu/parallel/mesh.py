@@ -8,7 +8,7 @@ framebuffer (and, for the SDF, cascade z-slabs); collectives ride ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

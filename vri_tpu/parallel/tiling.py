@@ -16,7 +16,7 @@ single-chip path is the degenerate 1-device mesh.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from jax import shard_map
 from vri_tpu.config import SDFConfig
 from vri_tpu.ops import gi as gi_mod
 from vri_tpu.ops import raygen, shading
-from vri_tpu.ops.intersect import INF, gather_triangles, trace_brute
+from vri_tpu.ops.intersect import gather_triangles, trace_brute
 from vri_tpu.passes.frame import FrameParams
 from vri_tpu.registry import SceneBuffers, bake_world
 

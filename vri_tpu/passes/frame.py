@@ -11,7 +11,7 @@ the stages.  The mutable "render settings" the reference re-sets every frame
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.struct
 import jax
