@@ -211,3 +211,21 @@ class TestAtlasU8:
         np.testing.assert_array_equal(np.asarray(r32.hit), np.asarray(r8.hit))
         np.testing.assert_allclose(np.asarray(r32.t), np.asarray(r8.t),
                                    atol=5e-3)
+
+
+class TestCompactMarch:
+    def test_compacted_matches_plain(self, cornell_sdf):
+        """Two-stage compaction is an exact restructuring of the march."""
+        scene, world, cas = cornell_sdf
+        rng = np.random.default_rng(3)
+        o = rng.uniform(-0.9, 0.9, (1024, 3)).astype(np.float32)
+        d = rng.normal(size=(1024, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        a = sdf_trace.march(cas, jnp.asarray(o), jnp.asarray(d), t_max=10.0,
+                            config=TINY, compact=False)
+        b = sdf_trace.march(cas, jnp.asarray(o), jnp.asarray(d), t_max=10.0,
+                            config=TINY, compact=True)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        np.testing.assert_allclose(np.asarray(a.t)[np.asarray(a.hit)],
+                                   np.asarray(b.t)[np.asarray(b.hit)],
+                                   rtol=1e-5)

@@ -77,6 +77,9 @@ class SDFConfig:
     gi_steps: int = 28
     # GI gather rays stop at this fraction of the coarsest cascade extent
     gi_range_factor: float = 0.5
+    # two-stage ray compaction in the march (survivors continue in a
+    # quarter-width buffer; exactness-preserving cleanup loop)
+    compact_march: bool = False
     # nearest-texel (1-element-gather) sampling for occlusion/GI rays:
     # ~3x cheaper march steps at the cost of shadows fattening by up to
     # ~2 texels on grazing rays
@@ -97,7 +100,7 @@ class SDFConfig:
             return cls(num_cascades=6, cascade_resolution=64,
                        base_voxel_size=0.05, max_bricks=1 << 17,
                        max_triangles_per_brick=32, atlas_u8=True,
-                       approx_occlusion=True)
+                       approx_occlusion=True, compact_march=True)
         if name == "tiny":
             return cls(num_cascades=2, cascade_resolution=16,
                        base_voxel_size=0.15, max_bricks=8192,

@@ -154,7 +154,8 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
         o = gb.position + gb.normal * bias
         rec = sdf_trace.march(cascades, o, wi, t_max=gi_range,
                               config=config, max_steps=gi_steps,
-                              approx=config.approx_occlusion)
+                              approx=config.approx_occlusion,
+                              compact=config.compact_march)
         hit_p = o + wi * jnp.minimum(rec.t, gi_range)[:, None]
         b = jnp.maximum(rec.brick, 0)
         alb_hit = cascades.brick_albedo[b]

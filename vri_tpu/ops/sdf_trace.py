@@ -140,45 +140,10 @@ def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
     return d_best, cas_best, brick_best, uvw_best, chosen, exit_t
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_steps",
-                                              "approx"))
-def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
-          t_max, *, config: SDFConfig, max_steps: int | None = None,
-          approx: bool = False) -> SDFHit:
-    """Sphere march rays (M, 3) through the cascades.
-
-    ``approx=True`` uses nearest-texel sampling (one gathered element per
-    step instead of 32): hits may trigger up to ~2 texels early, so use it
-    for occlusion/gather rays where that only slightly fattens contacts —
-    not for primary visibility.
-    """
-    m = origins.shape[0]
-    max_steps = max_steps or config.march_max_steps
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
-
-    # coarsest cascade bounds: rays starting outside skip to entry
+def _march_loop(sdf, config, approx, origins, dirs, t_max, t_enter, state,
+                max_steps):
+    """Lock-step march loop over whatever ray set ``state`` describes."""
     vs_c = sdf.voxel_size[-1]
-    r = config.cascade_resolution
-    lo = cascade_origin(sdf.center[-1], vs_c, r)
-    hi = lo + r * vs_c
-    inv_d = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
-    t0s = (lo - origins) * inv_d
-    t1s = (hi - origins) * inv_d
-    t_enter = jnp.minimum(t0s, t1s).max(-1)
-    t_exit = jnp.maximum(t0s, t1s).min(-1)
-    t_init = jnp.clip(jnp.maximum(t_enter + 1e-4, 1e-3), None, t_max)
-    never = t_exit < jnp.maximum(t_enter, 0.0)
-
-    state = dict(
-        t=t_init,
-        active=~never & (t_init < t_max),
-        hit=jnp.zeros((m,), bool),
-        it=jnp.zeros((m,), jnp.int32),
-        cascade=jnp.full((m,), -1, jnp.int32),
-        brick=jnp.full((m,), -1, jnp.int32),
-        uvw=jnp.zeros((m, 3), jnp.float32),
-        step=jnp.int32(0),
-    )
 
     def cond(s):
         return jnp.any(s["active"]) & (s["step"] < max_steps)
@@ -219,7 +184,79 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
             step=s["step"] + 1,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+_RAY_FIELDS = ("t", "active", "hit", "it", "cascade", "brick", "uvw")
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_steps",
+                                              "approx", "compact"))
+def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
+          t_max, *, config: SDFConfig, max_steps: int | None = None,
+          approx: bool = False, compact: bool = False) -> SDFHit:
+    """Sphere march rays (M, 3) through the cascades.
+
+    ``approx=True`` uses nearest-texel sampling (one gathered element per
+    step instead of 32): hits may trigger up to ~2 texels early, so use it
+    for occlusion/gather rays where that only slightly fattens contacts —
+    not for primary visibility.
+
+    ``compact=True`` runs a short full-width stage, then gathers the
+    surviving rays into a quarter-width buffer for the remaining budget (the
+    lock-step loop otherwise pays for every lane until the slowest ray
+    finishes).  A final full-width cleanup loop preserves exactness when
+    more than a quarter of the rays survive.
+    """
+    m = origins.shape[0]
+    max_steps = max_steps or config.march_max_steps
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
+
+    # coarsest cascade bounds: rays starting outside skip to entry
+    vs_c = sdf.voxel_size[-1]
+    r = config.cascade_resolution
+    lo = cascade_origin(sdf.center[-1], vs_c, r)
+    hi = lo + r * vs_c
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    t0s = (lo - origins) * inv_d
+    t1s = (hi - origins) * inv_d
+    t_enter = jnp.minimum(t0s, t1s).max(-1)
+    t_exit = jnp.maximum(t0s, t1s).min(-1)
+    t_init = jnp.clip(jnp.maximum(t_enter + 1e-4, 1e-3), None, t_max)
+    never = t_exit < jnp.maximum(t_enter, 0.0)
+
+    state = dict(
+        t=t_init,
+        active=~never & (t_init < t_max),
+        hit=jnp.zeros((m,), bool),
+        it=jnp.zeros((m,), jnp.int32),
+        cascade=jnp.full((m,), -1, jnp.int32),
+        brick=jnp.full((m,), -1, jnp.int32),
+        uvw=jnp.zeros((m, 3), jnp.float32),
+        step=jnp.int32(0),
+    )
+
+    if not compact or m < 512:
+        s = _march_loop(sdf, config, approx, origins, dirs, t_max, t_enter,
+                        state, max_steps)
+    else:
+        k1 = min(8, max_steps)
+        s = _march_loop(sdf, config, approx, origins, dirs, t_max, t_enter,
+                        state, k1)
+        cap = m // 4
+        idx = jnp.argsort(~s["active"])[:cap]    # surviving rays first
+        sub = {k: s[k][idx] for k in _RAY_FIELDS}
+        sub["step"] = jnp.int32(0)
+        sub = _march_loop(sdf, config, approx, origins[idx], dirs[idx],
+                          t_max[idx], t_enter[idx], sub, max_steps - k1)
+        for k in _RAY_FIELDS:
+            s[k] = s[k].at[idx].set(sub[k])
+        # exactness cleanup: if more than cap rays survived stage 1, finish
+        # them full-width (exits after one check when none are active)
+        s["step"] = jnp.int32(0)
+        s = _march_loop(sdf, config, approx, origins, dirs, t_max, t_enter,
+                        s, max_steps - k1)
+
     return SDFHit(t=jnp.where(s["hit"], s["t"], BIG), hit=s["hit"],
                   iterations=s["it"], cascade=s["cascade"], brick=s["brick"],
                   uvw=s["uvw"])
@@ -253,5 +290,6 @@ def occlusion(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
               ) -> jnp.ndarray:
     """Shadow factor in [0,1]: 0 = fully blocked (hard via sphere march)."""
     rec = march(sdf, origins, dirs, t_max, config=config,
-                max_steps=max_steps, approx=config.approx_occlusion)
+                max_steps=max_steps, approx=config.approx_occlusion,
+                compact=config.compact_march)
     return 1.0 - rec.hit.astype(jnp.float32)
