@@ -100,7 +100,7 @@ class SDFConfig:
             return cls(num_cascades=6, cascade_resolution=64,
                        base_voxel_size=0.05, max_bricks=1 << 17,
                        max_triangles_per_brick=32, atlas_u8=True,
-                       approx_occlusion=True, compact_march=True)
+                       approx_occlusion=True)
         if name == "tiny":
             return cls(num_cascades=2, cascade_resolution=16,
                        base_voxel_size=0.15, max_bricks=8192,
