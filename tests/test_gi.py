@@ -302,3 +302,28 @@ def Xform "W" {
         floor = inst == 0
         # no lights: direct is ~ambient only; GI adds emissive bounce energy
         assert gi_img[floor].sum() > direct[floor].sum() * 1.3
+
+
+class TestCachedShadows:
+    def test_cached_shadow_direct_approximates_marched(self, renderer):
+        """direct_radiance_cached (baked per-brick visibility) agrees with
+        the marched direct term up to voxel-quantized shadow edges."""
+        import dataclasses
+
+        import jax.numpy as jnp
+        from vri_tpu.ops import sdf as sdf_mod
+
+        scene = renderer.scene
+        cas = sdf_mod.bake_brick_lighting(renderer.ensure_cascades(), scene,
+                                          config=TINY)
+        pts = jnp.asarray([[-0.35, -0.97, -0.35],   # under the tall box
+                           [0.0, -0.97, 0.8]], jnp.float32)
+        nrm = jnp.asarray([[0, 1, 0], [0, 1, 0]], jnp.float32)
+        marched = np.asarray(gi.direct_radiance(pts, nrm, scene, cas, TINY))
+        cached = np.asarray(gi.direct_radiance_cached(pts, nrm, scene, cas,
+                                                      TINY))
+        # shadowed point stays much darker than the open point in both
+        assert marched[1].sum() > 4 * marched[0].sum()
+        assert cached[1].sum() > 2 * cached[0].sum()
+        # lit point magnitudes agree closely (same analytic N.L/falloff)
+        np.testing.assert_allclose(cached[1], marched[1], rtol=0.3)

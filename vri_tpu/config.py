@@ -77,6 +77,9 @@ class SDFConfig:
     gi_steps: int = 28
     # GI gather rays stop at this fraction of the coarsest cascade extent
     gi_range_factor: float = 0.5
+    # direct shadows from the baked per-brick visibility (one gather, no
+    # per-pixel shadow march; shadow edges quantize to the voxel size)
+    cached_shadows: bool = False
     # two-stage ray compaction in the march (survivors continue in a
     # quarter-width buffer; exactness-preserving cleanup loop)
     compact_march: bool = False

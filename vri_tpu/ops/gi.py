@@ -78,7 +78,8 @@ def surface_bias(points: jnp.ndarray, cascades: SDFCascades,
 def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
                     scene: SceneBuffers, cascades: SDFCascades,
                     config: SDFConfig, shadow_steps: int | None = None,
-                    light_radius: float = 0.1) -> jnp.ndarray:
+                    light_radius: float = 0.1,
+                    return_visibility: bool = False):
     """Incoming direct radiance (N, 3) at surface points, SDF-shadowed.
     ``light_radius`` clamps the inverse-square falloff (fireflies when a
     bounce lands next to a light)."""
@@ -106,6 +107,38 @@ def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
     falloff = jnp.where(is_distant, 1.0,
                         1.0 / jnp.maximum(dist * dist, light_radius ** 2))
     irr = li[None, :] * ndotl * occ * falloff
+    out = (irr[..., None] * lc[None, :, :]).sum(axis=1)
+    if return_visibility:
+        return out, occ
+    return out
+
+
+def direct_radiance_cached(points: jnp.ndarray, normals: jnp.ndarray,
+                           scene: SceneBuffers, cascades: SDFCascades,
+                           config: SDFConfig,
+                           light_radius: float = 0.1) -> jnp.ndarray:
+    """Direct radiance with *baked* per-brick shadow visibility: analytic
+    N.L and falloff per pixel, shadows gathered from brick_light_vis (one
+    voxel lookup — no marching).  Shadow edges quantize to the voxel size;
+    pair with the SDF presets whose finest voxels are small."""
+    from vri_tpu.ops import sdf_trace
+
+    lp, lc, li, lt = _light_arrays(scene)
+    is_distant = (lt == 1)[None, :]
+    to_l = jnp.where(is_distant[..., None], lp[None, :, :],
+                     lp[None, :, :] - points[:, None, :])
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
+    ndotl = jnp.maximum(jnp.sum(normals[:, None, :] * wi, axis=-1), 0.0)
+    # the point's voxel brick supplies the visibility term
+    bias = surface_bias(points, cascades, config)[:, None]
+    _, _, brick, _, _, _ = sdf_trace._sample(
+        cascades, points + normals * bias, config, trilinear=False)
+    vis = cascades.brick_light_vis[jnp.maximum(brick, 0)]
+    vis = jnp.where((brick >= 0)[:, None], vis, 1.0)
+    falloff = jnp.where(is_distant, 1.0,
+                        1.0 / jnp.maximum(dist * dist, light_radius ** 2))
+    irr = li[None, :] * ndotl * vis * falloff
     return (irr[..., None] * lc[None, :, :]).sum(axis=1)
 
 
@@ -121,8 +154,12 @@ def lightloop(gb: GBuffer, scene: SceneBuffers, cascades: SDFCascades,
     gi_steps = gi_steps or config.gi_steps
     shadow_steps = shadow_steps or config.shadow_steps
     n = gb.position.shape[0]
-    direct = direct_radiance(gb.position, gb.normal, scene, cascades, config,
-                             shadow_steps=shadow_steps)
+    if config.cached_shadows and use_cache:
+        direct = direct_radiance_cached(gb.position, gb.normal, scene,
+                                        cascades, config)
+    else:
+        direct = direct_radiance(gb.position, gb.normal, scene, cascades,
+                                 config, shadow_steps=shadow_steps)
 
     if samples == 0:   # direct-only (SDF-shadowed) fast path
         color = gb.emissive + gb.albedo * direct

@@ -67,6 +67,8 @@ class SDFCascades:
     # direct irradiance baked at the brick surface (radiance cache for the
     # GI bounce; see bake_brick_lighting) — zeros until baked
     brick_irradiance: jnp.ndarray  # (max_bricks, 3) f32
+    # per-(brick, light) visibility (shadow factors; see bake_brick_lighting)
+    brick_light_vis: jnp.ndarray   # (max_bricks, L) f32
     num_bricks: jnp.ndarray   # () i32
     overflow: jnp.ndarray     # () i32 — occupied voxels dropped (capacity)
 
@@ -297,6 +299,8 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                        brick_normal=brick_normal,
                        brick_irradiance=jnp.zeros((max_bricks, 3),
                                                   jnp.float32),
+                       brick_light_vis=jnp.ones((max_bricks, 1),
+                                                jnp.float32),
                        num_bricks=num_bricks, overflow=overflow)
 
 
@@ -333,11 +337,13 @@ def bake_brick_lighting(cascades: "SDFCascades", scene, *,
     nrm = cascades.brick_normal
     bias = gi_mod.surface_bias(centers, cascades, config)[:, None]
     pts = centers + nrm * bias
-    irr = gi_mod.direct_radiance(pts, nrm, scene, cascades, config,
-                                 shadow_steps=shadow_steps)
+    irr, vis = gi_mod.direct_radiance(pts, nrm, scene, cascades, config,
+                                      shadow_steps=shadow_steps,
+                                      return_visibility=True)
     live = (jnp.arange(cascades.atlas.shape[0]) < cascades.num_bricks)
     irr = jnp.where(live[:, None], irr, 0.0)
-    return cascades.replace(brick_irradiance=irr)
+    vis = jnp.where(live[:, None], vis, 1.0)
+    return cascades.replace(brick_irradiance=irr, brick_light_vis=vis)
 
 
 def build_for_scene(scene, world_verts, focus, config: SDFConfig,
