@@ -483,17 +483,18 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
     return group_ids, jnp.minimum(counts, cap_groups), overflowed
 
 
-def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
+def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
                           num_subs: int, num_tx: int):
     """Minimal visibility inner loop: corner-difference edge functions on
-    the VPU, depth/winner reduction, nothing else.
+    the VPU, depth/winner reduction, one slot-id pick.
 
-    Only (depth, winner list position) leave the kernel; every other
-    attribute is recovered afterwards by one XLA gather pass over the
-    framebuffer.  Triangle coordinates arrive pre-translated to tile-local
-    pixel space, so the pixel pattern below is a loop constant; the sub-chunk
-    loop has static bounds (padding slots carry z=10 and never win).
+    Only (depth, winner slot id) leave the kernel; every other attribute is
+    recovered afterwards by one contiguous XLA row gather.  (The slot id is
+    picked in-kernel from data row 9 because mapping winner positions to
+    slots in XLA costs a 2M-element 2-D gather — ~21 ms/frame, measured.)
+    Triangle coordinates arrive pre-translated to tile-local pixel space, so
+    the pixel pattern below is a loop constant.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -540,13 +541,25 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, pos_out, *,
     miss_key = 1073741824  # f32 2.0 bit pattern (scalar bitcast is unsupported)
     best_key = jnp.full((p, 1), miss_key, jnp.int32)
     n_sub = meta_ref[tile_id // 128, tile_id % 128]
-    best_key = jax.lax.fori_loop(0, jnp.minimum(n_sub, num_subs), sub_body,
-                                 best_key)
+    n_sub = jnp.minimum(n_sub, num_subs)
+    best_key = jax.lax.fori_loop(0, n_sub, sub_body, best_key)
     z = jax.lax.bitcast_convert_type(best_key & mask, jnp.float32)
     hit = z <= 1.0
-    pos = jnp.where(hit, best_key & ~mask, -1)
+    pos = best_key & ~mask
+    # pick the winner's slot id (data row 9) by position
+    win_sub = pos // tri_chunk
+    win_lane = pos % tri_chunk
+
+    def pick_body(s, acc):
+        sel = (win_sub == s) & (lane == win_lane)
+        return acc + jnp.sum(jnp.where(sel, tri_ref[0, s][9][None, :], 0.0),
+                             axis=-1, keepdims=True)
+
+    slot_f = jax.lax.fori_loop(0, n_sub, pick_body,
+                               jnp.zeros((p, 1), jnp.float32))
+    slot = jnp.where(hit, slot_f.astype(jnp.int32), -1)
     z_out[:, :] = jnp.where(hit, z, 3.0e38).reshape(tile_h, tile_w)
-    pos_out[:, :] = pos.reshape(tile_h, tile_w)
+    slot_out[:, :] = slot.reshape(tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -614,17 +627,21 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
              + jnp.arange(group, dtype=jnp.int32)[None, None, :]
              ).reshape(num_tiles, cap_t)                  # (tiles, capT)
 
-    def rows(a):          # (Fp, 3) -> (tiles, 3, capT)
-        return a[slots].transpose(0, 2, 1)
-
+    # one contiguous row gather for all per-slot kernel data: x3 y3 z3 +
+    # the slot id itself (row 9, picked in-kernel by the winner — mapping
+    # winner positions to slots in XLA cost a 21 ms 2-D gather, measured)
+    fp_ids = jnp.arange(tx.shape[0], dtype=jnp.float32)[:, None]
+    packed = jnp.concatenate([tx, ty, tz, fp_ids], axis=1)   # (Fp, 10)
+    gathered = packed[slots].transpose(0, 2, 1)           # (tiles, 10, capT)
     # tile-local coordinates: the kernel's pixel pattern becomes a constant
     tile_x0 = ((jnp.arange(num_tiles) % grid[1]) * tile_w
                ).astype(jnp.float32)[:, None, None]
     tile_y0 = ((jnp.arange(num_tiles) // grid[1]) * tile_h
                ).astype(jnp.float32)[:, None, None]
-    zero = jnp.zeros((num_tiles, 7, cap_t), jnp.float32)
+    zero = jnp.zeros((num_tiles, 6, cap_t), jnp.float32)
     data = jnp.concatenate(
-        [rows(tx) - tile_x0, rows(ty) - tile_y0, rows(tz), zero], axis=1)
+        [gathered[:, 0:3] - tile_x0, gathered[:, 3:6] - tile_y0,
+         gathered[:, 6:9], gathered[:, 9:10], zero], axis=1)
     data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
         .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
 
@@ -650,7 +667,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     kernel = functools.partial(
         _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
         tri_chunk=tri_chunk, num_subs=num_subs, num_tx=grid[1])
-    z, pos = pl.pallas_call(
+    z, slot = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -659,14 +676,11 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         interpret=interpret,
     )(meta, data)
 
-    # ---- XLA resolve: winner position -> slot -> attributes --------------
+    # ---- XLA resolve: winner slot -> attributes ---------------------------
     z = z[:height, :width]
-    pos = pos[:height, :width]
-    yy = jnp.arange(height) // tile_h
-    xx = jnp.arange(width) // tile_w
-    pix_tile = (yy[:, None] * grid[1] + xx[None, :])      # (H, W)
-    hit_mask = pos >= 0
-    slot = slots[pix_tile, jnp.maximum(pos, 0)]           # (H, W)
+    slot = slot[:height, :width]
+    hit_mask = slot >= 0
+    slot = jnp.maximum(slot, 0)
 
     # one contiguous row gather per pixel: XLA's per-index gather overhead
     # dominated when this was 15 separate gathers
