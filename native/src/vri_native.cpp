@@ -32,16 +32,19 @@ int64_t vri_triangulate_count(const int32_t* counts, int64_t n_faces) {
 }
 
 // Fan-triangulate: writes (T,3) vertex ids, (T,) source face ids and (T,3)
-// flat corner ids (for faceVarying primvar flattening). Returns T.
+// flat corner ids (for faceVarying primvar flattening). Returns T, or -1
+// when the face counts are malformed (negative, or summing past the end of
+// the index buffer) — a hostile/truncated stage must not read out of bounds
+// here; the Python caller falls back to the checked numpy path on -1.
 int64_t vri_triangulate(const int32_t* counts, int64_t n_faces,
                         const int32_t* indices, int64_t n_indices,
                         int32_t* out_tris, int32_t* out_face,
                         int32_t* out_corners) {
-    (void)n_indices;
     int64_t t = 0;
     int64_t offset = 0;
     for (int64_t f = 0; f < n_faces; ++f) {
         const int32_t c = counts[f];
+        if (c < 0 || offset + c > n_indices) return -1;
         for (int32_t k = 0; k + 2 < c; ++k) {
             out_tris[3 * t + 0] = indices[offset];
             out_tris[3 * t + 1] = indices[offset + k + 1];
@@ -198,16 +201,23 @@ struct Arena {
 Arena g_arena;
 }  // namespace
 
-void* vri_arena_alloc(int64_t bytes) {
+// Returns an *offset* into the arena (resolve with vri_arena_base()), not a
+// pointer: the backing vector may reallocate on growth, which would dangle
+// any previously returned pointer.  Offsets stay valid across growth.
+int64_t vri_arena_alloc(int64_t bytes) {
     int64_t aligned = (bytes + 63) & ~int64_t(63);
     if (g_arena.used + aligned > (int64_t)g_arena.buf.size()) {
         g_arena.buf.resize(g_arena.used + aligned);
     }
-    void* p = g_arena.buf.data() + g_arena.used;
+    int64_t off = g_arena.used;
     g_arena.used += aligned;
     if (g_arena.used > g_arena.peak) g_arena.peak = g_arena.used;
-    return p;
+    return off;
 }
+
+// Current base address of the arena. Only valid until the next
+// vri_arena_alloc that grows the buffer; re-query after every alloc batch.
+void* vri_arena_base() { return g_arena.buf.data(); }
 
 void vri_arena_reset() { g_arena.used = 0; }
 
@@ -217,6 +227,6 @@ void vri_arena_stats(int64_t* used, int64_t* peak, int64_t* reserved) {
     *reserved = (int64_t)g_arena.buf.size();
 }
 
-int32_t vri_abi_version() { return 1; }
+int32_t vri_abi_version() { return 2; }
 
 }  // extern "C"

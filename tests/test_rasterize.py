@@ -169,3 +169,48 @@ class TestRasterBackend:
         np.testing.assert_allclose(np.asarray(a["depth"])[same & (ia >= 0)],
                                    np.asarray(b["depth"])[same & (ia >= 0)],
                                    rtol=5e-3)
+
+
+class TestBinnedOverflow:
+    def test_overflow_surfaced(self):
+        """Geometry concentrated in one tile past cap_groups must be
+        reported via HitRecord.overflow (ADVICE r1: silent truncation)."""
+        import jax
+
+        # many triangles stacked in the same few pixels: every group lands
+        # in one tile, far beyond cap_groups * 8 slots
+        n = 1200
+        rng = np.random.default_rng(1)
+        base = rng.uniform(-0.05, 0.05, size=(n, 3, 3)).astype(np.float32)
+        base[..., 2] = rng.uniform(2.0, 3.0, size=(n, 3)).astype(np.float32)
+        verts = base.reshape(-1, 3)
+        tris = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+        vp = np.eye(4, dtype=np.float32)  # identity projection, z in view
+        vp[2, 2] = 0.25  # squash z into [0, 1]
+        hit, _ = rasterize.rasterize_binned(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.int32(n),
+            jnp.asarray(vp), height=16, width=128, cap_groups=16)
+        assert hit.overflow is not None
+        assert int(hit.overflow) > 0
+
+    def test_no_overflow_on_cornell(self, cornell):
+        scene, cam = _setup(cornell, 48)
+        world = bake_world(scene)
+        hit, _ = rasterize.rasterize_binned(
+            world, scene.tri_vertices, scene.num_faces,
+            jnp.asarray(cam.view_proj), height=48, width=48)
+        assert int(hit.overflow) == 0
+
+    def test_ranged_backend_dispatch(self, cornell):
+        """backend='raster_ranged' must force the chunk-range kernel and
+        produce the same visibility as the binned default."""
+        res = 48
+        scene, cam = _setup(cornell, res)
+        fp = FrameParams.from_camera(cam)
+        a = render_frame(scene, fp, height=res, width=res,
+                         backend="raster")
+        b = render_frame(scene, fp, height=res, width=res,
+                         backend="raster_ranged")
+        ia = np.asarray(a["instance_id"])
+        ib = np.asarray(b["instance_id"])
+        assert (ia == ib).mean() > 0.99

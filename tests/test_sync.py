@@ -134,3 +134,29 @@ class TestRegistryLimits:
         d.populate(scenes.cornell_box())
         d.sync()
         assert d.registry.device_bytes() > 0
+
+
+class TestPrimvarDirty:
+    def test_uv_only_edit_repacks(self):
+        """Editing primvars:st alone must mark geometry dirty so the packed
+        tri_uv pool refreshes (ADVICE r1: stale UVs after primvar edit)."""
+        from vri_tpu.config import RenderConfig
+        from vri_tpu.hydra import RenderDelegate
+        from vri_tpu.usd import scenes
+
+        d = RenderDelegate(RenderConfig(width=16, height=16))
+        d.populate(scenes.cornell_box())
+        scene0 = d.sync()
+        reg = d.registry
+        path = reg._order[0]
+        rec = reg._meshes[path]
+        new_uvs = np.asarray(rec.uvs).copy()
+        new_uvs[..., 0] = 1.0 - new_uvs[..., 0]
+        import dataclasses as _dc
+
+        reg.push_mesh(_dc.replace(rec, uvs=new_uvs))
+        assert reg._geometry_dirty
+        scene1 = reg.commit()
+        lo = int(scene0.num_faces)
+        assert not np.allclose(np.asarray(scene0.tri_uv[:lo]),
+                               np.asarray(scene1.tri_uv[:lo]))

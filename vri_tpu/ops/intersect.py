@@ -28,6 +28,10 @@ class HitRecord:
     tri: jnp.ndarray    # (N,) i32 global triangle id, -1 = miss
     u: jnp.ndarray      # (N,) f32 barycentric of corner 1
     v: jnp.ndarray      # (N,) f32 barycentric of corner 2
+    # () i32 — number of capacity-overflowed raster tiles (bins whose
+    # triangle-group list was truncated; geometry may be missing there).
+    # None for tracers that cannot overflow (brute/BVH).
+    overflow: jnp.ndarray | None = None
 
 
 def gather_triangles(world_positions: jnp.ndarray, tri_vertices: jnp.ndarray

@@ -718,5 +718,6 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     hit = HitRecord(t=z.reshape(-1), tri=tri.reshape(-1),
                     u=jnp.where(hit_mask, src_u, 0.0).reshape(-1),
-                    v=jnp.where(hit_mask, src_v, 0.0).reshape(-1))
+                    v=jnp.where(hit_mask, src_v, 0.0).reshape(-1),
+                    overflow=jnp.sum(overflowed.astype(jnp.int32)))
     return hit, z

@@ -52,15 +52,17 @@ class FrameParams:
 
 
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
-                       width):
+                       width, variant: str = "auto"):
     """Raster dispatch: exact per-tile binning for ordinary scenes; the
     chunk-range kernel beyond ~128k triangles (the binning matrix and
-    per-tile gathers scale with tiles x triangles)."""
+    per-tile gathers scale with tiles x triangles).  ``variant='ranged'``
+    forces the chunk-range kernel — the fallback when the binned kernel
+    reports tile-capacity overflow (HitRecord.overflow > 0)."""
     from vri_tpu.ops import rasterize as raster_mod
 
-    fn = (raster_mod.rasterize_binned
-          if scene.tri_vertices.shape[0] <= (1 << 17)
-          else raster_mod.rasterize)
+    use_binned = (variant != "ranged"
+                  and scene.tri_vertices.shape[0] <= (1 << 17))
+    fn = raster_mod.rasterize_binned if use_binned else raster_mod.rasterize
     hit, _ = fn(world_verts, scene.tri_vertices, scene.num_faces,
                 frame.view_proj, height=height, width=width)
     return hit
@@ -95,14 +97,16 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
         from vri_tpu.ops import trace as trace_mod
 
         hit = trace_mod.trace_scene(scene, world_verts, o, d)
-    elif backend == "raster":
-        hit = _visibility_raster(scene, world_verts, frame, height, width)
+    elif backend in ("raster", "raster_ranged"):
+        hit = _visibility_raster(
+            scene, world_verts, frame, height, width,
+            variant="ranged" if backend == "raster_ranged" else "auto")
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
                                  pixel_spread=frame.pixel_spread)
-    if backend == "raster":
+    if backend.startswith("raster"):
         # raster depth is NDC; replace with world-space ray t for AOV parity
         t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
         gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
@@ -116,7 +120,7 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
         color = shading.debug_color(mode, gb)
 
     n_aux = color.shape[-1]
-    return {
+    out = {
         "color": color.reshape(height, width, n_aux),
         "depth": gb.depth.reshape(height, width),
         "instance_id": gb.instance.reshape(height, width),
@@ -124,6 +128,9 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
         "normal": gb.normal.reshape(height, width, 3),
         "albedo": gb.albedo.reshape(height, width, 3),
     }
+    if hit.overflow is not None:
+        out["raster_overflow_tiles"] = hit.overflow
+    return out
 
 
 def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
@@ -177,8 +184,10 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
         return {"color": color.reshape(height, width, 3),
                 "depth": rec.t.reshape(height, width)}
 
-    if backend == "raster":
-        hit = _visibility_raster(scene, world_verts, frame, height, width)
+    if backend in ("raster", "raster_ranged"):
+        hit = _visibility_raster(
+            scene, world_verts, frame, height, width,
+            variant="ranged" if backend == "raster_ranged" else "auto")
     elif backend == "bvh":
         from vri_tpu.ops import trace as trace_mod
 
@@ -216,13 +225,16 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
     else:
         color = shading.debug_color(mode, gb)
 
-    return {
+    out = {
         "color": color.reshape(height, width, color.shape[-1]),
         "depth": gb.depth.reshape(height, width),
         "instance_id": gb.instance.reshape(height, width),
         "normal": gb.normal.reshape(height, width, 3),
         "albedo": gb.albedo.reshape(height, width, 3),
     }
+    if hit.overflow is not None:
+        out["raster_overflow_tiles"] = hit.overflow
+    return out
 
 
 @jax.jit

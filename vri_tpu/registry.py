@@ -133,10 +133,15 @@ class ResourceRegistry:
             self._geometry_dirty = True
         else:
             old = self._meshes[rec.path]
+            # any per-face array difference requires a repack: uvs/tri_face
+            # feed the packed tri_uv/tri_face pools, so a primvar-only edit
+            # (DirtyBits.PRIMVAR resync) must also mark geometry dirty
             if (old.points.shape != rec.points.shape
                     or old.tris.shape != rec.tris.shape
                     or not np.array_equal(old.tris, rec.tris)
-                    or not np.array_equal(old.points, rec.points)):
+                    or not np.array_equal(old.points, rec.points)
+                    or not np.array_equal(old.uvs, rec.uvs)
+                    or not np.array_equal(old.tri_face, rec.tri_face)):
                 self._geometry_dirty = True
             if old.material_path != rec.material_path:
                 self._geometry_dirty = True

@@ -39,6 +39,9 @@ class Renderer:
         self._scene_version = -1
         self._sync_count = 0
         self.frame_index = 0
+        # set when the binned raster reports tile-capacity overflow: later
+        # frames use the ranged kernel so no geometry is dropped
+        self._raster_overflowed = False
 
     # -- scene --------------------------------------------------------------
 
@@ -126,6 +129,8 @@ class Renderer:
         assert self.scene is not None, "load_stage() first"
         cam = camera or self.camera
         assert cam is not None, "no camera"
+        if backend == "raster" and self._raster_overflowed:
+            backend = "raster_ranged"
         fp = frame_mod.FrameParams.from_camera(cam, self.config.height)
         h, w = self.config.height, self.config.width
         if gi or mode >= DebugMode.SDF_DISTANCE:
@@ -140,6 +145,16 @@ class Renderer:
                                           mode=mode, shadows=True,
                                           backend=backend)
         self.frame_index += 1
+        over = aovs.get("raster_overflow_tiles")
+        # only inspect the overflow scalar when a readback happens anyway
+        # (through the remote-TPU tunnel a forced sync costs a frame's time)
+        if over is not None and to_numpy and not self._raster_overflowed \
+                and int(over) > 0:
+            log.warning(
+                "binned raster overflowed %d tile lists (geometry may be "
+                "missing there); falling back to the ranged raster kernel "
+                "for subsequent frames", int(over))
+            self._raster_overflowed = True
         if to_numpy:
             return {k: np.asarray(v) for k, v in aovs.items()}
         return aovs

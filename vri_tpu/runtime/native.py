@@ -68,7 +68,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vri_quantize_positions.argtypes = [f32p, i64, u16p, f32p]
     lib.vri_dequantize_positions.argtypes = [u16p, i64, f32p, f32p]
     lib.vri_morton3d.argtypes = [f32p, i64, u32p]
-    if lib.vri_abi_version() != 1:
+    if lib.vri_abi_version() != 2:
         log.warning("native ABI mismatch; using numpy fallbacks")
         _load_failed = True
         return None
@@ -98,8 +98,14 @@ def triangulate(counts: np.ndarray, indices: np.ndarray
     tris = np.empty((t, 3), np.int32)
     face = np.empty((t,), np.int32)
     corners = np.empty((t, 3), np.int32)
-    lib.vri_triangulate(counts, len(counts), indices, len(indices),
-                        tris, face, corners)
+    n = lib.vri_triangulate(counts, len(counts), indices, len(indices),
+                            tris, face, corners)
+    if n < 0:
+        # malformed counts (negative / overrunning the index buffer): the
+        # checked numpy path raises a proper error for the same input
+        from vri_tpu.hydra import meshutil
+
+        return meshutil.triangulate(counts, indices)
     return tris, face, corners
 
 
