@@ -87,6 +87,9 @@ class SDFConfig:
     # ~3x cheaper march steps at the cost of shadows fattening by up to
     # ~2 texels on grazing rays
     approx_occlusion: bool = False
+    # Pallas march kernel for the approximate tier on TPU (voxel-precision
+    # hits from VMEM-resident coarse-cell tables; see ops/march_kernel.py)
+    kernel_march: bool = True
     # store the brick atlas as uint8 (the reference's R8_UNORM atlas,
     # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization
     atlas_u8: bool = False

@@ -68,11 +68,11 @@ def surface_bias(points: jnp.ndarray, cascades: SDFCascades,
     """Per-point shadow-ray offset: ~6 texels of the cascade containing the
     point.  The truncated field's zero level sits on the surface and the
     march's hit epsilon is ~1 texel, so rays must start several texels clear
-    of the surface or everything self-shadows."""
-    _, cas, _, _, _, _ = sdf_trace._sample(cascades, points, config)
-    vs = jnp.where(cas >= 0, cascades.voxel_size[jnp.maximum(cas, 0)],
-                   cascades.voxel_size[-1])
-    return 0.75 * vs
+    of the surface or everything self-shadows.  (Pure arithmetic — only the
+    containing cascade's voxel size is needed, no grid gathers.)"""
+    from vri_tpu.ops import march_kernel
+
+    return 0.75 * march_kernel.finest_voxel_size(cascades, points, config)
 
 
 def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,

@@ -1,0 +1,345 @@
+"""Pallas sphere-march kernel — the SDF traversal hot path.
+
+TPU re-design of Brixelizer's ray traversal
+(External/FidelityFX/include/FidelityFX/gpu/brixelizer/
+ffx_brixelizer_trace_ops.h:98-285).  The reference walks a two-level AABB
+tree with a per-cascade DDA and sphere-marches <=8 steps inside each brick;
+the XLA formulation of that (ops/sdf_trace.py) is gather-bound: every march
+step pays XLA's ~10 cycles/element dynamic-gather floor for the brick-map
+and atlas fetches, which made GI ~60x off the frame budget in round 1.
+
+This kernel removes the gather floor by re-shaping the *data* around the
+TPU's one fast dynamic-access primitive — the per-lane lane-shuffle
+(`take_along_axis` on an (8,128) vreg, ~2.5 cycles per masked 128-entry row,
+measured).  Instead of the (N, R^3) brick map + (bricks, 8^3) atlas, the
+kernel marches:
+
+  * a per-cascade 16^3 **coarse cell grid** (cell = (R/16)^3 voxels) of u8
+    chebyshev distances in cell units — the whole clipmap's skip structure
+    is N*8 rows of 128 i32 (u8 x4 packed), gathered every step by a
+    statically unrolled masked-row loop (~2.5 cyc/row);
+  * per-cell **surface-voxel bit words** (s^3 bits, s = R/16): gathered once
+    on cell entry (gated behind a block-level `lax.cond`), after which the
+    in-cell DDA tests voxel bits with pure register arithmetic — zero
+    further memory traffic until the ray leaves the cell.
+
+Hit precision is one voxel (the bit marks voxels whose brick SDF dips below
+~1.5 texels): the approximate tier used for occlusion/shadow and GI-gather
+rays, where the existing XLA trilinear march (`sdf_trace.march`) remains the
+quality path for primary/debug rays.  Payload mirrors FfxBrixelizerHitRaw
+{t, brick_id, uvw, iter_count} (trace_ops.h:54-59); the brick id is
+recovered with one XLA gather from the hit voxel.
+
+Rays are processed in (8, 128) = 1024-lane blocks, one block per Pallas grid
+step, all lanes lock-step in a single `while_loop` with per-lane active
+masks — the TPU's wavefront.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vri_tpu.config import SDFConfig
+from vri_tpu.ops.sdf import SDFCascades, cascade_origin
+from vri_tpu.ops.sdf_trace import BIG, SDFHit
+
+_SHAPE = (8, 128)
+
+
+def supports(config: SDFConfig) -> bool:
+    r = config.cascade_resolution
+    return r % 16 == 0 and r // 16 in (1, 2, 4)
+
+
+def _gather_u8(tab, flat):
+    """flat (8,128) i32 in [0, rows*512) -> u8 value per lane."""
+    rows = tab.shape[0]
+    row = flat >> 9
+    col = (flat >> 2) & 127
+    byte = flat & 3
+    val = jnp.zeros(_SHAPE, jnp.int32)
+    for rr in range(rows):
+        g = jnp.take_along_axis(jnp.broadcast_to(tab[rr:rr + 1], _SHAPE),
+                                col, axis=1)
+        val = jnp.where(row == rr, g, val)
+    return (val >> (byte * 8)) & 255
+
+
+def _gather_i32(tab, flat):
+    """flat (8,128) i32 in [0, rows*128) -> i32 value per lane."""
+    rows = tab.shape[0]
+    row = flat >> 7
+    col = flat & 127
+    val = jnp.zeros(_SHAPE, jnp.int32)
+    for rr in range(rows):
+        g = jnp.take_along_axis(jnp.broadcast_to(tab[rr:rr + 1], _SHAPE),
+                                col, axis=1)
+        val = jnp.where(row == rr, g, val)
+    return val
+
+
+def _march_block_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
+                        t_out, hv_out, it_out, *, n_cas: int, r: int,
+                        s: int, max_steps: int):
+    fld = lambda i: ray_ref[0, i]
+    ox, oy, oz = fld(0), fld(1), fld(2)
+    dx, dy, dz = fld(3), fld(4), fld(5)
+    t0, tmax, tent = fld(6), fld(7), fld(8)
+    tgrace = fld(9)
+
+    coarse = coarse_ref[:]
+    f0 = f0_ref[:]
+    f1 = f1_ref[:]
+    # per-cascade scalars from SMEM: voxel size + grid origin
+    vs = [meta_ref[0, i] for i in range(n_cas)]
+    ogx = [meta_ref[0, 16 + i] for i in range(n_cas)]
+    ogy = [meta_ref[0, 32 + i] for i in range(n_cas)]
+    ogz = [meta_ref[0, 48 + i] for i in range(n_cas)]
+    inv_vs = [1.0 / v for v in vs]
+    vs_coarse = vs[-1]
+    log2s = {1: 0, 2: 1, 4: 2}[s]
+    rf = jnp.float32(r)
+
+    def cond(c):
+        return jnp.any(c["act"] > 0) & (c["step"] < max_steps)
+
+    def body(c):
+        act_in = c["act"] > 0
+        t = c["t"]
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        # finest containing cascade (unrolled; finest checked last -> wins)
+        cas = jnp.full(_SHAPE, n_cas, jnp.int32)
+        lx = jnp.zeros(_SHAPE, jnp.float32)
+        ly = jnp.zeros(_SHAPE, jnp.float32)
+        lz = jnp.zeros(_SHAPE, jnp.float32)
+        vsl = jnp.full(_SHAPE, vs_coarse, jnp.float32)
+        for i in reversed(range(n_cas)):
+            lxi = (px - ogx[i]) * inv_vs[i]
+            lyi = (py - ogy[i]) * inv_vs[i]
+            lzi = (pz - ogz[i]) * inv_vs[i]
+            ins = ((lxi >= 0) & (lxi < rf) & (lyi >= 0) & (lyi < rf)
+                   & (lzi >= 0) & (lzi < rf))
+            cas = jnp.where(ins, i, cas)
+            lx = jnp.where(ins, lxi, lx)
+            ly = jnp.where(ins, lyi, ly)
+            lz = jnp.where(ins, lzi, lz)
+            vsl = jnp.where(ins, vs[i], vsl)
+        inside = cas < n_cas
+        cas_c = jnp.minimum(cas, n_cas - 1)
+        vx = jnp.clip(lx.astype(jnp.int32), 0, r - 1)
+        vy = jnp.clip(ly.astype(jnp.int32), 0, r - 1)
+        vz = jnp.clip(lz.astype(jnp.int32), 0, r - 1)
+        ccx = vx >> log2s
+        ccy = vy >> log2s
+        ccz = vz >> log2s
+        cflat = cas_c * 4096 + (ccz * 16 + ccy) * 16 + ccx
+        cd = _gather_u8(coarse, cflat)
+        near = inside & (cd == 0)
+
+        # fine-bit words: fetched once per cell entry, block-gated
+        need = act_in & near & (cflat != c["cell"])
+        any_need = jnp.any(need)
+
+        def fetch(args):
+            w0, w1, cell = args
+            nw0 = _gather_i32(f0, cflat)
+            nw1 = _gather_i32(f1, cflat) if s ** 3 > 32 else nw0
+            return (jnp.where(need, nw0, w0), jnp.where(need, nw1, w1),
+                    jnp.where(need, cflat, cell))
+
+        w0, w1, cell = jax.lax.cond(
+            any_need, fetch, lambda a: a, (c["w0"], c["w1"], c["cell"]))
+
+        bx = vx & (s - 1)
+        by = vy & (s - 1)
+        bz = vz & (s - 1)
+        bit = (bz * s + by) * s + bx
+        word = jnp.where(bit < 32, w0, w1) if s ** 3 > 32 else w0
+        occ_bit = (word >> (bit & 31)) & 1
+        # tgrace: self-intersection grace — voxel-precision hits within a
+        # couple of voxels of the ray start would be the ray's own surface
+        hit_now = act_in & near & (occ_bit > 0) & (t >= tgrace)
+
+        # distances (world units along the ray) to the voxel / cell exits
+        def exit_t(lo_x, lo_y, lo_z, width):
+            out = jnp.full(_SHAPE, BIG, jnp.float32)
+            for d_ax, l_ax, lo_ax in ((dx, lx, lo_x), (dy, ly, lo_y),
+                                      (dz, lz, lo_z)):
+                tgt = jnp.where(d_ax > 0, lo_ax + width, lo_ax)
+                safe = jnp.where(jnp.abs(d_ax) < 1e-9, 1e-9,
+                                 jnp.abs(d_ax))
+                t_ax = jnp.abs(tgt - l_ax) * vsl / safe
+                t_ax = jnp.where(jnp.abs(d_ax) < 1e-9, BIG, t_ax)
+                out = jnp.minimum(out, t_ax)
+            return jnp.maximum(out, 0.0)
+
+        vox_exit = exit_t(vx.astype(jnp.float32), vy.astype(jnp.float32),
+                          vz.astype(jnp.float32), 1.0)
+        sw = jnp.float32(s)
+        cell_exit = exit_t((ccx << log2s).astype(jnp.float32),
+                           (ccy << log2s).astype(jnp.float32),
+                           (ccz << log2s).astype(jnp.float32), sw)
+        cell_w = vsl * sw
+        # chebyshev skip: no surface cell within (cd-1) cells of this cell
+        skip = jnp.maximum(cell_exit, (cd.astype(jnp.float32) - 1.0)
+                           * cell_w) + 0.05 * vsl
+        adv = jnp.where(near, vox_exit + 0.01 * vsl, skip)
+        adv = jnp.where(inside, adv, vs_coarse)
+        escaped = act_in & ~inside & (t > tent + 1e-3)
+
+        new_t = t + adv
+        over = new_t >= tmax
+        act = act_in & ~hit_now & ~over & ~escaped
+        hv = jnp.where(hit_now, cas_c * (r * r * r) + (vz * r + vy) * r + vx,
+                       c["hv"])
+        t_next = jnp.where(act_in & ~hit_now, new_t, t)
+        return dict(t=t_next, act=act.astype(jnp.int32), hv=hv, w0=w0,
+                    w1=w1, cell=cell,
+                    it=c["it"] + act_in.astype(jnp.int32),
+                    step=c["step"] + 1)
+
+    init = dict(t=t0, act=(t0 < tmax).astype(jnp.int32),
+                hv=jnp.full(_SHAPE, -1, jnp.int32),
+                w0=jnp.zeros(_SHAPE, jnp.int32),
+                w1=jnp.zeros(_SHAPE, jnp.int32),
+                cell=jnp.full(_SHAPE, -1, jnp.int32),
+                it=jnp.zeros(_SHAPE, jnp.int32), step=jnp.int32(0))
+    c = jax.lax.while_loop(cond, body, init)
+    t_out[0] = c["t"]
+    hv_out[0] = c["hv"]
+    it_out[0] = c["it"]
+
+
+def finest_voxel_size(sdf: SDFCascades, points: jnp.ndarray,
+                      config: SDFConfig) -> jnp.ndarray:
+    """Voxel size of the finest cascade containing each point — pure
+    arithmetic (no grid gathers), for bias/grace computations."""
+    n_cas = config.num_cascades
+    r = config.cascade_resolution
+    org = cascade_origin(sdf.center, sdf.voxel_size, r)        # (N, 3)
+    local = (points[:, None, :] - org[None]) / sdf.voxel_size[None, :, None]
+    inside = jnp.all((local >= 0) & (local < r), axis=-1)      # (M, N)
+    vs = jnp.where(inside, sdf.voxel_size[None, :], jnp.inf).min(axis=-1)
+    return jnp.where(jnp.isfinite(vs), vs, sdf.voxel_size[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_steps",
+                                             "interpret", "payload",
+                                             "grace_voxels"))
+def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
+          t_max, *, config: SDFConfig, max_steps: int | None = None,
+          interpret: bool | None = None, payload: bool = True,
+          grace_voxels: float = 1.75) -> SDFHit:
+    """Kernel-accelerated sphere march (voxel-precision hits).
+
+    Drop-in for :func:`sdf_trace.march` on the approximate tier: same SDFHit
+    payload, hits land on the surface voxel rather than the trilinear
+    zero-crossing (error <= ~1 voxel of the sampled cascade).  Hits within
+    ``grace_voxels`` local voxels of the ray start are ignored (the ray's
+    own surface voxel band).  ``payload=False`` skips the brick/uvw
+    recovery gathers — occlusion rays only need hit/t.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_cas = config.num_cascades
+    r = config.cascade_resolution
+    s = r // 16
+    max_steps = max_steps or config.march_max_steps
+
+    m = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
+    t_grace = grace_voxels * finest_voxel_size(sdf, origins, config)
+
+    # clipmap entry (same as sdf_trace.march)
+    vs_c = sdf.voxel_size[-1]
+    lo = cascade_origin(sdf.center[-1], vs_c, r)
+    hi = lo + r * vs_c
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    t0s = (lo - origins) * inv_d
+    t1s = (hi - origins) * inv_d
+    t_enter = jnp.minimum(t0s, t1s).max(-1)
+    t_exit = jnp.maximum(t0s, t1s).min(-1)
+    t_init = jnp.clip(jnp.maximum(t_enter + 1e-4, 1e-3), None, t_max)
+    never = t_exit < jnp.maximum(t_enter, 0.0)
+    t_init = jnp.where(never, t_max + 1.0, t_init)  # never-active encoding
+
+    mp = ((m + 1023) // 1024) * 1024
+    pad = mp - m
+
+    def field(a, fill=0.0):
+        a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad \
+            else a
+        return a.reshape(-1, 8, 128)
+
+    rays = jnp.stack([
+        field(origins[:, 0]), field(origins[:, 1]), field(origins[:, 2]),
+        field(dirs[:, 0]), field(dirs[:, 1]), field(dirs[:, 2]),
+        field(t_init, fill=1.0), field(t_max, fill=0.0),
+        field(t_enter, fill=0.0), field(t_grace, fill=0.0)],
+        axis=1)                                       # (Bk, 10, 8, 128)
+    nblk = rays.shape[0]
+
+    origins_c = cascade_origin(sdf.center, sdf.voxel_size, r)   # (N, 3)
+    meta = jnp.zeros((1, 128), jnp.float32)
+    meta = meta.at[0, 0:n_cas].set(sdf.voxel_size)
+    meta = meta.at[0, 16:16 + n_cas].set(origins_c[:, 0])
+    meta = meta.at[0, 32:32 + n_cas].set(origins_c[:, 1])
+    meta = meta.at[0, 48:48 + n_cas].set(origins_c[:, 2])
+
+    kernel = functools.partial(_march_block_kernel, n_cas=n_cas, r=r, s=s,
+                               max_steps=max_steps)
+    t, hv, it = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, sdf.march_coarse, sdf.march_fine0, sdf.march_fine1, rays)
+
+    t = t.reshape(-1)[:m]
+    hv = hv.reshape(-1)[:m]
+    it = it.reshape(-1)[:m]
+    hit = hv >= 0
+    hv_c = jnp.maximum(hv, 0)
+    r3 = r * r * r
+    cas = hv_c // r3
+    if not payload:   # occlusion tier: no brick/uvw recovery gathers
+        return SDFHit(t=jnp.where(hit, t, BIG), hit=hit, iterations=it,
+                      cascade=jnp.where(hit, cas, -1),
+                      brick=jnp.where(hit, 0, -1),
+                      uvw=jnp.zeros((m, 3), jnp.float32))
+    rem = hv_c % r3
+    vz = rem // (r * r)
+    vy = (rem // r) % r
+    vx = rem % r
+    brick = sdf.brick_map[cas, vz, vy, vx]
+    brick = jnp.where(hit, brick, -1)
+    # uvw: fractional position within the hit voxel
+    p_hit = origins + dirs * t[:, None]
+    vs_hit = sdf.voxel_size[cas]
+    org_hit = cascade_origin(sdf.center, sdf.voxel_size, r)[cas]
+    local = (p_hit - org_hit) / vs_hit[:, None]
+    uvw = jnp.where(hit[:, None],
+                    local - jnp.floor(local), 0.0)
+    return SDFHit(t=jnp.where(hit, t, BIG), hit=hit, iterations=it,
+                  cascade=jnp.where(hit, cas, -1), brick=brick, uvw=uvw)

@@ -71,6 +71,16 @@ class SDFCascades:
     brick_light_vis: jnp.ndarray   # (max_bricks, L) f32
     num_bricks: jnp.ndarray   # () i32
     overflow: jnp.ndarray     # () i32 — occupied voxels dropped (capacity)
+    # Pallas march-kernel tables (ops/march_kernel.py): per cascade a 16^3
+    # coarse cell grid (cell = (R/16)^3 voxels) of u8 chebyshev
+    # distances-to-surface in cell units (0 = cell contains surface), packed
+    # 4 cells per i32 word, plus per-cell "surface voxel" occupancy bit
+    # words (bit = ((vz%s)*s + vy%s)*s + vx%s).  These stay small enough to
+    # sit whole in VMEM, which is what makes the kernel's one-gather-per-
+    # step march possible.  Zeros-shaped when R is not a multiple of 16.
+    march_coarse: jnp.ndarray  # (N*8, 128) i32 — 4096 u8 cells per cascade
+    march_fine0: jnp.ndarray   # (N*32, 128) i32 — occupancy bits 0..31
+    march_fine1: jnp.ndarray   # (N*32, 128) i32 — occupancy bits 32..63
 
 
 def cascade_origin(center: jnp.ndarray, voxel_size: jnp.ndarray,
@@ -292,6 +302,7 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     brick_emissive = emis.reshape(max_bricks, 3)
     brick_normal = nrms.reshape(max_bricks, 3)
 
+    mc, mf0, mf1 = build_march_tables(brick_map, atlas, config=config)
     return SDFCascades(center=centers, voxel_size=vs, brick_map=brick_map,
                        atlas=atlas, brick_voxel=brick_voxel,
                        brick_albedo=brick_albedo,
@@ -301,7 +312,67 @@ def build_cascades(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                                                   jnp.float32),
                        brick_light_vis=jnp.ones((max_bricks, 1),
                                                 jnp.float32),
-                       num_bricks=num_bricks, overflow=overflow)
+                       num_bricks=num_bricks, overflow=overflow,
+                       march_coarse=mc, march_fine0=mf0, march_fine1=mf1)
+
+
+def build_march_tables(brick_map: jnp.ndarray, atlas: jnp.ndarray, *,
+                       config: SDFConfig, hit_texels: float = 1.5):
+    """Pack the kernel-march tables (see SDFCascades docstring).
+
+    The coarse grid is the TPU analog of Brixelizer's two-level AABB tree
+    (16^3 top-level stamps, ffx_brixelizer_trace_ops.h:144-196): a VMEM-
+    resident conservative skip structure; "surface voxel" bits replace the
+    per-brick 8-step SDF march for the approximate (occlusion/GI) tier.
+    """
+    n = config.num_cascades
+    r = config.cascade_resolution
+    bsz = config.brick_size
+    if r % 16 != 0 or r // 16 not in (1, 2, 4):
+        # unsupported resolution: zero tables; march() falls back to XLA
+        return (jnp.zeros((n * 8, 128), jnp.int32),
+                jnp.zeros((n * 32, 128), jnp.int32),
+                jnp.zeros((n * 32, 128), jnp.int32))
+    s = r // 16
+    s3 = s ** 3
+
+    occ = brick_map >= 0                              # (N, R, R, R) z,y,x
+    amin = atlas.reshape(atlas.shape[0], -1).min(axis=1)
+    if amin.dtype == jnp.uint8:
+        amin = amin.astype(jnp.float32) * (1.0 / 255.0)
+    thresh = hit_texels / (config.truncation_voxels * bsz)
+    surf = occ & (amin[jnp.maximum(brick_map, 0)] < thresh)
+
+    # cells: (N, 16, s, 16, s, 16, s) with axes (cz, bz, cy, by, cx, bx)
+    cz = surf.reshape(n, 16, s, 16, s, 16, s)
+    cell_occ = cz.any(axis=(2, 4, 6))                 # (N, 16, 16, 16)
+
+    cap = 15
+    d = jnp.where(cell_occ, 0, cap).astype(jnp.float32)
+    for _ in range(cap - 1):
+        pooled = -jax.lax.reduce_window(
+            -d, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME")
+        d = jnp.minimum(d, pooled + 1.0)
+    cdist = jnp.clip(d, 0, cap).astype(jnp.int32).reshape(n, 4096)
+    # pack 4 consecutive u8 cells per i32 word (cell flat = (cz*16+cy)*16+cx)
+    cd4 = cdist.reshape(n, 1024, 4)
+    words = (cd4[..., 0] | (cd4[..., 1] << 8) | (cd4[..., 2] << 16)
+             | (cd4[..., 3] << 24))
+    coarse = words.reshape(n * 8, 128).astype(jnp.int32)
+
+    # per-cell voxel bits: bit = ((vz%s)*s + vy%s)*s + vx%s
+    bits = cz.transpose(0, 1, 3, 5, 2, 4, 6).reshape(n, 4096, s3)
+    bits = bits.astype(jnp.int32)
+    lo = min(s3, 32)
+    w0 = jnp.sum(bits[..., :lo] << jnp.arange(lo, dtype=jnp.int32), axis=-1)
+    if s3 > 32:
+        w1 = jnp.sum(bits[..., 32:] << jnp.arange(s3 - 32, dtype=jnp.int32),
+                     axis=-1)
+    else:
+        w1 = jnp.zeros_like(w0)
+    fine0 = w0.reshape(n * 32, 128)
+    fine1 = w1.reshape(n * 32, 128)
+    return coarse, fine0, fine1
 
 
 def brick_positions(cascades: "SDFCascades", config: SDFConfig):

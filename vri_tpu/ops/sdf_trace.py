@@ -200,7 +200,10 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
     ``approx=True`` uses nearest-texel sampling (one gathered element per
     step instead of 32): hits may trigger up to ~2 texels early, so use it
     for occlusion/gather rays where that only slightly fattens contacts —
-    not for primary visibility.
+    not for primary visibility.  On TPU the approximate tier dispatches to
+    the Pallas march kernel (ops/march_kernel.py) when the cascade
+    resolution supports it and ``config.kernel_march`` is set — ~2 orders
+    of magnitude cheaper per step than the XLA gather loop.
 
     ``compact=True`` runs a short full-width stage, then gathers the
     surviving rays into a quarter-width buffer for the remaining budget (the
@@ -208,6 +211,15 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
     finishes).  A final full-width cleanup loop preserves exactness when
     more than a quarter of the rays survive.
     """
+    if approx and config.kernel_march and jax.default_backend() == "tpu":
+        from vri_tpu.ops import march_kernel
+
+        if march_kernel.supports(config):
+            # kernel steps are voxel-granular (a 4-voxel cell costs up to
+            # ~6 iterations): scale the budget, its per-step cost is tiny
+            ks = (max_steps or config.march_max_steps) * 2 + 16
+            return march_kernel.march(sdf, origins, dirs, t_max,
+                                      config=config, max_steps=ks)
     m = origins.shape[0]
     max_steps = max_steps or config.march_max_steps
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
@@ -289,6 +301,15 @@ def occlusion(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
               t_max, *, config: SDFConfig, max_steps: int | None = None
               ) -> jnp.ndarray:
     """Shadow factor in [0,1]: 0 = fully blocked (hard via sphere march)."""
+    if config.kernel_march and jax.default_backend() == "tpu":
+        from vri_tpu.ops import march_kernel
+
+        if march_kernel.supports(config):
+            ks = (max_steps or config.march_max_steps) * 2 + 16
+            rec = march_kernel.march(sdf, origins, dirs, t_max,
+                                     config=config, max_steps=ks,
+                                     payload=False)
+            return 1.0 - rec.hit.astype(jnp.float32)
     rec = march(sdf, origins, dirs, t_max, config=config,
                 max_steps=max_steps, approx=config.approx_occlusion,
                 compact=config.compact_march)
