@@ -59,7 +59,11 @@ def _round_up(x: int, m: int) -> int:
 def triangle_setup_clipped(world_verts: jnp.ndarray,
                            tri_vertices: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,
-                           height: int, width: int, w_eps: float = 1e-4):
+                           height: int, width: int, w_eps: float = 1e-4,
+                           y_offset=None):
+    """``y_offset`` (traced ok) shifts pixel-space y after projection:
+    band rendering for the row-sharded multi-chip path projects with the
+    *full* framebuffer height, then rasterizes rows [y0, y0+band)."""
     """Near-plane-clipped triangle setup.
 
     The hardware raster the reference relies on clips against the near plane
@@ -141,6 +145,8 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
     ndc = cpos[..., :3] * inv_w[..., None]
     tx = (ndc[..., 0] * 0.5 + 0.5) * width
     ty = (0.5 - ndc[..., 1] * 0.5) * height
+    if y_offset is not None:
+        ty = ty - y_offset
     tz = ndc[..., 2]
     area = ((tx[:, 1] - tx[:, 0]) * (ty[:, 2] - ty[:, 0])
             - (ty[:, 1] - ty[:, 0]) * (tx[:, 2] - tx[:, 0]))
@@ -338,11 +344,13 @@ def _raster_kernel(meta_ref, tri_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "tile_h", "tile_w", "tri_chunk", "interpret"))
+    "height", "width", "tile_h", "tile_w", "tri_chunk", "interpret",
+    "proj_height"))
 def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
               num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
               height: int, width: int, tile_h: int = 8, tile_w: int = 128,
-              tri_chunk: int = 128, interpret: bool | None = None
+              tri_chunk: int = 128, interpret: bool | None = None,
+              proj_height: int | None = None, y_offset=None
               ) -> Tuple[HitRecord, jnp.ndarray]:
     """Full-frame visibility raster.
 
@@ -357,7 +365,8 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     wp = _round_up(width, tile_w)
 
     tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
-        world_verts, tri_vertices, num_faces, view_proj, height, width)
+        world_verts, tri_vertices, num_faces, view_proj,
+        proj_height or height, width, y_offset=y_offset)
     order, n_large = _screen_morton_order(tx, ty, valid, height, width)
     tx, ty, tz, tw, b1, b2, valid = (
         a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
@@ -486,15 +495,19 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
 def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
                           num_subs: int, num_tx: int):
-    """Minimal visibility inner loop: corner-difference edge functions on
-    the VPU, depth/winner reduction, one slot-id pick.
+    """Minimal visibility inner loop: precomputed affine barycentric/depth
+    coefficients evaluated on the VPU, depth/winner reduction, one slot-id
+    pick.
 
     Only (depth, winner slot id) leave the kernel; every other attribute is
     recovered afterwards by one contiguous XLA row gather.  (The slot id is
     picked in-kernel from data row 9 because mapping winner positions to
     slots in XLA costs a 2M-element 2-D gather — ~21 ms/frame, measured.)
-    Triangle coordinates arrive pre-translated to tile-local pixel space, so
-    the pixel pattern below is a loop constant.
+    l1/l2/z arrive as per-triangle affine coefficients in *tile-local*
+    pixel space (coefficient forms are numerically fine at tile-local
+    magnitudes — it is global 1080p magnitudes where they cancel), so each
+    is two FMAs per (pixel, triangle) pair instead of re-deriving edge
+    functions from corners: ~1.5x fewer ops in the innermost loop.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -515,22 +528,10 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
 
     def sub_body(s, best_key):
         d = tri_ref[0, s]                                 # (16, TC)
-        ax, bx, cx = d[0][None, :], d[1][None, :], d[2][None, :]
-        ay, by, cy = d[3][None, :], d[4][None, :], d[5][None, :]
-        az, bz, cz = d[6][None, :], d[7][None, :], d[8][None, :]
-        # corner-difference edge functions (numerically stable; coefficient
-        # forms cancel in f32); normalizing by the signed area makes the
-        # barycentrics orientation-invariant, so two-sided inside is just
-        # l0, l1, l2 >= 0 and e0 never needs computing (l0 = 1 - l1 - l2)
-        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        inv_area = 1.0 / area
-        l1 = e1 * inv_area
-        l2 = e2 * inv_area
-        lsum = l1 + l2
-        z = az + l1 * (bz - az) + l2 * (cz - az)
-        ok = ((l1 >= 0.0) & (l2 >= 0.0) & (lsum <= 1.0)
+        l1 = d[2][None, :] + d[0][None, :] * px + d[1][None, :] * py
+        l2 = d[5][None, :] + d[3][None, :] * px + d[4][None, :] * py
+        z = d[8][None, :] + d[6][None, :] * px + d[7][None, :] * py
+        ok = ((l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
               & (z >= 0.0) & (z <= 1.0))
         zm = jnp.where(ok, z, 2.0)
         key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) \
@@ -564,13 +565,14 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap_groups",
-    "interpret"))
+    "interpret", "proj_height"))
 def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
                      cap_groups: int = 64,
-                     interpret: bool | None = None
+                     interpret: bool | None = None,
+                     proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with exact per-tile triangle lists.
 
@@ -601,7 +603,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     num_subs = _round_up(cap_t, tri_chunk) // tri_chunk
 
     tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
-        world_verts, tri_vertices, num_faces, view_proj, height, width)
+        world_verts, tri_vertices, num_faces, view_proj,
+        proj_height or height, width, y_offset=y_offset)
     order, _ = _screen_morton_order(tx, ty, valid, height, width,
                                     partition_large=False)
     tx, ty, tz, tw, b1, b2, valid = (
@@ -639,14 +642,56 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                ).astype(jnp.float32)[:, None, None]
     tile_y0 = ((jnp.arange(num_tiles) // grid[1]) * tile_h
                ).astype(jnp.float32)[:, None, None]
+    gx = gathered[:, 0:3] - tile_x0                       # (tiles, 3, capT)
+    gy = gathered[:, 3:6] - tile_y0
+    gz = gathered[:, 6:9]
+
+    # exact per-slot tile test: Morton 8-groups inflate tile lists ~4x
+    # (a group joins every tile its joint bbox overlaps); culling by the
+    # individual triangle's bbox + compacting survivors to the front cuts
+    # the kernel's walked sub-chunks accordingly
+    exact = ((gx.min(1) <= tile_w) & (gx.max(1) >= 0.0)
+             & (gy.min(1) <= tile_h) & (gy.max(1) >= 0.0)
+             & (gz.min(1) <= 1.0) & (gz.max(1) >= 0.0))   # (tiles, capT)
+    order = jnp.argsort(~exact, axis=-1, stable=True)     # survivors first
+    cnt = exact.sum(axis=-1).astype(jnp.int32)
+    o3 = order[:, None, :]
+    gx = jnp.take_along_axis(gx, o3, axis=2)
+    gy = jnp.take_along_axis(gy, o3, axis=2)
+    gz = jnp.take_along_axis(gz, o3, axis=2)
+    sid = jnp.take_along_axis(gathered[:, 9:10], o3, axis=2)
+    live = (jnp.arange(cap_t, dtype=jnp.int32)[None, :] < cnt[:, None])
+
+    # affine barycentric/depth coefficients in tile-local pixels:
+    # l1 = a1 x + b1 y + c1, l2 = ..., z = Az x + Bz y + Cz
+    ax, bx, cx = gx[:, 0], gx[:, 1], gx[:, 2]             # (tiles, capT)
+    ay, by, cy = gy[:, 0], gy[:, 1], gy[:, 2]
+    az, bz, cz = gz[:, 0], gz[:, 1], gz[:, 2]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    inv = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    ka1 = -(ay - cy) * inv
+    kb1 = (ax - cx) * inv
+    kc1 = (cx * (ay - cy) - cy * (ax - cx)) * inv
+    ka2 = -(by - ay) * inv
+    kb2 = (bx - ax) * inv
+    kc2 = (ax * (by - ay) - ay * (bx - ax)) * inv
+    dz1, dz2 = bz - az, cz - az
+    azc = ka1 * dz1 + ka2 * dz2
+    bzc = kb1 * dz1 + kb2 * dz2
+    czc = az + kc1 * dz1 + kc2 * dz2
+    dead = ~live | (jnp.abs(area) <= 1e-12)
+    czc = jnp.where(dead, 10.0, czc)   # z-range test culls dead slots
+    azc = jnp.where(dead, 0.0, azc)
+    bzc = jnp.where(dead, 0.0, bzc)
+
     zero = jnp.zeros((num_tiles, 6, cap_t), jnp.float32)
     data = jnp.concatenate(
-        [gathered[:, 0:3] - tile_x0, gathered[:, 3:6] - tile_y0,
-         gathered[:, 6:9], gathered[:, 9:10], zero], axis=1)
+        [jnp.stack([ka1, kb1, kc1, ka2, kb2, kc2, azc, bzc, czc], axis=1),
+         sid, zero], axis=1)                              # (tiles, 16, capT)
     data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
         .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
 
-    n_sub_per_tile = (counts * group + tri_chunk - 1) // tri_chunk
+    n_sub_per_tile = (cnt + tri_chunk - 1) // tri_chunk
     meta = n_sub_per_tile.astype(jnp.int32)
     pad_m = (-meta.shape[0]) % 128
     if pad_m:

@@ -54,16 +54,24 @@ def _band_rays(frame: FrameParams, height: int, width: int, band_h: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "height", "width", "config",
-                                    "gi", "samples"))
+                                    "gi", "samples", "backend",
+                                    "use_cache"))
 def render_frame_tiled(scene: SceneBuffers, frame: FrameParams, cascades,
                        key, *, mesh: Mesh, height: int, width: int,
-                       config: SDFConfig, gi: bool = True, samples: int = 1
+                       config: SDFConfig, gi: bool = True, samples: int = 1,
+                       backend: str = "raster", use_cache: bool = True
                        ) -> Dict[str, jnp.ndarray]:
     """One frame with the framebuffer row-sharded over ``mesh``.
 
-    Returns AOVs laid out exactly like the single-chip path; ``stats`` holds
-    psum'd per-frame counters (rays, hits) — the multi-chip analog of the
-    reference's FPS/VRAM HUD (Source/Main.cpp:228-237).
+    This is the *production* pipeline sharded — each device rasterizes its
+    row band with the Pallas visibility kernel (projection uses the full
+    framebuffer height, band rows via ``y_offset``), resolves its G-buffer
+    and runs the SDF lightloop (kernel march on TPU); it is NOT a debug
+    brute-force path.  ``backend='brute'`` keeps the exact ray tracer for
+    tiny parity scenes.  Returns AOVs laid out exactly like the single-chip
+    path; ``stats`` holds psum'd per-frame counters (rays, hits) — the
+    multi-chip analog of the reference's FPS/VRAM HUD
+    (Source/Main.cpp:228-237).
     """
     (axis_name,) = mesh.axis_names
     n_dev = mesh.shape[axis_name]
@@ -71,15 +79,31 @@ def render_frame_tiled(scene: SceneBuffers, frame: FrameParams, cascades,
     band_h = height // n_dev
 
     def shard_fn(scene, frame, cascades, key):
+        dev = jax.lax.axis_index(axis_name)
         o, d = _band_rays(frame, height, width, band_h, axis_name)
         world = bake_world(scene)
-        v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
-        hit = trace_brute(o, d, v0, e1, e2, scene.num_faces)
+        if backend == "raster":
+            from vri_tpu.ops import rasterize as raster_mod
+
+            y0 = (dev * band_h).astype(jnp.float32)
+            hit, _ = raster_mod.rasterize_binned(
+                world, scene.tri_vertices, scene.num_faces,
+                frame.view_proj, height=band_h, width=width,
+                proj_height=height, y_offset=y0)
+        else:
+            v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
+            hit = trace_brute(o, d, v0, e1, e2, scene.num_faces)
         gb = shading.resolve_gbuffer(scene, world, hit, o, d)
+        if backend == "raster":
+            # raster depth is NDC; report world-space ray t like the
+            # single-chip production frame
+            t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
+            gb = gb.replace(depth=jnp.where(gb.valid, t, jnp.float32(3e38)))
         if gi:
-            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            dev_key = jax.random.fold_in(key, dev)
             color = gi_mod.lightloop(gb, scene, cascades, dev_key,
-                                     config=config, samples=samples)
+                                     config=config, samples=samples,
+                                     use_cache=use_cache)
         else:
             color = shading.shade_direct(gb, scene)
         rays = jnp.asarray(o.shape[0], jnp.float32)

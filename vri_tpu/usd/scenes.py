@@ -38,8 +38,12 @@ def quad_mesh(p0, p1, p2, p3):
     return points, counts, indices, st
 
 
-def box_mesh(size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0), outward=True):
-    """Axis-aligned box as 6 quads / 24 corners with per-face UVs."""
+def box_mesh(size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0), outward=True,
+             tess: int = 1):
+    """Axis-aligned box as 6 faces of ``tess`` x ``tess`` quads with
+    per-face UVs (tess=1 reproduces the plain 6-quad box)."""
+    if tess > 1:
+        return _box_mesh_tess(size, center, outward, tess)
     sx, sy, sz = [s * 0.5 for s in size]
     cx, cy, cz = center
     # 8 corners
@@ -62,6 +66,41 @@ def box_mesh(size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0), outward=True):
     indices = np.asarray([i for f in faces for i in f], np.int32)
     st = np.tile(np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32), (6, 1))
     return c, counts, indices, st
+
+
+def _box_mesh_tess(size, center, outward, tess: int):
+    """Tessellated box: 6 faces x tess^2 quads (Kitchen-Set-scale meshes)."""
+    sx, sy, sz = [s * 0.5 for s in size]
+    ctr = np.asarray(center, np.float32)
+    u = np.linspace(-1.0, 1.0, tess + 1, dtype=np.float32)
+    pts_all, counts_all, idx_all, st_all = [], [], [], []
+    base = 0
+    # (axis, sign): face plane; (a0, a1): in-plane axes
+    for axis, sign in ((2, 1), (2, -1), (0, 1), (0, -1), (1, 1), (1, -1)):
+        a0, a1 = [a for a in range(3) if a != axis]
+        half = (sx, sy, sz)
+        gu, gv = np.meshgrid(u, u, indexing="ij")
+        p = np.zeros(((tess + 1) ** 2, 3), np.float32)
+        p[:, a0] = gu.ravel() * half[a0]
+        p[:, a1] = gv.ravel() * half[a1]
+        p[:, axis] = sign * half[axis]
+        pts_all.append(p + ctr)
+        n = tess + 1
+        i0 = (np.arange(tess)[:, None] * n + np.arange(tess)[None, :]).ravel()
+        quad = np.stack([i0, i0 + n, i0 + n + 1, i0 + 1], axis=1)
+        # orient CCW seen from outside (flip when the (a0, a1, axis) frame
+        # with this sign is left-handed)
+        flip = (sign < 0) ^ (((a0 + 1) % 3) != a1)
+        if flip ^ (not outward):
+            quad = quad[:, ::-1]
+        idx_all.append((quad + base).ravel())
+        counts_all.append(np.full(tess * tess, 4, np.int32))
+        suv = np.stack([(gu.ravel() + 1) * 0.5, (gv.ravel() + 1) * 0.5],
+                       axis=1).astype(np.float32)
+        st_all.append(suv[quad.ravel()])
+        base += n * n
+    return (np.concatenate(pts_all), np.concatenate(counts_all),
+            np.concatenate(idx_all), np.concatenate(st_all))
 
 
 def _author_mesh(stage: Stage, path: str, points, counts, indices, st,
@@ -195,12 +234,14 @@ def cornell_box() -> Stage:
 
 
 def kitchen_stress(num_objects: int = 256, seed: int = 7,
-                   num_materials: int = 24) -> Stage:
+                   num_materials: int = 24, tess: int = 1) -> Stage:
     """Many-object interior scene — the Kitchen-Set-scale benchmark stand-in.
 
     Deterministic: a room shell plus ``num_objects`` boxes ("furniture" /
     "props") in a grid-with-jitter layout, bound round-robin to
-    ``num_materials`` distinct materials.
+    ``num_materials`` distinct materials.  ``tess`` subdivides every box
+    face into tess^2 quads: tess=6 with 256 props is ~111k triangles —
+    the real Kitchen Set's scale (reference stages, Source/Main.cpp:171).
     """
     rng = np.random.default_rng(seed)
     stage = Stage(Prim(name=""), {"defaultPrim": "World", "metersPerUnit": 1})
@@ -212,7 +253,7 @@ def kitchen_stress(num_objects: int = 256, seed: int = 7,
 
     room = 8.0
     pts, counts, idx, st = box_mesh((room, room * 0.5, room), (0, room * 0.25, 0),
-                                    outward=False)
+                                    outward=False, tess=max(1, tess))
     _author_mesh(stage, "/World/Room", pts, counts, idx, st,
                  material="/World/Materials/M000")
 
@@ -226,7 +267,7 @@ def kitchen_stress(num_objects: int = 256, seed: int = 7,
         size = 0.2 + rng.random(3) * np.array([pitch * 0.7, 1.2, pitch * 0.7])
         center = base + jitter
         center[1] = size[1] * 0.5 + 1e-3
-        pts, counts, idx, st = box_mesh(tuple(size), (0, 0, 0))
+        pts, counts, idx, st = box_mesh(tuple(size), (0, 0, 0), tess=tess)
         prim = _author_mesh(
             stage, f"/World/Props/Prop{i:04d}", pts, counts, idx, st,
             material=f"/World/Materials/M{i % num_materials:03d}")
