@@ -5,10 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = BASELINE.json north star (>=200 Mrays/s/chip primary visibility);
 the reference itself publishes no numbers (BASELINE.md).
 
-Timing notes: the axon tunnel's block_until_ready does not synchronize with
-device execution, so timing forces a scalar readback per frame, and the
-per-frame cost is estimated by the slope between K=1 and K=BATCH chained
-frames (subtracting the fixed readback RTT).
+Timing notes: through the axon tunnel, per-dispatch overhead is ~5 ms and
+block_until_ready does not synchronize with device execution, so the frame
+loop runs INSIDE one jit (lax.fori_loop with a data dependency between
+iterations) and a single scalar readback fences the measurement — this
+times the device pipeline itself, exactly what a production frame loop
+(frames enqueued back-to-back) pays per frame.
 """
 
 import json
@@ -23,7 +25,10 @@ if jax.default_backend() != "cpu":
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+ITERS = 30
 
 
 def main():
@@ -46,28 +51,20 @@ def main():
                                             height=height, width=width)
         return z
 
-    # warm / compile
-    z = frame(vp)
-    _ = float(z[540, 960])
-
-    # readback RTT baseline (block_until_ready does not sync through the
-    # axon tunnel; a scalar readback is the only reliable fence)
-    t0 = time.time()
-    for _ in range(5):
-        _ = float(z[540, 960])
-    rtt = (time.time() - t0) / 5
-
-    def timed(k):
-        """K frames chained through a data dependency, one readback."""
-        v = vp
-        t0 = time.time()
-        for _ in range(k):
+    @jax.jit
+    def loop(v0):
+        def body(i, v):
             z = frame(v)
-            v = vp + 0.0 * z[:4, :4]
-        _ = float(z[540, 960])
-        return (time.time() - t0 - rtt) / k
+            # data dependency XLA cannot elide: each frame consumes the last
+            return vp + 0.0 * z[:4, :4]
+        return jax.lax.fori_loop(0, ITERS, body, v0)
 
-    per_frame = min(timed(4), timed(16))
+    # warm / compile, then one fenced run
+    _ = np.asarray(loop(vp))
+    t0 = time.time()
+    _ = np.asarray(loop(vp))
+    per_frame = (time.time() - t0 - 0.04) / ITERS   # 0.04 = readback RTT
+
     rays = height * width
     mrays = rays / per_frame / 1e6
 

@@ -492,30 +492,33 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
     return group_ids, jnp.minimum(counts, cap_groups), overflowed
 
 
-def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
+def _raster_binned_kernel(tri_ref, z_out, slot_out, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
-                          num_subs: int, num_tx: int):
-    """Minimal visibility inner loop: precomputed affine barycentric/depth
-    coefficients evaluated on the VPU, depth/winner reduction, one slot-id
-    pick.
+                          num_subs: int):
+    """Visibility inner loop on the MXU.
 
-    Only (depth, winner slot id) leave the kernel; every other attribute is
-    recovered afterwards by one contiguous XLA row gather.  (The slot id is
-    picked in-kernel from data row 9 because mapping winner positions to
-    slots in XLA costs a 2M-element 2-D gather — ~21 ms/frame, measured.)
-    l1/l2/z arrive as per-triangle affine coefficients in *tile-local*
+    Per sub-chunk of 128 triangle slots, one (1024, 8) x (8, 640) f32
+    matmul evaluates the five affine fields [l1 | l2 | z | l3 | 1-z] for
+    every (pixel, triangle) pair of the tile — inside = min of the five
+    columns >= 0, so the VPU only runs four mins, one select, the key pack
+    and the lane-min depth reduction.  Coefficients are in *tile-local*
     pixel space (coefficient forms are numerically fine at tile-local
-    magnitudes — it is global 1080p magnitudes where they cancel), so each
-    is two FMAs per (pixel, triangle) pair instead of re-deriving edge
-    functions from corners: ~1.5x fewer ops in the innermost loop.
+    magnitudes; it is global 1080p magnitudes where they cancel).
+
+    The sub walk is STATIC (python-unrolled): Mosaic's dynamic fori_loop
+    trip counts measured pathologically slow when the bound differs from
+    the static maximum (50-600 us per grid step), so per-tile work is
+    bounded by compact exact lists at the XLA level instead.  Only (depth,
+    winner slot id) leave the kernel; attributes are recovered by one XLA
+    row gather over the framebuffer.
     """
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile_id = ti * num_tx + tj
     p = tile_h * tile_w
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     py = 0.5 + (pix // tile_w).astype(jnp.float32)
     px = 0.5 + (pix % tile_w).astype(jnp.float32)
+    one = jnp.ones((p, 1), jnp.float32)
+    zero = jnp.zeros((p, 5), jnp.float32)
+    pixmat = jnp.concatenate([px, py, one, zero], axis=1)     # (P, 8)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
     # depth + winner position packed into one sortable int32: the low 9
     # mantissa bits of (positive) z carry the list position, so the whole
@@ -525,39 +528,38 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
     pos_bits = 9
     assert num_subs * tri_chunk <= (1 << pos_bits)
     mask = jnp.int32(~((1 << pos_bits) - 1))
+    tc = tri_chunk
 
-    def sub_body(s, best_key):
-        d = tri_ref[0, s]                                 # (16, TC)
-        l1 = d[2][None, :] + d[0][None, :] * px + d[1][None, :] * py
-        l2 = d[5][None, :] + d[3][None, :] * px + d[4][None, :] * py
-        z = d[8][None, :] + d[6][None, :] * px + d[7][None, :] * py
-        ok = ((l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
-              & (z >= 0.0) & (z <= 1.0))
-        zm = jnp.where(ok, z, 2.0)
+    miss_key = 1073741824  # f32 2.0 bit pattern (scalar bitcast unsupported)
+    best_key = jnp.full((p, 1), miss_key, jnp.int32)
+    for s in range(num_subs):
+        d = tri_ref[0, s]                                 # (8, 5*TC)
+        out = jnp.dot(pixmat, d, preferred_element_type=jnp.float32)
+        l1 = out[:, 0:tc]
+        l2 = out[:, tc:2 * tc]
+        z = out[:, 2 * tc:3 * tc]
+        l3 = out[:, 3 * tc:4 * tc]
+        zu = out[:, 4 * tc:5 * tc]
+        m = jnp.minimum(jnp.minimum(l1, l2),
+                        jnp.minimum(jnp.minimum(l3, zu), z))
+        zm = jnp.where(m >= 0.0, z, 2.0)
         key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) \
             | (s * tri_chunk + lane)
-        return jnp.minimum(best_key,
-                           jnp.min(key, axis=-1, keepdims=True))
+        best_key = jnp.minimum(best_key,
+                               jnp.min(key, axis=-1, keepdims=True))
 
-    miss_key = 1073741824  # f32 2.0 bit pattern (scalar bitcast is unsupported)
-    best_key = jnp.full((p, 1), miss_key, jnp.int32)
-    n_sub = meta_ref[tile_id // 128, tile_id % 128]
-    n_sub = jnp.minimum(n_sub, num_subs)
-    best_key = jax.lax.fori_loop(0, n_sub, sub_body, best_key)
     z = jax.lax.bitcast_convert_type(best_key & mask, jnp.float32)
     hit = z <= 1.0
     pos = best_key & ~mask
-    # pick the winner's slot id (data row 9) by position
+    # pick the winner's slot id (sid row) by position
     win_sub = pos // tri_chunk
     win_lane = pos % tri_chunk
-
-    def pick_body(s, acc):
+    slot_f = jnp.zeros((p, 1), jnp.float32)
+    for s in range(num_subs):
         sel = (win_sub == s) & (lane == win_lane)
-        return acc + jnp.sum(jnp.where(sel, tri_ref[0, s][9][None, :], 0.0),
-                             axis=-1, keepdims=True)
-
-    slot_f = jax.lax.fori_loop(0, n_sub, pick_body,
-                               jnp.zeros((p, 1), jnp.float32))
+        sid = tri_ref[0, s, 5:6, 0:tc]                    # (1, TC)
+        slot_f = slot_f + jnp.sum(jnp.where(sel, sid, 0.0), axis=-1,
+                                  keepdims=True)
     slot = jnp.where(hit, slot_f.astype(jnp.int32), -1)
     z_out[:, :] = jnp.where(hit, z, 3.0e38).reshape(tile_h, tile_w)
     slot_out[:, :] = slot.reshape(tile_h, tile_w)
@@ -565,12 +567,12 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap_groups",
-    "interpret", "proj_height"))
+    "kernel_slots", "interpret", "proj_height"))
 def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     cap_groups: int = 64,
+                     cap_groups: int = 64, kernel_slots: int = 256,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
@@ -580,15 +582,15 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     Morton groups overlapping it (the TPU-native "indirect draw batching":
     the per-tile gather replaces the reference's per-draw command stream,
     RenderPass.cpp:642-664) and gathers their barycentric/depth coefficient
-    rows; the kernel walks exactly ceil(count/16) 128-triangle sub-chunks
-    and emits only (depth, winner).  Perspective-correct barycentrics and
-    the source-triangle mapping are recovered by one XLA pass over the
-    framebuffer.
+    rows; the kernel statically walks the sub-chunks, evaluating the five
+    affine fields on the MXU, and emits only (depth, winner).
+    Perspective-correct barycentrics and the source-triangle mapping are
+    recovered by one XLA pass over the framebuffer.
 
     Memory note: the binning matrix is (tiles x groups) bool and the
-    gathered coefficients are (tiles, subs, 16, 128) f32 — fine up to ~100k
-    triangles at 1080p; beyond that raise ``group`` or use the ranged
-    `rasterize`.
+    gathered coefficients are (tiles, subs, 8, 5*128) f32 — fine up to
+    ~100k triangles at 1080p; beyond that raise ``group`` or use the
+    ranged `rasterize`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -600,7 +602,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     grid = (hp // tile_h, wp // tile_w)
     num_tiles = grid[0] * grid[1]
     cap_t = cap_groups * group
-    num_subs = _round_up(cap_t, tri_chunk) // tri_chunk
+    kernel_slots = min(_round_up(kernel_slots, tri_chunk), cap_t)
+    num_subs = kernel_slots // tri_chunk
 
     tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
@@ -632,35 +635,41 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
              ).reshape(num_tiles, cap_t)                  # (tiles, capT)
 
     # one contiguous row gather for all per-slot kernel data: x3 y3 z3 +
-    # the slot id itself (row 9, picked in-kernel by the winner — mapping
-    # winner positions to slots in XLA cost a 21 ms 2-D gather, measured)
+    # the slot id itself (picked in-kernel by the winner — mapping winner
+    # positions to slots in XLA cost a 21 ms 2-D gather, measured)
     fp_ids = jnp.arange(tx.shape[0], dtype=jnp.float32)[:, None]
     packed = jnp.concatenate([tx, ty, tz, fp_ids], axis=1)   # (Fp, 10)
-    gathered = packed[slots].transpose(0, 2, 1)           # (tiles, 10, capT)
-    # tile-local coordinates: the kernel's pixel pattern becomes a constant
+    rows = packed[slots]                                  # (tiles, capT, 10)
     tile_x0 = ((jnp.arange(num_tiles) % grid[1]) * tile_w
-               ).astype(jnp.float32)[:, None, None]
+               ).astype(jnp.float32)[:, None]
     tile_y0 = ((jnp.arange(num_tiles) // grid[1]) * tile_h
-               ).astype(jnp.float32)[:, None, None]
-    gx = gathered[:, 0:3] - tile_x0                       # (tiles, 3, capT)
-    gy = gathered[:, 3:6] - tile_y0
-    gz = gathered[:, 6:9]
+               ).astype(jnp.float32)[:, None]
 
-    # exact per-slot tile test: Morton 8-groups inflate tile lists ~4x
-    # (a group joins every tile its joint bbox overlaps); culling by the
-    # individual triangle's bbox + compacting survivors to the front cuts
-    # the kernel's walked sub-chunks accordingly
-    exact = ((gx.min(1) <= tile_w) & (gx.max(1) >= 0.0)
-             & (gy.min(1) <= tile_h) & (gy.max(1) >= 0.0)
-             & (gz.min(1) <= 1.0) & (gz.max(1) >= 0.0))   # (tiles, capT)
-    order = jnp.argsort(~exact, axis=-1, stable=True)     # survivors first
-    cnt = exact.sum(axis=-1).astype(jnp.int32)
-    o3 = order[:, None, :]
-    gx = jnp.take_along_axis(gx, o3, axis=2)
-    gy = jnp.take_along_axis(gy, o3, axis=2)
-    gz = jnp.take_along_axis(gz, o3, axis=2)
-    sid = jnp.take_along_axis(gathered[:, 9:10], o3, axis=2)
-    live = (jnp.arange(cap_t, dtype=jnp.int32)[None, :] < cnt[:, None])
+    # exact per-slot tile cull + compaction: Morton 8-groups inflate tile
+    # lists ~4x (a group joins every tile its *joint* bbox overlaps), so the
+    # 512 gathered slots compact to a 256-slot kernel capacity — halving the
+    # static sub walk.  One batched sort + one row-contiguous gather.
+    exact = ((jnp.min(rows[..., 0:3], -1) <= tile_x0 + tile_w)
+             & (jnp.max(rows[..., 0:3], -1) >= tile_x0)
+             & (jnp.min(rows[..., 3:6], -1) <= tile_y0 + tile_h)
+             & (jnp.max(rows[..., 3:6], -1) >= tile_y0)
+             & (jnp.min(rows[..., 6:9], -1) <= 1.0)
+             & (jnp.max(rows[..., 6:9], -1) >= 0.0))      # (tiles, capT)
+    iota = jnp.broadcast_to(jnp.arange(cap_t, dtype=jnp.int32)[None, :],
+                            exact.shape)
+    _, order = jax.lax.sort_key_val((~exact).astype(jnp.uint32), iota,
+                                    is_stable=True)
+    cnt = jnp.sum(exact.astype(jnp.int32), axis=-1)
+    overflowed |= cnt > kernel_slots
+    take = order[:, :kernel_slots]
+    rows = jnp.take_along_axis(rows, take[..., None], axis=1)
+    live = jnp.arange(kernel_slots, dtype=jnp.int32)[None, :] < cnt[:, None]
+
+    # tile-local coordinates: the kernel's pixel pattern becomes a constant
+    gx = rows[..., 0:3].transpose(0, 2, 1) - tile_x0[..., None]
+    gy = rows[..., 3:6].transpose(0, 2, 1) - tile_y0[..., None]
+    gz = rows[..., 6:9].transpose(0, 2, 1)                # (tiles, 3, capK)
+    sid = rows[..., 9:10].transpose(0, 2, 1)              # (tiles, 1, capK)
 
     # affine barycentric/depth coefficients in tile-local pixels:
     # l1 = a1 x + b1 y + c1, l2 = ..., z = Az x + Bz y + Cz
@@ -668,7 +677,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     ay, by, cy = gy[:, 0], gy[:, 1], gy[:, 2]
     az, bz, cz = gz[:, 0], gz[:, 1], gz[:, 2]
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    inv = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    dead = ~live | (jnp.abs(area) <= 1e-12)   # culled / degenerate / padding
+    inv = jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, area))
     ka1 = -(ay - cy) * inv
     kb1 = (ax - cx) * inv
     kc1 = (cx * (ay - cy) - cy * (ax - cx)) * inv
@@ -679,24 +689,33 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     azc = ka1 * dz1 + ka2 * dz2
     bzc = kb1 * dz1 + kb2 * dz2
     czc = az + kc1 * dz1 + kc2 * dz2
-    dead = ~live | (jnp.abs(area) <= 1e-12)
-    czc = jnp.where(dead, 10.0, czc)   # z-range test culls dead slots
+    czc = jnp.where(dead, 10.0, czc)   # (1-z) >= 0 test culls dead slots
     azc = jnp.where(dead, 0.0, azc)
     bzc = jnp.where(dead, 0.0, bzc)
+    # the two derived fields completing the five-column inside test:
+    # l3 = 1 - l1 - l2 (edge 3) and zu = 1 - z (far-plane)
+    l3a, l3b, l3c = -(ka1 + ka2), -(kb1 + kb2), 1.0 - kc1 - kc2
+    zua, zub, zuc = -azc, -bzc, 1.0 - czc
 
-    zero = jnp.zeros((num_tiles, 6, cap_t), jnp.float32)
-    data = jnp.concatenate(
-        [jnp.stack([ka1, kb1, kc1, ka2, kb2, kc2, azc, bzc, czc], axis=1),
-         sid, zero], axis=1)                              # (tiles, 16, capT)
-    data = data.reshape(num_tiles, 16, num_subs, tri_chunk)\
-        .transpose(0, 2, 1, 3)                            # (tiles,S,16,TC)
+    def fld(a, b, c):   # 3 coefficient planes -> (tiles, S, 3, TC)
+        return jnp.stack([a, b, c], axis=1)\
+            .reshape(num_tiles, 3, num_subs, tri_chunk).transpose(0, 2, 1, 3)
 
-    n_sub_per_tile = (cnt + tri_chunk - 1) // tri_chunk
-    meta = n_sub_per_tile.astype(jnp.int32)
-    pad_m = (-meta.shape[0]) % 128
-    if pad_m:
-        meta = jnp.concatenate([meta, jnp.zeros((pad_m,), jnp.int32)])
-    meta = meta.reshape(-1, 128)
+    coef = jnp.concatenate(
+        [fld(ka1, kb1, kc1), fld(ka2, kb2, kc2), fld(azc, bzc, czc),
+         fld(l3a, l3b, l3c), fld(zua, zub, zuc)],
+        axis=3)                                       # (tiles, S, 3, 5*TC)
+    # rows 3-7 multiply pixmat zeros; row 5 carries the slot ids in its
+    # first TC columns for the winner pick
+    sid_row = sid.reshape(num_tiles, 1, num_subs, tri_chunk)\
+        .transpose(0, 2, 1, 3)                        # (tiles, S, 1, TC)
+    row5 = jnp.concatenate(
+        [sid_row,
+         jnp.zeros((num_tiles, num_subs, 1, 4 * tri_chunk), jnp.float32)],
+        axis=3)
+    zrows = jnp.zeros((num_tiles, num_subs, 2, 5 * tri_chunk), jnp.float32)
+    data = jnp.concatenate([coef, zrows, row5, zrows], axis=2)
+    # (tiles, S, 8, 5*TC)
 
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
@@ -705,14 +724,13 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # sub counts (rows, 128)
-        pl.BlockSpec((1, num_subs, 16, tri_chunk),
+        pl.BlockSpec((1, num_subs, 8, 5 * tri_chunk),
                      lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
-                     memory_space=pltpu.VMEM),      # per-tile corner rows
+                     memory_space=pltpu.VMEM),      # per-tile coefficients
     ]
     kernel = functools.partial(
         _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
-        tri_chunk=tri_chunk, num_subs=num_subs, num_tx=grid[1])
+        tri_chunk=tri_chunk, num_subs=num_subs)
     z, slot = pl.pallas_call(
         kernel,
         grid=grid,
@@ -720,7 +738,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, data)
+    )(data)
 
     # ---- XLA resolve: winner slot -> attributes ---------------------------
     z = z[:height, :width]
