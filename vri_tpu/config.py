@@ -94,6 +94,20 @@ class SDFConfig:
     # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization
     atlas_u8: bool = False
     max_triangles_per_brick: int = 64
+    # Cell-binned builder (ops/sdf_build.py): per-cell triangle reference
+    # list capacity and the per-cascade large-triangle list capacity —
+    # the TPU analog of Brixelizer's bounded reference arrays
+    # (maxBricksPerBake / triangle references, RenderPass.cpp:927-930).
+    cell_list_cap: int = 64
+    global_list_cap: int = 128
+    # Bounded incremental updates (update_cascades): capacity of the
+    # compacted dirty-cell and dirty-brick index arrays per update; updates
+    # touching more fall back to a full rebuild.  These are STATIC shapes —
+    # the emit re-runs over the whole padded capacity, so the caps set the
+    # update's cost floor, not just its ceiling.
+    update_cell_cap: int = 1024
+    update_brick_cap: int = 2048
+    update_tri_cap: int = 4096
 
     @classmethod
     def preset(cls, name: str) -> "SDFConfig":

@@ -92,10 +92,13 @@ def cascade_origin(center: jnp.ndarray, voxel_size: jnp.ndarray,
 def default_centers(config: SDFConfig, focus) -> jnp.ndarray:
     """All cascades centered on ``focus`` (the reference recenters on the
     camera every frame: sdfCenter = view position, RenderPass.cpp:934-936),
-    snapped to each cascade's voxel grid so recentering never shimmers."""
+    snapped to each cascade's *cell* grid (s = R/16 voxels) so recentering
+    never shimmers and clipmap scrolls move whole cells
+    (ops/sdf_build.scroll_cascades)."""
     focus = jnp.asarray(focus, jnp.float32)
-    vs = jnp.asarray([config.voxel_size(i) for i in range(config.num_cascades)],
-                     jnp.float32)
+    s = max(config.cascade_resolution // 16, 1)
+    vs = jnp.asarray([config.voxel_size(i) * s
+                      for i in range(config.num_cascades)], jnp.float32)
     return jnp.round(focus[None, :] / vs[:, None]) * vs[:, None]
 
 
@@ -393,7 +396,8 @@ def brick_positions(cascades: "SDFCascades", config: SDFConfig):
 
 @functools.partial(jax.jit, static_argnames=("config", "shadow_steps"))
 def bake_brick_lighting(cascades: "SDFCascades", scene, *,
-                        config: SDFConfig, shadow_steps: int = 32
+                        config: SDFConfig, shadow_steps: int = 32,
+                        alive: jnp.ndarray | None = None
                         ) -> "SDFCascades":
     """Bake SDF-shadowed direct irradiance at every brick's surface point.
 
@@ -411,7 +415,10 @@ def bake_brick_lighting(cascades: "SDFCascades", scene, *,
     irr, vis = gi_mod.direct_radiance(pts, nrm, scene, cascades, config,
                                       shadow_steps=shadow_steps,
                                       return_visibility=True)
-    live = (jnp.arange(cascades.atlas.shape[0]) < cascades.num_bricks)
+    # after incremental updates live slots are no longer a prefix — pass
+    # the BuildState's alive mask (ops/sdf_build.py)
+    live = (jnp.arange(cascades.atlas.shape[0]) < cascades.num_bricks
+            if alive is None else alive)
     irr = jnp.where(live[:, None], irr, 0.0)
     vis = jnp.where(live[:, None], vis, 1.0)
     return cascades.replace(brick_irradiance=irr, brick_light_vis=vis)

@@ -66,6 +66,7 @@ class SceneBuffers:
     light_color: jnp.ndarray         # (L, 3) f32
     light_intensity: jnp.ndarray     # (L,) f32
     light_type: jnp.ndarray          # (L,) i32 — 0 point, 1 distant
+    sky_color: jnp.ndarray           # (3,) f32 — DomeLight ambient term
     # live counts (device scalars — masking, not shapes)
     num_vertices: jnp.ndarray        # () i32
     num_faces: jnp.ndarray           # () i32
@@ -105,7 +106,7 @@ class LightRecord:
     position: np.ndarray    # position (point) or unit direction TO the light
     color: np.ndarray
     intensity: float
-    kind: int = 0           # 0 point, 1 distant (directional)
+    kind: int = 0           # 0 point, 1 distant (directional), 2 dome
 
 
 class ResourceRegistry:
@@ -124,6 +125,11 @@ class ResourceRegistry:
         self._materials_dirty = True
         self._lights_dirty = True
         self._scene: Optional[SceneBuffers] = None
+        # bounded-update bookkeeping (ops/sdf_build.update_cascades): which
+        # instances moved since the last commit, and what the last commit
+        # amounted to ("full" | "transforms" | "lights" | "none")
+        self._dirty_paths: set = set()
+        self.last_update: Dict = {"kind": "none"}
 
     # -- push API (mirrors PushDrawItemRequest / PushMaterialRequest) -------
 
@@ -145,12 +151,16 @@ class ResourceRegistry:
                 self._geometry_dirty = True
             if old.material_path != rec.material_path:
                 self._geometry_dirty = True
+            if not np.array_equal(old.transform, rec.transform):
+                self._dirty_paths.add(rec.path)
         self._transforms_dirty = True
         self._meshes[rec.path] = rec
 
     def update_transform(self, path: str, transform: np.ndarray) -> None:
         rec = self._meshes.get(path)
         if rec is not None:
+            if not np.array_equal(rec.transform, transform):
+                self._dirty_paths.add(path)
             rec.transform = np.asarray(transform, np.float32)
             self._transforms_dirty = True
 
@@ -182,22 +192,43 @@ class ResourceRegistry:
         """
         if self._scene is None or self._geometry_dirty or self._materials_dirty:
             self._scene = self._full_pack()
+            self.last_update = {"kind": "full"}
         else:
+            kind = "none"
             if self._transforms_dirty:
+                # snapshot moved instances' OLD world AABBs before the
+                # replace — the bounded SDF update must dirty both the old
+                # and the new positions (ops/sdf_build.update_cascades)
+                ids = sorted(self._order.index(p) for p in self._dirty_paths
+                             if p in self._meshes)
+                old_lo = np.asarray(self._scene.instance_aabb_lo)[ids]
+                old_hi = np.asarray(self._scene.instance_aabb_hi)[ids]
                 tr, lo, hi = self._pack_transforms()
                 self._scene = self._scene.replace(
                     instance_transform=jnp.asarray(tr),
                     instance_aabb_lo=jnp.asarray(lo),
                     instance_aabb_hi=jnp.asarray(hi))
+                kind = "transforms"
+                self.last_update = {
+                    "kind": kind, "dirty_instances": ids,
+                    "old_lo": old_lo, "old_hi": old_hi,
+                    "new_lo": np.asarray(lo)[ids],
+                    "new_hi": np.asarray(hi)[ids]}
             if self._lights_dirty:
-                lp, lc, li, lt, nl = self._pack_lights()
+                lp, lc, li, lt, nl, sky = self._pack_lights()
                 self._scene = self._scene.replace(
                     light_position=jnp.asarray(lp), light_color=jnp.asarray(lc),
                     light_intensity=jnp.asarray(li),
                     light_type=jnp.asarray(lt),
-                    num_lights=jnp.asarray(nl, jnp.int32))
+                    num_lights=jnp.asarray(nl, jnp.int32),
+                    sky_color=jnp.asarray(sky))
+                if kind == "none":
+                    self.last_update = {"kind": "lights"}
+            if kind == "none" and not self._lights_dirty:
+                self.last_update = {"kind": "none"}
         self._geometry_dirty = self._transforms_dirty = False
         self._materials_dirty = self._lights_dirty = False
+        self._dirty_paths.clear()
         return self._scene
 
     # -- packing internals ---------------------------------------------------
@@ -242,17 +273,26 @@ class ResourceRegistry:
     def _pack_lights(self):
         # exact capacity: every padded light slot costs a full SDF shadow
         # march per pixel in the lightloop, so no padding quantum here
-        n = len(self._lights)
+        # DomeLights become the ambient sky term (UsdLux standard schema;
+        # the reference's sky is a constant in the shader) instead of a
+        # shadow-marched light slot
+        direct = {p: r for p, r in self._lights.items() if r.kind != 2}
+        sky = np.asarray((0.02, 0.025, 0.035), np.float32)  # default sky
+        domes = [r for r in self._lights.values() if r.kind == 2]
+        if domes:
+            sky = np.sum([r.color * r.intensity for r in domes], axis=0) \
+                .astype(np.float32)
+        n = len(direct)
         cap = max(n, 1)
         lp = np.zeros((cap, 3), np.float32)
         lc = np.ones((cap, 3), np.float32)
         li = np.zeros((cap,), np.float32)
         lt = np.zeros((cap,), np.int32)
-        for i, path in enumerate(sorted(self._lights)):
-            rec = self._lights[path]
+        for i, path in enumerate(sorted(direct)):
+            rec = direct[path]
             lp[i], lc[i], li[i] = rec.position, rec.color, rec.intensity
             lt[i] = rec.kind
-        return lp, lc, li, lt, n
+        return lp, lc, li, lt, n, sky
 
     def _full_pack(self) -> SceneBuffers:
         lim = self.limits
@@ -322,7 +362,7 @@ class ResourceRegistry:
         else:
             textures = np.ones((1, T, T, 3), np.float32)
 
-        lp, lc, li, lt, nl = self._pack_lights()
+        lp, lc, li, lt, nl, sky = self._pack_lights()
 
         scene = SceneBuffers(
             positions=jnp.asarray(positions),
@@ -351,6 +391,7 @@ class ResourceRegistry:
             num_faces=jnp.asarray(total_f, jnp.int32),
             num_instances=jnp.asarray(n_inst, jnp.int32),
             num_lights=jnp.asarray(nl, jnp.int32),
+            sky_color=jnp.asarray(sky),
         )
         log.info("registry commit: %d instances, %d verts (cap %d), "
                  "%d tris (cap %d), %d materials, %d textures, %d lights",

@@ -22,6 +22,7 @@ from vri_tpu.config import DebugMode, RenderConfig
 from vri_tpu.hydra.camera import CameraState, FreeCamera
 from vri_tpu.hydra.delegate import RenderDelegate
 from vri_tpu.ops import sdf as sdf_mod
+from vri_tpu.ops import sdf_build
 from vri_tpu.passes import frame as frame_mod
 from vri_tpu.registry import SceneBuffers, bake_world
 from vri_tpu.usd.stage import Stage
@@ -35,6 +36,7 @@ class Renderer:
         self.delegate = RenderDelegate(self.config)
         self.scene: Optional[SceneBuffers] = None
         self.cascades = None
+        self._build_state = None
         self._cascade_focus = None
         self._scene_version = -1
         self._sync_count = 0
@@ -83,7 +85,14 @@ class Renderer:
 
     def ensure_cascades(self, eye=None, focus=None, force: bool = False):
         """(Re)build cascades when geometry changed or the focus moved more
-        than one coarse voxel (clipmap recenter)."""
+        than one coarse voxel (clipmap recenter).
+
+        Bounded paths (the reference's per-frame ffxBrixelizerBakeUpdate,
+        RenderPass.cpp:919-1010): a transforms-only scene edit runs
+        ``sdf_build.update_cascades`` over the dirty cells; a recenter runs
+        ``sdf_build.scroll_cascades`` reusing every surviving brick.  A
+        capacity overflow (``needs_full``) falls back to a full rebuild.
+        """
         assert self.scene is not None
         cfg = self.config.sdf
         if focus is None:
@@ -102,22 +111,82 @@ class Renderer:
         moved = (self._cascade_focus is None
                  or np.abs(focus - self._cascade_focus).max() > coarse)
         stale = self._scene_version != self._sync_count
-        if force or self.cascades is None or moved or stale:
-            t0 = time.perf_counter()
-            world = bake_world(self.scene)
-            cascades = sdf_mod.build_for_scene(
-                self.scene, world, focus=focus, config=cfg)
-            # radiance cache: bake direct irradiance at every brick so the
-            # GI bounce reads cached lighting instead of marching shadows
-            self.cascades = sdf_mod.bake_brick_lighting(
-                cascades, self.scene, config=cfg)
-            self._cascade_focus = focus
-            self._scene_version = self._sync_count
-            log.info("SDF cascades rebuilt in %.1f ms (%d bricks, %d overflow)",
-                     1e3 * (time.perf_counter() - t0),
-                     int(self.cascades.num_bricks),
-                     int(self.cascades.overflow))
+        if not (force or self.cascades is None or moved or stale):
+            return self.cascades
+
+        t0 = time.perf_counter()
+        world = bake_world(self.scene)
+        binned = sdf_build.supports(cfg)
+        done = None  # (cascades, state, label)
+
+        if (binned and not force and self.cascades is not None
+                and self._build_state is not None):
+            upd = self.delegate.registry.last_update
+            if (stale and not moved and upd.get("kind") == "transforms"
+                    and len(upd["dirty_instances"]) <= 32):
+                done = self._try_incremental(world, upd, cfg)
+            elif moved and not stale:
+                done = self._try_scroll(world, focus, cfg)
+
+        if done is None:
+            if binned:
+                cascades, state = sdf_build.build_for_scene(
+                    self.scene, world, sdf_mod.default_centers(cfg, focus),
+                    cfg)
+                done = (cascades, state, "rebuilt")
+            else:
+                cascades = sdf_mod.build_for_scene(
+                    self.scene, world, focus=focus, config=cfg)
+                done = (cascades, None, "rebuilt (dense)")
+        cascades, state, label = done
+        # radiance cache: bake direct irradiance at every brick so the
+        # GI bounce reads cached lighting instead of marching shadows
+        self.cascades = sdf_mod.bake_brick_lighting(
+            cascades, self.scene, config=cfg,
+            alive=None if state is None else state.alive)
+        self._build_state = state
+        self._cascade_focus = focus
+        self._scene_version = self._sync_count
+        log.info("SDF cascades %s in %.1f ms (%d bricks, %d overflow)",
+                 label, 1e3 * (time.perf_counter() - t0),
+                 int(self.cascades.num_bricks),
+                 int(self.cascades.overflow))
         return self.cascades
+
+    def _try_incremental(self, world, upd, cfg):
+        """Bounded dirty-instance cascade update; None on capacity fallback."""
+        ids = upd["dirty_instances"]
+        dirty_inst = np.zeros((self.scene.instance_transform.shape[0],), bool)
+        dirty_inst[ids] = True
+        dirty_tri = jnp.asarray(dirty_inst)[self.scene.tri_instance]
+        cap = 64
+        dlo = np.full((cap, 3), 3.0e38, np.float32)
+        dhi = np.full((cap, 3), -3.0e38, np.float32)
+        n = len(ids)
+        dlo[:n], dhi[:n] = upd["old_lo"], upd["old_hi"]
+        dlo[n:2 * n], dhi[n:2 * n] = upd["new_lo"], upd["new_hi"]
+        cascades, state, needs_full = sdf_build.update_for_scene(
+            self.cascades, self._build_state, self.scene, world, dirty_tri,
+            jnp.asarray(dlo), jnp.asarray(dhi), cfg)
+        if int(needs_full):
+            log.info("bounded SDF update overflowed; full rebuild")
+            return None
+        return cascades, state, f"updated ({n} dirty instances)"
+
+    def _try_scroll(self, world, focus, cfg):
+        """Clipmap scroll to a new center; None on capacity fallback."""
+        new_centers = sdf_mod.default_centers(cfg, focus)
+        delta = np.asarray(new_centers) - np.asarray(self.cascades.center)
+        scrolled = tuple(bool(np.any(d != 0.0)) for d in delta)
+        if not any(scrolled):
+            return self.cascades, self._build_state, "unchanged center"
+        cascades, state, needs_full = sdf_build.scroll_for_scene(
+            self.cascades, self._build_state, self.scene, world,
+            jnp.asarray(new_centers), scrolled, cfg)
+        if int(needs_full):
+            log.info("SDF scroll overflowed; full rebuild")
+            return None
+        return cascades, state, f"scrolled {sum(scrolled)} cascades"
 
     # -- frames ---------------------------------------------------------------
 
@@ -177,11 +246,31 @@ class Renderer:
 
     def render_flythrough(self, n_frames: int, free_cam: FreeCamera,
                           dt: float = 1.0 / 30.0, gi: bool = True,
-                          backend: str = "raster"):
-        """Scripted camera path (the headless FreeCamera loop)."""
+                          backend: str = "raster", temporal: bool = False,
+                          gi_scale: int = 1, samples: int = 1):
+        """Scripted camera path (the headless FreeCamera loop).
+
+        ``temporal=True`` accumulates reprojected GI history across the
+        moving camera (passes/frame.render_frame_gi_temporal), so reduced
+        per-frame ray budgets (gi_scale=2, samples=1) converge like a
+        many-sample static accumulation."""
         aspect = self.config.width / self.config.height
+        h, w = self.config.height, self.config.width
         frames = []
+        state = frame_mod.init_temporal(h, w) if temporal else None
         for i in range(n_frames):
             cam = free_cam.at_time(i * dt, aspect)
-            frames.append(self.render(camera=cam, gi=gi, backend=backend))
+            if not (temporal and gi):
+                frames.append(self.render(camera=cam, gi=gi, backend=backend,
+                                          gi_scale=gi_scale, samples=samples))
+                continue
+            cascades = self.ensure_cascades(eye=cam.eye)
+            fp = frame_mod.FrameParams.from_camera(cam, h)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), self.frame_index)
+            self.frame_index += 1
+            aovs, state = frame_mod.render_frame_gi_temporal(
+                self.scene, fp, cascades, key, state, height=h, width=w,
+                config=self.config.sdf, backend=backend, samples=samples,
+                use_cache=True, gi_scale=gi_scale)
+            frames.append({k: np.asarray(v) for k, v in aovs.items()})
         return frames
