@@ -1,0 +1,152 @@
+"""USD composition arcs (subLayers / references / payloads) + UsdLux
+standard light placement.
+
+The reference gets composition + UsdLux from full OpenUSD
+(CMakeLists.txt:25-37); these tests pin the USD-lite equivalents on
+externally-authored multi-file stages: opinion strength, defaultPrim
+resolution, asset re-anchoring across layers, light xform placement and
+DomeLight -> sky.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vri_tpu.config import RenderConfig
+from vri_tpu.hydra import RenderDelegate
+from vri_tpu.usd.stage import Stage
+
+CHAIR = '''#usda 1.0
+(
+    defaultPrim = "Chair"
+)
+def Xform "Chair"
+{
+    def Mesh "Seat"
+    {
+        point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+        int[] faceVertexCounts = [3]
+        int[] faceVertexIndices = [0,1,2]
+        rel material:binding = </Chair/Mat>
+    }
+    def Material "Mat"
+    {
+        def Shader "s"
+        {
+            uniform token info:id = "UsdPreviewSurface"
+            color3f inputs:diffuseColor = (0.2, 0.4, 0.6)
+        }
+    }
+}
+'''
+
+LIGHTS = '''#usda 1.0
+def SphereLight "Sun"
+{
+    float inputs:intensity = 5
+    double3 xformOp:translate = (1, 8, 2)
+    uniform token[] xformOpOrder = ["xformOp:translate"]
+}
+def DomeLight "Sky"
+{
+    color3f inputs:color = (0.1, 0.2, 0.4)
+    float inputs:intensity = 2
+}
+over "World"
+{
+    over "Chair1"
+    {
+        double3 xformOp:translate = (9, 9, 9)
+    }
+}
+'''
+
+ROOT = '''#usda 1.0
+(
+    subLayers = [@lights.usda@]
+    defaultPrim = "World"
+)
+def Xform "World"
+{
+    def Xform "Chair1" (
+        references = @assets/chair.usda@
+    )
+    {
+        double3 xformOp:translate = (2, 0, 0)
+        uniform token[] xformOpOrder = ["xformOp:translate"]
+    }
+    def Xform "Chair2" (
+        prepend references = @assets/chair.usda@</Chair>
+    )
+    {
+    }
+}
+'''
+
+
+@pytest.fixture(scope="module")
+def composed(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stage")
+    (d / "assets").mkdir()
+    (d / "assets" / "chair.usda").write_text(CHAIR)
+    (d / "lights.usda").write_text(LIGHTS)
+    (d / "root.usda").write_text(ROOT)
+    return Stage.open(str(d / "root.usda")), str(d)
+
+
+class TestComposition:
+    def test_reference_grafts_default_prim(self, composed):
+        st, _ = composed
+        seat = st.prim_at_path("/World/Chair1/Seat")
+        assert seat is not None and seat.type_name == "Mesh"
+        assert st.prim_at_path("/World/Chair2/Seat") is not None
+
+    def test_local_opinion_beats_sublayer(self, composed):
+        st, _ = composed
+        c1 = st.prim_at_path("/World/Chair1")
+        assert tuple(np.asarray(c1.get("xformOp:translate")).tolist()) \
+            == (2.0, 0.0, 0.0)
+
+    def test_sublayer_prims_compose_in(self, composed):
+        st, _ = composed
+        sun = st.prim_at_path("/Sun")
+        assert sun is not None and sun.type_name == "SphereLight"
+
+    def test_world_transform_through_graft(self, composed):
+        st, _ = composed
+        seat = st.prim_at_path("/World/Chair1/Seat")
+        assert np.allclose(st.world_transform(seat)[:3, 3], [2, 0, 0])
+
+    def test_full_pipeline_renders_composed_stage(self, composed):
+        st, _ = composed
+        d = RenderDelegate(RenderConfig(width=32, height=32))
+        d.populate(st)
+        scene = d.sync()
+        assert int(scene.num_instances) == 2
+        assert int(scene.num_faces) == 2
+        # material flowed through the graft
+        base = np.asarray(scene.mat_base_color)[
+            np.asarray(scene.instance_material)[0]]
+        assert np.allclose(base, (0.2, 0.4, 0.6), atol=1e-5)
+
+
+class TestStandardLights:
+    def test_spherelight_sits_at_xform_origin(self, composed):
+        st, _ = composed
+        d = RenderDelegate(RenderConfig(width=32, height=32))
+        d.populate(st)
+        scene = d.sync()
+        n = int(scene.num_lights)
+        pos = np.asarray(scene.light_position)[:n]
+        assert any(np.allclose(p, (1, 8, 2)) for p in pos), pos
+
+    def test_domelight_becomes_sky(self, composed):
+        st, _ = composed
+        d = RenderDelegate(RenderConfig(width=32, height=32))
+        d.populate(st)
+        scene = d.sync()
+        assert np.allclose(np.asarray(scene.sky_color), (0.2, 0.4, 0.8),
+                           atol=1e-5)   # color * intensity 2
+        # the dome is not a shadow-marched light slot
+        assert int(scene.num_lights) == 1

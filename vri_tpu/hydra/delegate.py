@@ -100,7 +100,8 @@ class RenderDelegate:
                     instanced.add(proto.path)
         for prim in stage.traverse():
             if prim.type_name in ("Mesh", "Material", "Camera", "SphereLight",
-                                  "DistantLight", "PointInstancer"):
+                                  "DistantLight", "DomeLight",
+                                  "PointInstancer"):
                 if prim.type_name == "Mesh" and any(
                         prim.path == p or prim.path.startswith(p + "/")
                         for p in instanced):
@@ -129,7 +130,8 @@ class RenderDelegate:
                 self._sync_material(prim)
             elif prim.type_name == "Camera":
                 self.camera = camera_mod.sync_camera(self.stage, prim, aspect)
-            elif prim.type_name in ("SphereLight", "DistantLight"):
+            elif prim.type_name in ("SphereLight", "DistantLight",
+                                    "DomeLight"):
                 self._sync_light(prim)
             self.tracker.clean(path)
             n_synced += 1
@@ -290,8 +292,19 @@ class RenderDelegate:
                                  np.float32),
                 intensity=float(prim.get("inputs:intensity", 1.0)), kind=1))
             return
-        pos = np.asarray(prim.get("vri:position", (0, 5, 0)), np.float32)
-        pos = (m[:3, :3] @ pos) + m[:3, 3]
+        if prim.type_name == "DomeLight":
+            # UsdLux dome -> the ambient sky term (no HDRI texture yet)
+            self.registry.push_light(LightRecord(
+                path=prim.path, position=np.zeros(3, np.float32),
+                color=np.asarray(prim.get("inputs:color", (1, 1, 1)),
+                                 np.float32),
+                intensity=float(prim.get("inputs:intensity", 1.0)), kind=2))
+            return
+        # standard UsdLux placement: the light sits at its xform origin;
+        # `vri:position` is only an explicit (local-space) override
+        local = prim.get("vri:position")
+        pos = (m[:3, 3] if local is None
+               else (m[:3, :3] @ np.asarray(local, np.float32)) + m[:3, 3])
         self.registry.push_light(LightRecord(
             path=prim.path, position=pos,
             color=np.asarray(prim.get("inputs:color", (1, 1, 1)), np.float32),

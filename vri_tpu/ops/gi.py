@@ -34,7 +34,7 @@ from vri_tpu.registry import SceneBuffers
 
 # plain tuple: this module may be imported inside a trace, so no
 # module-level jnp arrays (they would leak tracers)
-SKY = (0.02, 0.025, 0.035)
+SKY = (0.02, 0.025, 0.035)   # default when no DomeLight is authored
 
 
 def cosine_sample_hemisphere(normal: jnp.ndarray, u1: jnp.ndarray,
@@ -211,7 +211,7 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
         # emissive surfaces (area lights) contribute directly at the hit
         bounce = jnp.minimum(alb_hit * l_hit + cascades.brick_emissive[b],
                              gi_clamp)
-        sky = jnp.asarray(SKY, jnp.float32)
+        sky = scene.sky_color   # DomeLight ambient (default SKY constant)
         contrib = jnp.where(rec.hit[:, None], bounce, sky)
         indirect = indirect + contrib
     return indirect / samples

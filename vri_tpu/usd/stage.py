@@ -38,16 +38,93 @@ class Stage:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def open(cls, path: str) -> "Stage":
+    def open(cls, path: str, _depth: int = 0) -> "Stage":
+        """Open + compose a stage.
+
+        The reference gets composition from full OpenUSD
+        (CMakeLists.txt:25-37); this USD-lite composes the arcs real stages
+        depend on: ``subLayers`` (weaker opinions under the root layer),
+        ``references`` and ``payloads`` (grafting a target layer's prim —
+        explicit ``@asset@</Path>`` or the layer's ``defaultPrim``), each
+        recursively composed and resolved relative to its own layer.
+        """
+        if _depth > 8:
+            raise usda.UsdaError(f"composition arc depth > 8 at {path!r}")
         with open(path, "r") as f:
             text = f.read()
         root, meta = usda.parse_usda(text)
-        return cls(root, meta, anchor=os.path.dirname(os.path.abspath(path)))
+        stage = cls(root, meta, anchor=os.path.dirname(os.path.abspath(path)))
+        stage._compose(_depth)
+        return stage
 
     @classmethod
-    def from_string(cls, text: str, anchor: str = "") -> "Stage":
+    def from_string(cls, text: str, anchor: str = "",
+                    compose: bool = True) -> "Stage":
         root, meta = usda.parse_usda(text)
-        return cls(root, meta, anchor=anchor)
+        stage = cls(root, meta, anchor=anchor)
+        if compose:
+            stage._compose(0)
+        return stage
+
+    # -- composition ---------------------------------------------------------
+
+    def _open_layer(self, asset: str, depth: int) -> "Stage":
+        return Stage.open(self.resolve_asset(str(asset)), _depth=depth + 1)
+
+    def _compose(self, depth: int) -> None:
+        # subLayers: listed strongest-first, all weaker than the root layer
+        for asset in reversed(self.metadata.get("subLayers", []) or []):
+            try:
+                layer = self._open_layer(asset, depth)
+            except FileNotFoundError:
+                continue
+            for p in list(layer.root.children):
+                _merge_weaker(self.root, p, layer.anchor, self.anchor)
+        self._reindex()
+        # references / payloads on any prim (local opinions stay stronger)
+        for prim in list(self.traverse()):
+            arcs = []
+            for key in ("references", "payload", "payloads"):
+                v = prim.metadata.get(key)
+                if v is None:
+                    continue
+                arcs.extend(v if isinstance(v, list) else [v])
+            for arc in arcs:
+                self._apply_reference(prim, arc, depth)
+        self._reindex()
+
+    def _apply_reference(self, prim: Prim, arc, depth: int) -> None:
+        if isinstance(arc, usda.Reference):
+            asset, target_path = arc.asset, arc.prim_path
+        elif isinstance(arc, usda.AssetPath):
+            asset, target_path = arc.path, ""
+        elif isinstance(arc, PrimPathRef):
+            asset, target_path = "", arc.path        # internal reference
+        else:
+            return
+        if asset:
+            try:
+                layer = self._open_layer(asset, depth)
+            except FileNotFoundError:
+                return
+            src_anchor = layer.anchor
+        else:
+            layer = self
+            src_anchor = self.anchor
+        if not target_path:
+            target_path = str(layer.metadata.get("defaultPrim", ""))
+            if target_path and not target_path.startswith("/"):
+                target_path = "/" + target_path
+        target = layer.prim_at_path(target_path) if target_path else None
+        if target is None and layer.root.children and not target_path:
+            target = layer.root.children[0]
+        if target is None or target is prim:
+            return
+        # graft: the target's type/attrs/children merge in as weaker opinions
+        if not prim.type_name:
+            prim.type_name = target.type_name
+        _merge_weaker_into_prim(prim, target, src_anchor, self.anchor,
+                                path_map=(target.path, prim.path))
 
     def export(self) -> str:
         return usda.write_usda(self.root, self.metadata)
@@ -171,3 +248,98 @@ class Stage:
         a.metadata.update(metadata)
         prim.attributes[name] = a
         return a
+
+
+# ---------------------------------------------------------------------------
+# Composition merge helpers (opinion strength: existing/strong wins)
+# ---------------------------------------------------------------------------
+
+def _remap_path(path: str, path_map) -> str:
+    if path_map is not None:
+        old, new = path_map
+        if path == old or path.startswith(old + "/"):
+            return new + path[len(old):]
+    return path
+
+
+def _reanchor(value, src_anchor: str, dst_anchor: str, path_map=None):
+    """Opinions authored in another layer stay resolvable after the merge:
+    relative asset paths are absolutized against their own layer, and prim
+    paths inside a referenced subtree remap to the graft site (the
+    reference-arc path translation real USD composition performs)."""
+    if isinstance(value, usda.AssetPath) and src_anchor \
+            and src_anchor != dst_anchor and value.path \
+            and not os.path.isabs(value.path):
+        return usda.AssetPath(os.path.join(src_anchor, value.path))
+    if isinstance(value, PrimPathRef):
+        return PrimPathRef(_remap_path(value.path, path_map))
+    if isinstance(value, list):
+        return [_reanchor(v, src_anchor, dst_anchor, path_map)
+                for v in value]
+    return value
+
+
+def _copy_attr(a: Attribute, src_anchor: str, dst_anchor: str,
+               path_map=None) -> Attribute:
+    connect = a.connect
+    if connect is not None:
+        connect = _remap_path(connect, path_map)
+    return Attribute(name=a.name, type_name=a.type_name,
+                     value=_reanchor(a.value, src_anchor, dst_anchor,
+                                     path_map),
+                     uniform=a.uniform, custom=a.custom,
+                     metadata=dict(a.metadata), connect=connect)
+
+
+def _copy_prim(p: Prim, parent: Prim, src_anchor: str,
+               dst_anchor: str, path_map=None) -> Prim:
+    out = Prim(name=p.name, type_name=p.type_name, specifier="def",
+               metadata=dict(p.metadata), parent=parent)
+    out.attributes = {k: _copy_attr(a, src_anchor, dst_anchor, path_map)
+                      for k, a in p.attributes.items()}
+    out.children = [_copy_prim(c, out, src_anchor, dst_anchor, path_map)
+                    for c in p.children]
+    return out
+
+
+def _merge_weaker_into_prim(strong: Prim, weak: Prim, src_anchor: str,
+                            dst_anchor: str, path_map=None) -> None:
+    """Merge a weaker prim's opinions under ``strong`` (strong wins)."""
+    if not strong.type_name and weak.type_name:
+        strong.type_name = weak.type_name
+    if strong.specifier == "over" and weak.specifier != "over":
+        strong.specifier = "def"
+    for k, v in weak.metadata.items():
+        if k in ("references", "payload", "payloads"):
+            continue      # arcs were applied in the weak layer's compose
+        strong.metadata.setdefault(k, v)
+    for name, a in weak.attributes.items():
+        cur = strong.attributes.get(name)
+        if cur is None or (cur.value is None and cur.connect is None):
+            merged = _copy_attr(a, src_anchor, dst_anchor, path_map)
+            if cur is not None:     # keep the stronger layer's metadata
+                merged.metadata.update(cur.metadata)
+                merged.type_name = cur.type_name or merged.type_name
+            strong.attributes[name] = merged
+        else:
+            for mk, mv in a.metadata.items():
+                cur.metadata.setdefault(mk, mv)
+    for wc in weak.children:
+        sc = strong.child(wc.name)
+        if sc is None:
+            strong.children.append(
+                _copy_prim(wc, strong, src_anchor, dst_anchor, path_map))
+        else:
+            _merge_weaker_into_prim(sc, wc, src_anchor, dst_anchor,
+                                    path_map)
+
+
+def _merge_weaker(strong_root: Prim, weak_prim: Prim, src_anchor: str,
+                  dst_anchor: str) -> None:
+    """Merge a weaker layer's top-level prim under the composed root."""
+    existing = strong_root.child(weak_prim.name)
+    if existing is None:
+        strong_root.children.append(
+            _copy_prim(weak_prim, strong_root, src_anchor, dst_anchor))
+    else:
+        _merge_weaker_into_prim(existing, weak_prim, src_anchor, dst_anchor)

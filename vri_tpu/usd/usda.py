@@ -149,6 +149,11 @@ class _Parser:
             return _unquote(val)
         if kind == "asset":
             self.next()
+            # composition arc payload: `@file.usda@</Prim/Path>` — an asset
+            # immediately followed by a prim path is one reference value
+            if self.peek()[0] == "path":
+                _, p = self.next()
+                return Reference(val[1:-1], p[1:-1])
             return AssetPath(val[1:-1])
         if kind == "path":
             self.next()
@@ -287,6 +292,15 @@ class PrimPathRef:
         return self.path
 
 
+@dataclasses.dataclass(frozen=True)
+class Reference:
+    """A reference/payload arc target: layer asset + optional prim path
+    (empty = the target layer's defaultPrim)."""
+
+    asset: str
+    prim_path: str = ""
+
+
 def _unquote(s: str) -> str:
     return s[1:-1].encode("utf-8").decode("unicode_escape")
 
@@ -368,6 +382,8 @@ def parse_usda(text: str) -> Tuple[Prim, Dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 def _fmt_value(v: Any) -> str:
+    if isinstance(v, Reference):
+        return f"@{v.asset}@" + (f"<{v.prim_path}>" if v.prim_path else "")
     if isinstance(v, AssetPath):
         return f"@{v.path}@"
     if isinstance(v, PrimPathRef):
