@@ -247,6 +247,138 @@ def accumulate(prev_color: jnp.ndarray, prev_count: jnp.ndarray,
     return color, count
 
 
+# ---------------------------------------------------------------------------
+# Temporal reprojection (progressive GI under camera motion)
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class TemporalState:
+    """History buffer for reprojected indirect-irradiance accumulation.
+
+    Stores the *indirect* term only — direct lighting and albedo re-shade
+    at full rate every frame, so accumulation never smears shadows or
+    textures, only the stochastic GI gather."""
+
+    indirect: jnp.ndarray   # (H*W, 3)
+    depth: jnp.ndarray      # (H*W,)  distance to the writing frame's eye
+    normal: jnp.ndarray     # (H*W, 3) shading normal (thin-surface reject)
+    count: jnp.ndarray      # (H*W,)  effective accumulation length
+    view_proj: jnp.ndarray  # (4, 4)  of the writing frame
+    eye: jnp.ndarray        # (3,)
+
+
+def init_temporal(height: int, width: int) -> TemporalState:
+    n = height * width
+    return TemporalState(indirect=jnp.zeros((n, 3), jnp.float32),
+                         depth=jnp.zeros((n,), jnp.float32),
+                         normal=jnp.zeros((n, 3), jnp.float32),
+                         count=jnp.zeros((n,), jnp.float32),
+                         view_proj=jnp.eye(4, dtype=jnp.float32),
+                         eye=jnp.zeros((3,), jnp.float32))
+
+
+def _reproject(state: TemporalState, position, normal, valid, height: int,
+               width: int, depth_tol: float = 0.02):
+    """Sample the history at each pixel's position reprojected through the
+    previous frame's camera; disocclusions (depth mismatch, normal flip —
+    which also rejects the thin-wall front/back aliasing a depth test alone
+    cannot see — or off-screen) return count 0 so the blend restarts."""
+    clip = jnp.concatenate(
+        [position, jnp.ones_like(position[:, :1])], axis=1) @ state.view_proj.T
+    w = clip[:, 3]
+    ndc = clip[:, :3] / jnp.maximum(w, 1e-6)[:, None]
+    px = (ndc[:, 0] * 0.5 + 0.5) * width
+    py = (0.5 - ndc[:, 1] * 0.5) * height
+    xi = jnp.floor(px).astype(jnp.int32)
+    yi = jnp.floor(py).astype(jnp.int32)
+    inside = ((w > 1e-6) & (xi >= 0) & (xi < width)
+              & (yi >= 0) & (yi < height))
+    idx = jnp.clip(yi, 0, height - 1) * width + jnp.clip(xi, 0, width - 1)
+    h_ind = state.indirect[idx]
+    h_depth = state.depth[idx]
+    h_count = state.count[idx]
+    t_prev = jnp.linalg.norm(position - state.eye[None, :], axis=-1)
+    depth_ok = jnp.abs(h_depth - t_prev) <= depth_tol * t_prev + 1e-3
+    normal_ok = jnp.sum(state.normal[idx] * normal, axis=-1) > 0.5
+    ok = inside & depth_ok & normal_ok & valid & (h_count > 0.0)
+    return h_ind, jnp.where(ok, h_count, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "config",
+                                             "backend", "samples",
+                                             "use_cache", "gi_scale",
+                                             "history_cap"))
+def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
+                             cascades, key, state: TemporalState, *,
+                             height: int, width: int, config,
+                             backend: str = "raster", samples: int = 1,
+                             use_cache: bool = False, gi_scale: int = 1,
+                             history_cap: float = 16.0):
+    """GI frame with temporally reprojected indirect accumulation.
+
+    Under camera motion every pixel reuses up to ``history_cap`` frames of
+    GI history (validated by reprojected depth), so a flythrough at
+    gi_scale=2 / samples=1 converges like a static accumulation with many
+    times the marched rays.  Returns (aovs, new_state).
+    """
+    from vri_tpu.ops import gi as gi_mod
+
+    world_verts = bake_world(scene)
+    origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
+                                       height, width)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    if backend in ("raster", "raster_ranged"):
+        hit = _visibility_raster(
+            scene, world_verts, frame, height, width,
+            variant="ranged" if backend == "raster_ranged" else "auto")
+    else:
+        hit = _visibility_brute(scene, world_verts, o, d)
+    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
+                                 pixel_spread=frame.pixel_spread)
+    t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
+    gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
+
+    direct = gi_mod.direct_radiance(gb.position, gb.normal, scene,
+                                    cascades, config)
+    if gi_scale <= 1:
+        ind = gi_mod.indirect_radiance(gb, scene, cascades, key,
+                                       config=config, samples=samples,
+                                       use_cache=use_cache)
+    else:
+        sub = jax.tree_util.tree_map(
+            lambda a: a.reshape((height, width) + a.shape[1:])
+            [::gi_scale, ::gi_scale].reshape((-1,) + a.shape[1:]), gb)
+        ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
+                                       config=config, samples=samples,
+                                       use_cache=use_cache)
+        hs, ws = height // gi_scale, width // gi_scale
+        ind = jnp.repeat(jnp.repeat(ind.reshape(hs, ws, 3), gi_scale, 0),
+                         gi_scale, 1).reshape(-1, 3)
+
+    h_ind, h_count = _reproject(state, gb.position, gb.normal, gb.valid,
+                                height, width)
+    count = jnp.minimum(h_count, history_cap) + 1.0
+    ind_blend = h_ind + (ind - h_ind) / count[:, None]
+    new_state = TemporalState(indirect=ind_blend, depth=t, normal=gb.normal,
+                              count=count, view_proj=frame.view_proj,
+                              eye=frame.eye)
+
+    color = gb.emissive + gb.albedo * (direct + ind_blend)
+    color = jnp.where(gb.valid[:, None], color, 0.0)
+    aovs = {
+        "color": color.reshape(height, width, 3),
+        "depth": gb.depth.reshape(height, width),
+        "instance_id": gb.instance.reshape(height, width),
+        "normal": gb.normal.reshape(height, width, 3),
+        "albedo": gb.albedo.reshape(height, width, 3),
+        "gi_history": count.reshape(height, width),
+    }
+    if hit.overflow is not None:
+        aovs["raster_overflow_tiles"] = hit.overflow
+    return aovs, new_state
+
+
 def render_to_numpy(scene: SceneBuffers, camera: CameraState,
                     config: RenderConfig, mode: int = DebugMode.NONE,
                     shadows: bool = True,
