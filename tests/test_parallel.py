@@ -146,3 +146,116 @@ class TestTiledFrame:
         da = np.asarray(tiled["depth"])
         db = np.asarray(single["depth"])
         np.testing.assert_allclose(da[same], db[same], rtol=1e-3, atol=1e-3)
+
+
+class TestMultiHost:
+    """2-D (hosts, tiles) mesh: DCN-aware layout (parallel/multihost.py)."""
+
+    @pytest.fixture(scope="class")
+    def mesh2(self):
+        from vri_tpu.parallel import multihost
+        return multihost.make_mesh_2d(2, 4)
+
+    def test_frame_matches_single_chip(self, mesh2):
+        from vri_tpu.parallel import multihost
+
+        d = RenderDelegate(RenderConfig(width=16, height=32, sdf=TINY))
+        d.populate(scenes.cornell_box())
+        scene = d.sync()
+        r = Renderer(RenderConfig(width=16, height=32, sdf=TINY))
+        r.load_stage(scenes.cornell_box())
+        cascades = r.ensure_cascades()
+        fp = FrameParams.from_camera(d.camera, 32)
+        out = multihost.render_frame_tiled_2d(
+            scene, fp, cascades, jax.random.PRNGKey(0), mesh=mesh2,
+            height=32, width=16, config=TINY, gi=True, samples=0,
+            backend="raster")
+        from vri_tpu.passes.frame import render_frame_gi
+        single = render_frame_gi(scene, fp, cascades, jax.random.PRNGKey(0),
+                                 height=32, width=16, config=TINY,
+                                 backend="raster", samples=0, use_cache=True)
+        ia = np.asarray(out["instance_id"])
+        ib = np.asarray(single["instance_id"])
+        same = ia == ib
+        assert same.mean() > 0.97
+        np.testing.assert_allclose(np.asarray(out["color"])[same],
+                                   np.asarray(single["color"])[same],
+                                   rtol=1e-4, atol=1e-4)
+        assert float(np.asarray(out["stats"])[0]) == 32 * 16
+        # rows really shard over both axes
+        assert len(out["color"].sharding.device_set) == 8
+
+    def test_scene_partition_merge_over_hosts(self, mesh2):
+        """Each host owns a disjoint instance range; one psum over the
+        hosts (DCN) axis reassembles the replicated scene."""
+        from vri_tpu.parallel import multihost
+
+        d = RenderDelegate(RenderConfig(width=16, height=16, sdf=TINY))
+        d.populate(scenes.cornell_box())
+        full = d.sync()
+        ni = int(full.num_instances)
+        owner = np.arange(full.instance_transform.shape[0]) % 2  # 2 hosts
+
+        def host_view(h):
+            """Zero out pools not owned by host h (disjoint partitions)."""
+            inst_mask = owner == h
+            vert_mask = inst_mask[np.asarray(full.vertex_instance)]
+            tri_mask = inst_mask[np.asarray(full.tri_instance)]
+
+            def zero_rows(a, mask):
+                a = np.asarray(a).copy()
+                a[~mask] = 0
+                return jnp.asarray(a)
+
+            return full.replace(
+                positions=zero_rows(full.positions, vert_mask),
+                vertex_instance=zero_rows(full.vertex_instance, vert_mask),
+                tri_vertices=zero_rows(full.tri_vertices, tri_mask),
+                tri_uv=zero_rows(full.tri_uv, tri_mask),
+                tri_instance=zero_rows(full.tri_instance, tri_mask),
+                tri_face=zero_rows(full.tri_face, tri_mask),
+                instance_transform=zero_rows(full.instance_transform,
+                                             inst_mask),
+                instance_material=zero_rows(full.instance_material,
+                                            inst_mask),
+                instance_face_offset=zero_rows(full.instance_face_offset,
+                                               inst_mask),
+                instance_face_count=zero_rows(full.instance_face_count,
+                                              inst_mask),
+                instance_aabb_lo=zero_rows(full.instance_aabb_lo, inst_mask),
+                instance_aabb_hi=zero_rows(full.instance_aabb_hi, inst_mask))
+
+        # simulate per-host inputs: host axis receives its own partition.
+        # On one process we emulate by placing host 0's view (the merge is
+        # a psum, so feeding the two views alternately per host row needs
+        # device_put per shard; here both hosts feed the SAME partition sum
+        # h0+h1 = full when pre-merged -- instead verify the identity:
+        # psum(host_view(h)) == full given each host contributes its own.
+        merged_np = {}
+        for f in ("positions", "instance_transform", "tri_vertices"):
+            merged_np[f] = (np.asarray(getattr(host_view(0), f))
+                            + np.asarray(getattr(host_view(1), f)))
+            np.testing.assert_allclose(merged_np[f],
+                                       np.asarray(getattr(full, f)))
+        # and the shard_map psum path reproduces it on the mesh (each host
+        # row fed its own partition via explicit device placement)
+        hv = [host_view(0), host_view(1)]
+        import jax as _jax
+        stacked = _jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), hv[0], hv[1])
+
+        def body(part):  # part: this host's partition (leading dim 1)
+            sc = _jax.tree_util.tree_map(lambda a: a[0], part)
+            return _jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, "hosts")[None]
+                if jnp.issubdtype(a.dtype, jnp.number) else a, sc)
+
+        out = shard_map(
+            body, mesh=mesh2,
+            in_specs=(P("hosts"),), out_specs=P("hosts"),
+            check_vma=False)(stacked)
+        m0 = _jax.tree_util.tree_map(lambda a: a[0], out)
+        np.testing.assert_allclose(np.asarray(m0.positions),
+                                   np.asarray(full.positions))
+        np.testing.assert_allclose(np.asarray(m0.instance_transform),
+                                   np.asarray(full.instance_transform))
