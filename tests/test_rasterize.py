@@ -214,3 +214,34 @@ class TestBinnedOverflow:
         ia = np.asarray(a["instance_id"])
         ib = np.asarray(b["instance_id"])
         assert (ia == ib).mean() > 0.99
+
+
+class TestSortedRaster:
+    """Sort-binned rasterizer (the O(F log F) scale path)."""
+
+    def test_matches_binned(self, cornell):
+        res = 64
+        scene, cam = _setup(cornell, res)
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        hb, zb = rasterize.rasterize_binned(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=res, width=res)
+        hs, zs = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=res, width=res)
+        same = np.asarray(hb.tri) == np.asarray(hs.tri)
+        assert same.mean() > 0.99          # depth ties may flip winners
+        np.testing.assert_allclose(np.asarray(hs.t)[same],
+                                   np.asarray(hb.t)[same], atol=1e-5)
+        assert int(hs.overflow) == 0
+
+    def test_tier_overflow_reported(self, cornell):
+        res = 48
+        scene, cam = _setup(cornell, res)
+        world = bake_world(scene)
+        hit, _ = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces,
+            jnp.asarray(cam.view_proj), height=res, width=res,
+            cap_glob=2)   # cornell walls are all "large" -> overflow
+        assert int(hit.overflow) > 0

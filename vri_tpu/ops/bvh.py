@@ -19,6 +19,15 @@ Traversal is a vectorized stack-based wavefront: every ray advances one node
 per iteration of a ``lax.while_loop``; AABB rejection against the current
 best-t prunes.  All state is fixed-shape; rays are processed in bounded
 batches by the caller.
+
+**Role: correctness oracle, not a production path.**  Measured on TPU the
+XLA traversal runs ~0.01 Mrays/s (per-ray divergent control flow is the
+worst case for lock-step SIMD) — the production tiers are the Pallas
+raster for primary visibility and the SDF march kernel for
+secondary/occlusion rays.  The BVH's job is exact-intersection ground
+truth in tests at sizes where ``trace_brute``'s O(F) per ray is too slow,
+and AABB queries for host-side tooling.  ``backend="bvh"`` remains wired
+for that purpose only.
 """
 
 from __future__ import annotations

@@ -572,7 +572,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     cap_groups: int = 64, kernel_slots: int = 256,
+                     cap_groups: int = 64, kernel_slots: int = 512,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
@@ -633,6 +633,24 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     slots = (group_ids[:, :, None] * group
              + jnp.arange(group, dtype=jnp.int32)[None, None, :]
              ).reshape(num_tiles, cap_t)                  # (tiles, capT)
+    return _slots_to_frame(
+        tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
+        height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,
+        tile_w=tile_w, tri_chunk=tri_chunk, kernel_slots=kernel_slots,
+        interpret=interpret)
+
+
+def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
+                    *, height, width, hp, wp, grid, tile_h, tile_w,
+                    tri_chunk, kernel_slots, interpret):
+    """Shared back half of the list-driven rasterizers: gather per-slot
+    rows, optional exact-cull compaction, coefficient packing, the Pallas
+    kernel, and the attribute resolve.  ``slots`` is (tiles, capT) indices
+    into the padded slot arrays (invalid slots must carry tz = 10)."""
+    num_tiles = grid[0] * grid[1]
+    cap_t = slots.shape[1]
+    kernel_slots = min(_round_up(kernel_slots, tri_chunk), cap_t)
+    num_subs = kernel_slots // tri_chunk
 
     # one contiguous row gather for all per-slot kernel data: x3 y3 z3 +
     # the slot id itself (picked in-kernel by the winner — mapping winner
@@ -645,25 +663,32 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     tile_y0 = ((jnp.arange(num_tiles) // grid[1]) * tile_h
                ).astype(jnp.float32)[:, None]
 
-    # exact per-slot tile cull + compaction: Morton 8-groups inflate tile
-    # lists ~4x (a group joins every tile its *joint* bbox overlaps), so the
-    # 512 gathered slots compact to a 256-slot kernel capacity — halving the
-    # static sub walk.  One batched sort + one row-contiguous gather.
-    exact = ((jnp.min(rows[..., 0:3], -1) <= tile_x0 + tile_w)
-             & (jnp.max(rows[..., 0:3], -1) >= tile_x0)
-             & (jnp.min(rows[..., 3:6], -1) <= tile_y0 + tile_h)
-             & (jnp.max(rows[..., 3:6], -1) >= tile_y0)
-             & (jnp.min(rows[..., 6:9], -1) <= 1.0)
-             & (jnp.max(rows[..., 6:9], -1) >= 0.0))      # (tiles, capT)
-    iota = jnp.broadcast_to(jnp.arange(cap_t, dtype=jnp.int32)[None, :],
-                            exact.shape)
-    _, order = jax.lax.sort_key_val((~exact).astype(jnp.uint32), iota,
-                                    is_stable=True)
-    cnt = jnp.sum(exact.astype(jnp.int32), axis=-1)
-    overflowed |= cnt > kernel_slots
-    take = order[:, :kernel_slots]
-    rows = jnp.take_along_axis(rows, take[..., None], axis=1)
-    live = jnp.arange(kernel_slots, dtype=jnp.int32)[None, :] < cnt[:, None]
+    # exact per-slot tile cull + compaction (opt-in, kernel_slots < cap_t):
+    # Morton 8-groups inflate tile lists ~4x (a group joins every tile its
+    # *joint* bbox overlaps), so the 512 gathered slots can compact to a
+    # smaller kernel capacity via one batched sort + one row gather.
+    # Measured at 1080p/3k tris the prep costs MORE than the halved sub
+    # walk saves (17.3 vs 13.7 ms), so the default ships all slots; denser
+    # per-tile lists may tip the balance the other way.
+    if kernel_slots < cap_t:
+        exact = ((jnp.min(rows[..., 0:3], -1) <= tile_x0 + tile_w)
+                 & (jnp.max(rows[..., 0:3], -1) >= tile_x0)
+                 & (jnp.min(rows[..., 3:6], -1) <= tile_y0 + tile_h)
+                 & (jnp.max(rows[..., 3:6], -1) >= tile_y0)
+                 & (jnp.min(rows[..., 6:9], -1) <= 1.0)
+                 & (jnp.max(rows[..., 6:9], -1) >= 0.0))  # (tiles, capT)
+        iota = jnp.broadcast_to(
+            jnp.arange(cap_t, dtype=jnp.int32)[None, :], exact.shape)
+        _, order = jax.lax.sort_key_val((~exact).astype(jnp.uint32), iota,
+                                        is_stable=True)
+        cnt = jnp.sum(exact.astype(jnp.int32), axis=-1)
+        overflowed |= cnt > kernel_slots
+        take = order[:, :kernel_slots]
+        rows = jnp.take_along_axis(rows, take[..., None], axis=1)
+        live = jnp.arange(kernel_slots,
+                          dtype=jnp.int32)[None, :] < cnt[:, None]
+    else:
+        live = jnp.ones((num_tiles, cap_t), bool)
 
     # tile-local coordinates: the kernel's pixel pattern becomes a constant
     gx = rows[..., 0:3].transpose(0, 2, 1) - tile_x0[..., None]
@@ -784,3 +809,144 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                     v=jnp.where(hit_mask, src_v, 0.0).reshape(-1),
                     overflow=jnp.sum(overflowed.astype(jnp.int32)))
     return hit, z
+
+
+# ---------------------------------------------------------------------------
+# Sort-binned rasterizer: exact per-tile lists at any triangle count
+# ---------------------------------------------------------------------------
+
+def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
+    """Sorted-pair stream -> capacity-bounded per-segment lists.
+
+    ``keys`` (P,) u32 segment ids (n_segments = invalid), ``vals`` (P,)
+    payloads.  One ``sort_key_val`` + searchsorted — the same
+    stream-compaction pattern as the SDF builder's cell binning.
+    Returns (lists (n_segments, cap) filled with ``fill``, counts).
+    """
+    skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
+    starts = jnp.searchsorted(
+        skeys, jnp.arange(n_segments + 1, dtype=jnp.uint32))
+    count = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    k_ids = jnp.arange(cap, dtype=jnp.int32)
+    gidx = starts[:n_segments, None].astype(jnp.int32) + k_ids[None, :]
+    in_seg = k_ids[None, :] < count[:, None]
+    lists = jnp.where(in_seg, svals[jnp.minimum(gidx, skeys.shape[0] - 1)],
+                      fill)
+    return lists, count
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "tile_h", "tile_w", "tri_chunk", "cap_exact",
+    "cap_med", "cap_glob", "super_rows", "interpret", "proj_height"))
+def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
+                     num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
+                     height: int, width: int, tile_h: int = 8,
+                     tile_w: int = 128, tri_chunk: int = 128,
+                     cap_exact: int = 256, cap_med: int = 128,
+                     cap_glob: int = 128, super_rows: int = 4,
+                     interpret: bool | None = None,
+                     proj_height: int | None = None, y_offset=None
+                     ) -> Tuple[HitRecord, jnp.ndarray]:
+    """Visibility raster with sort-built exact per-tile lists — the scale
+    path (cost O(F log F + tiles*caps), no (tiles x groups) matrices).
+
+    Three size tiers, all assembled XLA-side into one static slot array per
+    tile for the same MXU kernel:
+
+      * small (bbox <= 2 tile cols x 4 tile rows): each emits <= 8
+        (tile, slot) pairs; one ``sort_key_val`` turns the pair stream
+        into exact per-tile lists — the TPU-native indirect-draw batching
+        at per-triangle granularity.
+      * medium (<= 2 cols x 2 *supertile* rows): pairs against
+        ``super_rows``-tall supertiles, shared by their tiles.
+      * large (screen-spanning): a global list every tile walks
+        (the per-draw loop analog, RenderPass.cpp:642-664).
+
+    Capacity overflow in any tier sets ``HitRecord.overflow``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    hp = _round_up(height, tile_h)
+    wp = _round_up(width, tile_w)
+    grid = (hp // tile_h, wp // tile_w)
+    num_tiles = grid[0] * grid[1]
+    n_srows = (grid[0] + super_rows - 1) // super_rows
+    n_super = n_srows * grid[1]
+
+    tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
+        world_verts, tri_vertices, num_faces, view_proj,
+        proj_height or height, width, y_offset=y_offset)
+    src_sorted = src_id
+
+    f2 = tx.shape[0]
+    fp = _round_up(f2 + 1, tri_chunk)   # >= 1 guaranteed-invalid pad slot
+    pad = fp - f2
+    padf = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+    tx, ty, tz, tw, b1, b2, valid = map(
+        padf, (tx, ty, tz, tw, b1, b2, valid))
+    src_sorted = jnp.concatenate([src_sorted, jnp.zeros((pad,), jnp.int32)])
+    tz = jnp.where(valid[:, None], tz, 10.0)
+    fill = fp - 1                        # padded -> invalid (tz = 10)
+
+    # per-slot inclusive tile span from the screen bbox
+    lox, hix = tx.min(axis=1), tx.max(axis=1)
+    loy, hiy = ty.min(axis=1), ty.max(axis=1)
+    tx0 = jnp.floor(lox / tile_w).astype(jnp.int32)
+    tx1 = jnp.floor(hix / tile_w).astype(jnp.int32)
+    ty0 = jnp.floor(loy / tile_h).astype(jnp.int32)
+    ty1 = jnp.floor(hiy / tile_h).astype(jnp.int32)
+    sy0 = jnp.floor(loy / (tile_h * super_rows)).astype(jnp.int32)
+    sy1 = jnp.floor(hiy / (tile_h * super_rows)).astype(jnp.int32)
+    on_screen = ((tx1 >= 0) & (tx0 < grid[1]) & (ty1 >= 0) & (ty0 < grid[0]))
+    vis = valid & on_screen
+    small = vis & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 3)
+    med = vis & ~small & (tx1 - tx0 <= 1) & (sy1 - sy0 <= 1)
+    large = vis & ~small & ~med
+
+    slot_ids = jnp.arange(fp, dtype=jnp.int32)
+
+    def tier_pairs(mask, row0, row1, n_rows, n_off_y, gy):
+        """(slot, tile-of-a-grid) pairs for one tier; gy = rows per cell."""
+        oy = jnp.arange(n_off_y, dtype=jnp.int32)
+        ox = jnp.arange(2, dtype=jnp.int32)
+        cy = row0[:, None, None] + oy[None, :, None]         # (F, oy, 1)
+        cx = tx0[:, None, None] + ox[None, None, :]          # (F, 1, 2)
+        ok = (mask[:, None, None]
+              & (cy <= row1[:, None, None]) & (cy >= 0) & (cy < n_rows)
+              & (cx <= tx1[:, None, None]) & (cx >= 0) & (cx < grid[1]))
+        cell = cy * grid[1] + cx                              # (F, oy, 2)
+        n_cells = n_rows * grid[1]
+        keys = jnp.where(ok, cell, n_cells).astype(jnp.uint32).reshape(-1)
+        vals = jnp.broadcast_to(slot_ids[:, None, None],
+                                cell.shape).reshape(-1)
+        return keys, vals
+
+    ek, ev = tier_pairs(small, ty0, ty1, grid[0], 4, tile_h)
+    exact_lists, exact_count = _segment_lists(ek, ev, num_tiles, cap_exact,
+                                              fill)
+    mk, mv = tier_pairs(med, sy0, sy1, n_srows, 2, tile_h * super_rows)
+    med_lists, med_count = _segment_lists(mk, mv, n_super, cap_med, fill)
+    gpos = jnp.nonzero(large, size=cap_glob, fill_value=-1)[0]
+    glob = jnp.where(gpos >= 0, gpos, fill).astype(jnp.int32)
+    n_large = jnp.sum(large.astype(jnp.int32))
+
+    super_of_tile = ((jnp.arange(num_tiles) // grid[1]) // super_rows) \
+        * grid[1] + (jnp.arange(num_tiles) % grid[1])
+    slots = jnp.concatenate(
+        [exact_lists, med_lists[super_of_tile],
+         jnp.broadcast_to(glob[None, :], (num_tiles, cap_glob))], axis=1)
+    cap_t = cap_exact + cap_med + cap_glob
+    pad_c = (-cap_t) % tri_chunk
+    if pad_c:
+        slots = jnp.concatenate(
+            [slots, jnp.full((num_tiles, pad_c), fill, jnp.int32)], axis=1)
+    overflowed = ((exact_count > cap_exact)
+                  | (med_count[super_of_tile] > cap_med)
+                  | (n_large > cap_glob))
+    return _slots_to_frame(
+        tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
+        height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,
+        tile_w=tile_w, tri_chunk=tri_chunk, kernel_slots=slots.shape[1],
+        interpret=interpret)
