@@ -520,13 +520,13 @@ def _raster_binned_kernel(tri_ref, z_out, slot_out, *,
     zero = jnp.zeros((p, 5), jnp.float32)
     pixmat = jnp.concatenate([px, py, one, zero], axis=1)     # (P, 8)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
-    # depth + winner position packed into one sortable int32: the low 9
+    # depth + winner position packed into one sortable int32: the low
     # mantissa bits of (positive) z carry the list position, so the whole
     # depth test + tie-break collapses into a single lane-min reduction.
-    # Costs 9 mantissa bits of depth resolution (relative 2^-14) — far below
-    # any geometric tolerance here.
-    pos_bits = 9
-    assert num_subs * tri_chunk <= (1 << pos_bits)
+    # Costs pos_bits mantissa bits of depth resolution (<= 2^-12 relative)
+    # — far below any geometric tolerance here.
+    pos_bits = max(9, (num_subs * tri_chunk - 1).bit_length())
+    assert pos_bits <= 12   # <= 0.05%% relative depth quantization
     mask = jnp.int32(~((1 << pos_bits) - 1))
     tc = tri_chunk
 
@@ -836,33 +836,30 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "tile_h", "tile_w", "tri_chunk", "cap_exact",
-    "cap_med", "cap_glob", "super_rows", "interpret", "proj_height"))
+    "height", "width", "tile_h", "tile_w", "tri_chunk", "tiers",
+    "cap_glob", "interpret", "proj_height"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     cap_exact: int = 256, cap_med: int = 128,
-                     cap_glob: int = 128, super_rows: int = 4,
+                     tiers: tuple = ((1, 256), (4, 128), (16, 64), (64, 64)),
+                     cap_glob: int = 256,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
-    """Visibility raster with sort-built exact per-tile lists — the scale
-    path (cost O(F log F + tiles*caps), no (tiles x groups) matrices).
+    """Visibility raster with sort-built per-tile lists — the scale path
+    (cost O(F log F + tiles*caps), no (tiles x groups) matrices).
 
-    Three size tiers, all assembled XLA-side into one static slot array per
-    tile for the same MXU kernel:
-
-      * small (bbox <= 2 tile cols x 4 tile rows): each emits <= 8
-        (tile, slot) pairs; one ``sort_key_val`` turns the pair stream
-        into exact per-tile lists — the TPU-native indirect-draw batching
-        at per-triangle granularity.
-      * medium (<= 2 cols x 2 *supertile* rows): pairs against
-        ``super_rows``-tall supertiles, shared by their tiles.
-      * large (screen-spanning): a global list every tile walks
-        (the per-draw loop analog, RenderPass.cpp:642-664).
-
-    Capacity overflow in any tier sets ``HitRecord.overflow``.
+    ``tiers`` is a ladder of (tile-rows per cell, list capacity): each
+    triangle lands in the finest tier whose 2x2-cell window covers its
+    bbox (all tiers span <= 2 tile columns; wider triangles go to the
+    ``cap_glob`` global list every tile walks — the per-draw loop analog,
+    RenderPass.cpp:642-664).  Each triangle emits <= 4 (cell, slot) pairs
+    and one ``sort_key_val`` per tier builds capacity-bounded lists — the
+    same stream-compaction pattern as the SDF builder.  A tile's slot
+    array is the concatenation of its cell's list from every tier plus the
+    global list, statically walked by the MXU kernel.  Capacity overflow
+    in any tier sets ``HitRecord.overflow``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -871,8 +868,6 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     wp = _round_up(width, tile_w)
     grid = (hp // tile_h, wp // tile_w)
     num_tiles = grid[0] * grid[1]
-    n_srows = (grid[0] + super_rows - 1) // super_rows
-    n_super = n_srows * grid[1]
 
     tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
@@ -895,56 +890,59 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     loy, hiy = ty.min(axis=1), ty.max(axis=1)
     tx0 = jnp.floor(lox / tile_w).astype(jnp.int32)
     tx1 = jnp.floor(hix / tile_w).astype(jnp.int32)
-    ty0 = jnp.floor(loy / tile_h).astype(jnp.int32)
-    ty1 = jnp.floor(hiy / tile_h).astype(jnp.int32)
-    sy0 = jnp.floor(loy / (tile_h * super_rows)).astype(jnp.int32)
-    sy1 = jnp.floor(hiy / (tile_h * super_rows)).astype(jnp.int32)
-    on_screen = ((tx1 >= 0) & (tx0 < grid[1]) & (ty1 >= 0) & (ty0 < grid[0]))
+    ty0f = jnp.floor(loy / tile_h).astype(jnp.int32)
+    ty1f = jnp.floor(hiy / tile_h).astype(jnp.int32)
+    on_screen = ((tx1 >= 0) & (tx0 < grid[1])
+                 & (ty1f >= 0) & (ty0f < grid[0]))
     vis = valid & on_screen
-    small = vis & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 3)
-    med = vis & ~small & (tx1 - tx0 <= 1) & (sy1 - sy0 <= 1)
-    large = vis & ~small & ~med
+    narrow = vis & (tx1 - tx0 <= 1)
 
     slot_ids = jnp.arange(fp, dtype=jnp.int32)
+    tile_row = jnp.arange(num_tiles) // grid[1]
+    tile_col = jnp.arange(num_tiles) % grid[1]
 
-    def tier_pairs(mask, row0, row1, n_rows, n_off_y, gy):
-        """(slot, tile-of-a-grid) pairs for one tier; gy = rows per cell."""
-        oy = jnp.arange(n_off_y, dtype=jnp.int32)
-        ox = jnp.arange(2, dtype=jnp.int32)
-        cy = row0[:, None, None] + oy[None, :, None]         # (F, oy, 1)
-        cx = tx0[:, None, None] + ox[None, None, :]          # (F, 1, 2)
-        ok = (mask[:, None, None]
-              & (cy <= row1[:, None, None]) & (cy >= 0) & (cy < n_rows)
+    taken = jnp.zeros((fp,), bool)
+    tier_lists, tier_counts, tier_cells = [], [], []
+    for rows, cap in tiers:
+        cell_h = tile_h * rows
+        n_rows = (grid[0] + rows - 1) // rows
+        cy0 = jnp.floor(loy / cell_h).astype(jnp.int32)
+        cy1 = jnp.floor(hiy / cell_h).astype(jnp.int32)
+        mine = narrow & ~taken & (cy1 - cy0 <= 1)
+        taken = taken | mine
+        oy = jnp.arange(2, dtype=jnp.int32)
+        cy = cy0[:, None, None] + oy[None, :, None]
+        cx = tx0[:, None, None] + oy[None, None, :]
+        ok = (mine[:, None, None]
+              & (cy <= cy1[:, None, None]) & (cy >= 0) & (cy < n_rows)
               & (cx <= tx1[:, None, None]) & (cx >= 0) & (cx < grid[1]))
-        cell = cy * grid[1] + cx                              # (F, oy, 2)
+        cell = cy * grid[1] + cx
         n_cells = n_rows * grid[1]
         keys = jnp.where(ok, cell, n_cells).astype(jnp.uint32).reshape(-1)
         vals = jnp.broadcast_to(slot_ids[:, None, None],
                                 cell.shape).reshape(-1)
-        return keys, vals
+        lists, count = _segment_lists(keys, vals, n_cells, cap, fill)
+        cell_of_tile = (tile_row // rows) * grid[1] + tile_col
+        tier_lists.append(lists[cell_of_tile])
+        tier_counts.append(count[cell_of_tile])
+        tier_cells.append(cap)
 
-    ek, ev = tier_pairs(small, ty0, ty1, grid[0], 4, tile_h)
-    exact_lists, exact_count = _segment_lists(ek, ev, num_tiles, cap_exact,
-                                              fill)
-    mk, mv = tier_pairs(med, sy0, sy1, n_srows, 2, tile_h * super_rows)
-    med_lists, med_count = _segment_lists(mk, mv, n_super, cap_med, fill)
+    large = vis & ~taken
     gpos = jnp.nonzero(large, size=cap_glob, fill_value=-1)[0]
     glob = jnp.where(gpos >= 0, gpos, fill).astype(jnp.int32)
     n_large = jnp.sum(large.astype(jnp.int32))
 
-    super_of_tile = ((jnp.arange(num_tiles) // grid[1]) // super_rows) \
-        * grid[1] + (jnp.arange(num_tiles) % grid[1])
     slots = jnp.concatenate(
-        [exact_lists, med_lists[super_of_tile],
-         jnp.broadcast_to(glob[None, :], (num_tiles, cap_glob))], axis=1)
-    cap_t = cap_exact + cap_med + cap_glob
+        tier_lists + [jnp.broadcast_to(glob[None, :],
+                                       (num_tiles, cap_glob))], axis=1)
+    cap_t = slots.shape[1]
     pad_c = (-cap_t) % tri_chunk
     if pad_c:
         slots = jnp.concatenate(
             [slots, jnp.full((num_tiles, pad_c), fill, jnp.int32)], axis=1)
-    overflowed = ((exact_count > cap_exact)
-                  | (med_count[super_of_tile] > cap_med)
-                  | (n_large > cap_glob))
+    overflowed = (n_large > cap_glob) | jnp.zeros((num_tiles,), bool)
+    for (rows, cap), cnt in zip(tiers, tier_counts):
+        overflowed |= cnt > cap
     return _slots_to_frame(
         tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,

@@ -53,16 +53,22 @@ class FrameParams:
 
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto"):
-    """Raster dispatch: exact per-tile binning for ordinary scenes; the
-    chunk-range kernel beyond ~128k triangles (the binning matrix and
-    per-tile gathers scale with tiles x triangles).  ``variant='ranged'``
-    forces the chunk-range kernel — the fallback when the binned kernel
-    reports tile-capacity overflow (HitRecord.overflow > 0)."""
+    """Raster dispatch: group-binned lists for ordinary scenes (big
+    triangles dominate; the global tier would overflow), the sort-binned
+    kernel beyond ~64k triangles (tessellated scenes: per-triangle exact
+    lists, O(F log F) — the (tiles x groups) binning matrix stops scaling).
+    ``variant='ranged'`` forces the chunk-range kernel — the exact,
+    capacity-free fallback when a list kernel reports overflow
+    (HitRecord.overflow > 0)."""
     from vri_tpu.ops import rasterize as raster_mod
 
-    use_binned = (variant != "ranged"
-                  and scene.tri_vertices.shape[0] <= (1 << 17))
-    fn = raster_mod.rasterize_binned if use_binned else raster_mod.rasterize
+    f = scene.tri_vertices.shape[0]
+    if variant == "ranged":
+        fn = raster_mod.rasterize
+    elif f <= (1 << 16):
+        fn = raster_mod.rasterize_binned
+    else:
+        fn = raster_mod.rasterize_sorted
     hit, _ = fn(world_verts, scene.tri_vertices, scene.num_faces,
                 frame.view_proj, height=height, width=width)
     return hit
