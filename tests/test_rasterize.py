@@ -232,8 +232,10 @@ class TestSortedRaster:
             height=res, width=res)
         same = np.asarray(hb.tri) == np.asarray(hs.tri)
         assert same.mean() > 0.99          # depth ties may flip winners
+        # z carries pos_bits of winner-id in the low mantissa; the two
+        # kernels truncate at different widths (9 vs 10 bits)
         np.testing.assert_allclose(np.asarray(hs.t)[same],
-                                   np.asarray(hb.t)[same], atol=1e-5)
+                                   np.asarray(hb.t)[same], atol=1e-4)
         assert int(hs.overflow) == 0
 
     def test_tier_overflow_reported(self, cornell):
@@ -243,5 +245,6 @@ class TestSortedRaster:
         hit, _ = rasterize.rasterize_sorted(
             world, scene.tri_vertices, scene.num_faces,
             jnp.asarray(cam.view_proj), height=res, width=res,
-            cap_glob=2)   # cornell walls are all "large" -> overflow
+            tiers=((1, 2), (4, 2), (16, 2), (64, 2)),
+            cap_glob=2)   # capacities far below cornell's list sizes
         assert int(hit.overflow) > 0

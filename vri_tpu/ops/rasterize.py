@@ -901,8 +901,13 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     tile_row = jnp.arange(num_tiles) // grid[1]
     tile_col = jnp.arange(num_tiles) % grid[1]
 
+    # ONE sort covers every tier: each triangle belongs to exactly one
+    # tier, so its 4 pairs key into that tier's segment-id range (tier
+    # offsets are cumulative) and a single sort_key_val + per-tier
+    # searchsorted slices build all the lists.
     taken = jnp.zeros((fp,), bool)
-    tier_lists, tier_counts, tier_cells = [], [], []
+    tier_keys, seg_off = [], 0
+    tier_meta = []                     # (offset, n_cells, rows, cap)
     for rows, cap in tiers:
         cell_h = tile_h * rows
         n_rows = (grid[0] + rows - 1) // rows
@@ -918,14 +923,31 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
               & (cx <= tx1[:, None, None]) & (cx >= 0) & (cx < grid[1]))
         cell = cy * grid[1] + cx
         n_cells = n_rows * grid[1]
-        keys = jnp.where(ok, cell, n_cells).astype(jnp.uint32).reshape(-1)
-        vals = jnp.broadcast_to(slot_ids[:, None, None],
-                                cell.shape).reshape(-1)
-        lists, count = _segment_lists(keys, vals, n_cells, cap, fill)
+        tier_keys.append(jnp.where(ok, seg_off + cell, 0x7FFFFFFF))
+        tier_meta.append((seg_off, n_cells, rows, cap))
+        seg_off += n_cells
+
+    keys = tier_keys[0]
+    for tk in tier_keys[1:]:           # disjoint tiers: min picks the one
+        keys = jnp.minimum(keys, tk)
+    keys = keys.astype(jnp.uint32).reshape(-1)
+    vals = jnp.broadcast_to(slot_ids[:, None, None], (fp, 2, 2)).reshape(-1)
+    skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
+
+    tier_lists, tier_counts = [], []
+    for off, n_cells, rows, cap in tier_meta:
+        starts = jnp.searchsorted(
+            skeys, jnp.arange(off, off + n_cells + 1, dtype=jnp.uint32))
+        count = (starts[1:] - starts[:-1]).astype(jnp.int32)
+        k_ids = jnp.arange(cap, dtype=jnp.int32)
+        gidx = starts[:n_cells, None].astype(jnp.int32) + k_ids[None, :]
+        in_seg = k_ids[None, :] < count[:, None]
+        lists = jnp.where(in_seg,
+                          svals[jnp.minimum(gidx, skeys.shape[0] - 1)],
+                          fill)
         cell_of_tile = (tile_row // rows) * grid[1] + tile_col
         tier_lists.append(lists[cell_of_tile])
         tier_counts.append(count[cell_of_tile])
-        tier_cells.append(cap)
 
     large = vis & ~taken
     gpos = jnp.nonzero(large, size=cap_glob, fill_value=-1)[0]
