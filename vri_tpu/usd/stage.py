@@ -50,6 +50,9 @@ class Stage:
         """
         if _depth > 8:
             raise usda.UsdaError(f"composition arc depth > 8 at {path!r}")
+        from vri_tpu.usd import usdc
+        if usdc.is_crate(path):
+            return usdc.open_crate(path)   # structured error until decoded
         with open(path, "r") as f:
             text = f.read()
         root, meta = usda.parse_usda(text)
