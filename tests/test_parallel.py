@@ -240,6 +240,9 @@ class TestMultiHost:
         # and the shard_map psum path reproduces it on the mesh (each host
         # row fed its own partition via explicit device placement)
         hv = [host_view(0), host_view(1)]
+        # zero-size pools (no textures) can't shard; use a dummy slot
+        hv = [v.replace(textures=jnp.ones((1, 2, 2, 3), jnp.float32))
+              for v in hv]
         import jax as _jax
         stacked = _jax.tree_util.tree_map(
             lambda a, b: jnp.stack([a, b]), hv[0], hv[1])

@@ -74,6 +74,7 @@ class TestTemporal:
     def test_converges_toward_static_accumulation(self, renderer):
         # a (nearly) static "flythrough" must reduce GI noise like the
         # fixed-camera progressive accumulation does
+        renderer.frame_index = 0       # pin the noise sequence
         cam = FreeCamera(radius=3.2, height=0.3)
         one = renderer.render_flythrough(1, cam, dt=0.0, temporal=True,
                                          samples=1)[0]["color"]

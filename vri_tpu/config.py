@@ -83,6 +83,10 @@ class SDFConfig:
     # two-stage ray compaction in the march (survivors continue in a
     # quarter-width buffer; exactness-preserving cleanup loop)
     compact_march: bool = False
+    # march direct-light shadow rays on a subsampled pixel grid and
+    # upsample the visibility factors (N.L + falloff stay full-rate);
+    # shadow edges quantize by the factor.  1 = full-rate.
+    shadow_scale: int = 1
     # nearest-texel (1-element-gather) sampling for occlusion/GI rays:
     # ~3x cheaper march steps at the cost of shadows fattening by up to
     # ~2 texels on grazing rays
@@ -120,7 +124,7 @@ class SDFConfig:
             return cls(num_cascades=6, cascade_resolution=64,
                        base_voxel_size=0.05, max_bricks=1 << 17,
                        max_triangles_per_brick=32, atlas_u8=True,
-                       approx_occlusion=True)
+                       approx_occlusion=True, shadow_scale=2)
         if name == "tiny":
             return cls(num_cascades=2, cascade_resolution=16,
                        base_voxel_size=0.15, max_bricks=8192,

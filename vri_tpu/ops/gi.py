@@ -75,6 +75,48 @@ def surface_bias(points: jnp.ndarray, cascades: SDFCascades,
     return 0.75 * march_kernel.finest_voxel_size(cascades, points, config)
 
 
+def shadow_occlusion(points: jnp.ndarray, normals: jnp.ndarray,
+                     scene: SceneBuffers, cascades: SDFCascades,
+                     config: SDFConfig, shadow_steps: int | None = None
+                     ) -> jnp.ndarray:
+    """SDF-marched per-(point, light) visibility factors (N, L)."""
+    shadow_steps = shadow_steps or config.shadow_steps
+    lp, lc, li, lt = _light_arrays(scene)
+    n_pts, n_lights = points.shape[0], lp.shape[0]
+    is_distant = (lt == 1)[None, :]
+    to_l = jnp.where(is_distant[..., None], lp[None, :, :],
+                     lp[None, :, :] - points[:, None, :])
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
+    bias = surface_bias(points, cascades, config)[:, None]
+    shadow_span = (cascades.voxel_size[-1] * config.cascade_resolution)
+    t_max = jnp.where(is_distant, shadow_span, dist - 2.0 * bias)
+    o = jnp.broadcast_to(points[:, None, :] + normals[:, None, :]
+                         * bias[..., None], (n_pts, n_lights, 3)).reshape(-1, 3)
+    return sdf_trace.occlusion(
+        cascades, o, wi.reshape(-1, 3),
+        t_max=jnp.maximum(t_max.reshape(-1), 1e-3),
+        config=config, max_steps=shadow_steps).reshape(n_pts, n_lights)
+
+
+def direct_radiance_analytic(points: jnp.ndarray, normals: jnp.ndarray,
+                             scene: SceneBuffers, occ: jnp.ndarray,
+                             light_radius: float = 0.1) -> jnp.ndarray:
+    """The non-marched half of direct lighting: N.L, falloff, colors —
+    cheap math that stays full-rate when shadows march at reduced rate."""
+    lp, lc, li, lt = _light_arrays(scene)
+    is_distant = (lt == 1)[None, :]
+    to_l = jnp.where(is_distant[..., None], lp[None, :, :],
+                     lp[None, :, :] - points[:, None, :])
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
+    ndotl = jnp.maximum(jnp.sum(normals[:, None, :] * wi, axis=-1), 0.0)
+    falloff = jnp.where(is_distant, 1.0,
+                        1.0 / jnp.maximum(dist * dist, light_radius ** 2))
+    irr = li[None, :] * ndotl * occ * falloff
+    return (irr[..., None] * lc[None, :, :]).sum(axis=1)
+
+
 def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
                     scene: SceneBuffers, cascades: SDFCascades,
                     config: SDFConfig, shadow_steps: int | None = None,
@@ -83,31 +125,9 @@ def direct_radiance(points: jnp.ndarray, normals: jnp.ndarray,
     """Incoming direct radiance (N, 3) at surface points, SDF-shadowed.
     ``light_radius`` clamps the inverse-square falloff (fireflies when a
     bounce lands next to a light)."""
-    shadow_steps = shadow_steps or config.shadow_steps
-    lp, lc, li, lt = _light_arrays(scene)
-    n_pts, n_lights = points.shape[0], lp.shape[0]
-    is_distant = (lt == 1)[None, :]
-    # distant lights store a unit direction TO the light in light_position
-    to_l = jnp.where(is_distant[..., None], lp[None, :, :],
-                     lp[None, :, :] - points[:, None, :])
-    dist = jnp.linalg.norm(to_l, axis=-1)
-    wi = to_l / jnp.maximum(dist, 1e-12)[..., None]
-    ndotl = jnp.maximum(jnp.sum(normals[:, None, :] * wi, axis=-1), 0.0)
-
-    bias = surface_bias(points, cascades, config)[:, None]
-    shadow_span = (cascades.voxel_size[-1] * config.cascade_resolution)
-    t_max = jnp.where(is_distant, shadow_span, dist - 2.0 * bias)
-    o = jnp.broadcast_to(points[:, None, :] + normals[:, None, :]
-                         * bias[..., None], (n_pts, n_lights, 3)).reshape(-1, 3)
-    occ = sdf_trace.occlusion(
-        cascades, o, wi.reshape(-1, 3),
-        t_max=jnp.maximum(t_max.reshape(-1), 1e-3),
-        config=config, max_steps=shadow_steps).reshape(n_pts, n_lights)
-
-    falloff = jnp.where(is_distant, 1.0,
-                        1.0 / jnp.maximum(dist * dist, light_radius ** 2))
-    irr = li[None, :] * ndotl * occ * falloff
-    out = (irr[..., None] * lc[None, :, :]).sum(axis=1)
+    occ = shadow_occlusion(points, normals, scene, cascades, config,
+                           shadow_steps)
+    out = direct_radiance_analytic(points, normals, scene, occ, light_radius)
     if return_visibility:
         return out, occ
     return out

@@ -75,8 +75,8 @@ def merge_scene_partitions(scene: SceneBuffers, host_instance: jnp.ndarray,
 
     def merge(scene):
         def one(name, a):
-            if a is None:
-                return a
+            if a is None or (hasattr(a, "size") and a.size == 0):
+                return a    # zero-size pools (e.g. no textures) pass through
             if name in summed:
                 return jax.lax.psum(a, hosts_axis)
             return jax.lax.pmean(a, hosts_axis)

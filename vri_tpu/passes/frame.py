@@ -161,6 +161,51 @@ def _shadow_factors(scene: SceneBuffers, world_verts, gb: shading.GBuffer):
     return 1.0 - blocked.reshape(n, L).astype(jnp.float32)
 
 
+class _IndirectView:
+    """Minimal G-buffer view for ``gi.indirect_radiance`` (which reads only
+    position + normal): slicing two arrays instead of the full 12-field
+    G-buffer — the strided [::s, ::s] subsample of every field measured 10s
+    of ms at 1080p."""
+
+    __slots__ = ("position", "normal")
+
+    def __init__(self, position, normal):
+        self.position = position
+        self.normal = normal
+
+
+def _subsample_pn(gb, height, width, s):
+    def sl(a):
+        return a.reshape((height, width) + a.shape[1:])[::s, ::s] \
+            .reshape((-1,) + a.shape[1:])
+    return _IndirectView(sl(gb.position), sl(gb.normal))
+
+
+def _upsample(a, hs, ws, s):
+    rest = a.shape[1:]
+    a = a.reshape((hs, ws) + rest)
+    a = jnp.repeat(jnp.repeat(a, s, axis=0), s, axis=1)
+    return a.reshape((hs * s * ws * s,) + rest)
+
+
+def _direct_lighting(gb, scene, cascades, config, height, width):
+    """Direct term with optionally reduced-rate shadow marching
+    (config.shadow_scale): the march runs on a pixel subset, the
+    N.L/falloff/color math stays full-rate."""
+    from vri_tpu.ops import gi as gi_mod
+
+    ss = config.shadow_scale
+    if ss <= 1:
+        return gi_mod.direct_radiance(gb.position, gb.normal, scene,
+                                      cascades, config)
+    sub = _subsample_pn(gb, height, width, ss)
+    occ = gi_mod.shadow_occlusion(sub.position, sub.normal, scene,
+                                  cascades, config)
+    occ = _upsample(occ, height // ss, width // ss, ss)
+    return gi_mod.direct_radiance_analytic(gb.position, gb.normal, scene,
+                                           occ)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "mode",
                                              "config", "backend", "samples",
                                              "use_cache", "gi_scale"))
@@ -213,12 +258,9 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
         else:
             # half/quarter-res GI: indirect gathered on a strided pixel
             # subset and nearest-upsampled; direct stays full-rate
-            direct = gi_mod.direct_radiance(gb.position, gb.normal, scene,
-                                            cascades, config)
-            sub = jax.tree_util.tree_map(
-                lambda a: a.reshape((height, width) + a.shape[1:])
-                [::gi_scale, ::gi_scale].reshape(
-                    (-1,) + a.shape[1:]), gb)
+            direct = _direct_lighting(gb, scene, cascades, config, height,
+                                      width)
+            sub = _subsample_pn(gb, height, width, gi_scale)
             ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
                                            config=config, samples=samples,
                                            use_cache=use_cache)
@@ -345,16 +387,13 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
     t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
     gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
 
-    direct = gi_mod.direct_radiance(gb.position, gb.normal, scene,
-                                    cascades, config)
+    direct = _direct_lighting(gb, scene, cascades, config, height, width)
     if gi_scale <= 1:
         ind = gi_mod.indirect_radiance(gb, scene, cascades, key,
                                        config=config, samples=samples,
                                        use_cache=use_cache)
     else:
-        sub = jax.tree_util.tree_map(
-            lambda a: a.reshape((height, width) + a.shape[1:])
-            [::gi_scale, ::gi_scale].reshape((-1,) + a.shape[1:]), gb)
+        sub = _subsample_pn(gb, height, width, gi_scale)
         ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
                                        config=config, samples=samples,
                                        use_cache=use_cache)

@@ -360,7 +360,9 @@ class ResourceRegistry:
         if tex_list:
             textures = np.stack(tex_list)
         else:
-            textures = np.ones((1, T, T, 3), np.float32)
+            # zero-size slot dim: a STATIC signal that lets the resolve
+            # skip texture sampling entirely (8 gather taps/pixel saved)
+            textures = np.ones((0, T, T, 3), np.float32)
 
         lp, lc, li, lt, nl, sky = self._pack_lights()
 
