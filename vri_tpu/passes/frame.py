@@ -305,24 +305,28 @@ class TemporalState:
 
     Stores the *indirect* term only — direct lighting and albedo re-shade
     at full rate every frame, so accumulation never smears shadows or
-    textures, only the stochastic GI gather."""
+    textures, only the stochastic GI gather.  All per-pixel fields pack
+    into ONE (H*W, 8) row array [indirect(3) | depth | normal(3) | count]
+    so reprojection is a single contiguous-row gather — four separate
+    per-index gathers measured ~85 ms/frame at 1080p."""
 
-    indirect: jnp.ndarray   # (H*W, 3)
-    depth: jnp.ndarray      # (H*W,)  distance to the writing frame's eye
-    normal: jnp.ndarray     # (H*W, 3) shading normal (thin-surface reject)
-    count: jnp.ndarray      # (H*W,)  effective accumulation length
+    data: jnp.ndarray       # (H*W, 8)
     view_proj: jnp.ndarray  # (4, 4)  of the writing frame
     eye: jnp.ndarray        # (3,)
 
 
 def init_temporal(height: int, width: int) -> TemporalState:
     n = height * width
-    return TemporalState(indirect=jnp.zeros((n, 3), jnp.float32),
-                         depth=jnp.zeros((n,), jnp.float32),
-                         normal=jnp.zeros((n, 3), jnp.float32),
-                         count=jnp.zeros((n,), jnp.float32),
+    return TemporalState(data=jnp.zeros((n, 8), jnp.float32),
                          view_proj=jnp.eye(4, dtype=jnp.float32),
                          eye=jnp.zeros((3,), jnp.float32))
+
+
+def pack_temporal(indirect, depth, normal, count, view_proj, eye
+                  ) -> TemporalState:
+    data = jnp.concatenate(
+        [indirect, depth[:, None], normal, count[:, None]], axis=1)
+    return TemporalState(data=data, view_proj=view_proj, eye=eye)
 
 
 def _reproject(state: TemporalState, position, normal, valid, height: int,
@@ -342,12 +346,12 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
     inside = ((w > 1e-6) & (xi >= 0) & (xi < width)
               & (yi >= 0) & (yi < height))
     idx = jnp.clip(yi, 0, height - 1) * width + jnp.clip(xi, 0, width - 1)
-    h_ind = state.indirect[idx]
-    h_depth = state.depth[idx]
-    h_count = state.count[idx]
+    h = state.data[idx]                       # ONE row gather
+    h_ind, h_depth = h[:, 0:3], h[:, 3]
+    h_normal, h_count = h[:, 4:7], h[:, 7]
     t_prev = jnp.linalg.norm(position - state.eye[None, :], axis=-1)
     depth_ok = jnp.abs(h_depth - t_prev) <= depth_tol * t_prev + 1e-3
-    normal_ok = jnp.sum(state.normal[idx] * normal, axis=-1) > 0.5
+    normal_ok = jnp.sum(h_normal * normal, axis=-1) > 0.5
     ok = inside & depth_ok & normal_ok & valid & (h_count > 0.0)
     return h_ind, jnp.where(ok, h_count, 0.0)
 
@@ -405,9 +409,8 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
                                 height, width)
     count = jnp.minimum(h_count, history_cap) + 1.0
     ind_blend = h_ind + (ind - h_ind) / count[:, None]
-    new_state = TemporalState(indirect=ind_blend, depth=t, normal=gb.normal,
-                              count=count, view_proj=frame.view_proj,
-                              eye=frame.eye)
+    new_state = pack_temporal(ind_blend, t, gb.normal, count,
+                              frame.view_proj, frame.eye)
 
     color = gb.emissive + gb.albedo * (direct + ind_blend)
     color = jnp.where(gb.valid[:, None], color, 0.0)
