@@ -110,7 +110,7 @@ class SDFConfig:
     # the emit re-runs over the whole padded capacity, so the caps set the
     # update's cost floor, not just its ceiling.
     update_cell_cap: int = 1024
-    update_brick_cap: int = 2048
+    update_brick_cap: int = 4096
     update_tri_cap: int = 4096
 
     @classmethod
