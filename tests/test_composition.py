@@ -150,3 +150,70 @@ class TestStandardLights:
                            atol=1e-5)   # color * intensity 2
         # the dome is not a shadow-marched light slot
         assert int(scene.num_lights) == 1
+
+
+VARIANT_STAGE = '''#usda 1.0
+def Xform "Robot" (
+    variants = {
+        string look = "red"
+    }
+)
+{
+    double3 xformOp:translate = (1, 0, 0)
+    uniform token[] xformOpOrder = ["xformOp:translate"]
+    variantSet "look" = {
+        "red" {
+            color3f primvars:displayColor = (1, 0, 0)
+            def Mesh "Extra"
+            {
+                point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+                int[] faceVertexCounts = [3]
+                int[] faceVertexIndices = [0,1,2]
+            }
+        }
+        "blue" {
+            color3f primvars:displayColor = (0, 0, 1)
+        }
+    }
+}
+def Xform "NoSelection"
+{
+    variantSet "look" = {
+        "a" {
+            color3f primvars:displayColor = (0, 1, 0)
+        }
+    }
+}
+'''
+
+
+class TestVariants:
+    def test_selected_variant_composes(self):
+        from vri_tpu.usd.stage import Stage
+
+        st = Stage.from_string(VARIANT_STAGE)
+        robot = st.prim_at_path("/Robot")
+        assert tuple(np.asarray(
+            robot.get("primvars:displayColor")).tolist()) == (1.0, 0.0, 0.0)
+        # variant-authored child prim grafts in
+        assert st.prim_at_path("/Robot/Extra") is not None
+        # local opinions stay stronger than variant opinions
+        assert tuple(np.asarray(
+            robot.get("xformOp:translate")).tolist()) == (1.0, 0.0, 0.0)
+
+    def test_no_selection_no_opinions(self):
+        from vri_tpu.usd.stage import Stage
+
+        st = Stage.from_string(VARIANT_STAGE)
+        ns = st.prim_at_path("/NoSelection")
+        assert ns.get("primvars:displayColor") is None
+
+    def test_roundtrip_preserves_variants(self):
+        from vri_tpu.usd.stage import Stage
+        from vri_tpu.usd import usda
+
+        root, meta = usda.parse_usda(VARIANT_STAGE)
+        text = usda.write_usda(root, meta)
+        st = Stage.from_string(text)
+        assert tuple(np.asarray(st.prim_at_path("/Robot")
+                     .get("primvars:displayColor")).tolist()) == (1, 0, 0)

@@ -84,6 +84,11 @@ class Stage:
             for p in list(layer.root.children):
                 _merge_weaker(self.root, p, layer.anchor, self.anchor)
         self._reindex()
+        # variant selections (strength: local > variants > references —
+        # the V in LIVRPS); a variant may itself add reference arcs, which
+        # the pass below then resolves
+        for prim in list(self.traverse()):
+            self._apply_variants(prim)
         # references / payloads on any prim (local opinions stay stronger)
         for prim in list(self.traverse()):
             arcs = []
@@ -95,6 +100,26 @@ class Stage:
             for arc in arcs:
                 self._apply_reference(prim, arc, depth)
         self._reindex()
+
+    def _apply_variants(self, prim: Prim) -> None:
+        """Compose the selected variant of each variantSet into the prim.
+
+        The selection comes from the prim's ``variants`` metadata dict
+        (no selection -> no opinions, as in USD).  Arcs authored inside
+        the chosen variant surface onto the prim for the reference pass.
+        """
+        if not prim.variant_sets:
+            return
+        sel = prim.metadata.get("variants") or {}
+        for set_name, variants in prim.variant_sets.items():
+            choice = sel.get(set_name)
+            body = variants.get(str(choice)) if choice is not None else None
+            if body is None:
+                continue
+            for key in ("references", "payload", "payloads"):
+                if key in body.metadata and key not in prim.metadata:
+                    prim.metadata[key] = body.metadata[key]
+            _merge_weaker_into_prim(prim, body, self.anchor, self.anchor)
 
     def _apply_reference(self, prim: Prim, arc, depth: int) -> None:
         if isinstance(arc, usda.Reference):

@@ -56,6 +56,9 @@ class Prim:
     attributes: Dict[str, Attribute] = dataclasses.field(default_factory=dict)
     children: List["Prim"] = dataclasses.field(default_factory=list)
     parent: Optional["Prim"] = dataclasses.field(default=None, repr=False)
+    # variantSet name -> {variant name -> opinions (a detached Prim)}
+    variant_sets: Dict[str, Dict[str, "Prim"]] = dataclasses.field(
+        default_factory=dict)
 
     @property
     def path(self) -> str:
@@ -144,6 +147,8 @@ class _Parser:
             return self.parse_tuple()
         if val == "[":
             return self.parse_list()
+        if val == "{":
+            return self.parse_dict()
         if kind == "string":
             self.next()
             return _unquote(val)
@@ -192,6 +197,27 @@ class _Parser:
         self.expect("]")
         return items
 
+    def parse_dict(self) -> dict:
+        """``{ [type] key = value; ... }`` metadata dictionaries (e.g. the
+        ``variants`` selection block)."""
+        self.expect("{")
+        out: Dict[str, Any] = {}
+        while self.peek()[1] != "}":
+            kind, tok = self.next()
+            key = tok
+            # optional type token before the key ("string shadingVariant")
+            if self.peek()[1] not in ("=",) and self.peek()[0] in (
+                    "ident", "string"):
+                kind, key = self.next()
+            if kind == "string":
+                key = _unquote(key)
+            self.expect("=")
+            out[key] = self.parse_value()
+            if self.peek()[1] in (",", ";"):
+                self.next()
+        self.expect("}")
+        return out
+
     def parse_metadata_block(self) -> Dict[str, Any]:
         """Parse a ``( key = value ... )`` metadata block."""
         self.expect("(")
@@ -237,6 +263,29 @@ class _Parser:
             self.next()
             child = self.parse_prim(tok, prim)
             prim.children.append(child)
+            return
+        if tok == "variantSet" and self.peek(1)[0] == "string":
+            self.next()
+            _, name = self.next()
+            set_name = _unquote(name)
+            self.expect("=")
+            self.expect("{")
+            variants: Dict[str, Prim] = {}
+            while self.peek()[1] != "}":
+                kind, vname = self.next()
+                if kind != "string":
+                    raise UsdaError(
+                        f"expected variant name string, got {vname!r}")
+                body = Prim(name=_unquote(vname), specifier="over")
+                if self.peek()[1] == "(":
+                    body.metadata = self.parse_metadata_block()
+                self.expect("{")
+                while self.peek()[1] != "}":
+                    self.parse_statement(body)
+                self.expect("}")
+                variants[body.name] = body
+            self.expect("}")
+            prim.variant_sets[set_name] = variants
             return
         # property
         uniform = custom = False
@@ -411,6 +460,10 @@ def _fmt_value(v: Any) -> str:
         return "(" + ", ".join(_fmt_value(x) for x in v) + ")"
     if isinstance(v, list):
         return "[" + ", ".join(_fmt_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = " ".join(f'string {k} = {_fmt_value(val)}'
+                         for k, val in v.items())
+        return "{ " + items + " }"
     return str(v)
 
 
@@ -446,6 +499,17 @@ def _write_prim(prim: Prim, out: List[str], indent: int) -> None:
                 f"{k} = {_fmt_value(v)}" for k, v in attr.metadata.items()
             ) + ")"
         out.append(line + "\n")
+    for set_name, variants in prim.variant_sets.items():
+        vpad = "    " * (indent + 1)
+        out.append(f'{vpad}variantSet "{set_name}" = {{\n')
+        for vname, body in variants.items():
+            out.append(f'{vpad}    "{vname}" {{\n')
+            inner: List[str] = []
+            _write_prim(body, inner, indent + 2)
+            # body writes as a prim; keep only its statements
+            out.extend(inner[2:-1])
+            out.append(f"{vpad}    }}\n")
+        out.append(vpad + "}\n")
     for child in prim.children:
         _write_prim(child, out, indent + 1)
     out.append(pad + "}\n")
