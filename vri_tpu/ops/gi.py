@@ -215,22 +215,28 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
                               compact=config.compact_march)
         hit_p = o + wi * jnp.minimum(rec.t, gi_range)[:, None]
         b = jnp.maximum(rec.brick, 0)
-        alb_hit = cascades.brick_albedo[b]
-        n_hit = cascades.brick_normal[b]
+        # ONE row gather for the whole per-brick shading payload (albedo,
+        # normal, cached irradiance, emissive) — four separate per-index
+        # gathers at 2M GI rays measured ~15 ms/frame
+        shade_tab = jnp.concatenate(
+            [cascades.brick_albedo, cascades.brick_normal,
+             cascades.brick_irradiance, cascades.brick_emissive], axis=1)
+        sh = shade_tab[b]                                  # (N, 12)
+        alb_hit = sh[:, 0:3]
+        n_hit = sh[:, 3:6]
         # two-sided surface cache: face the incoming ray
         n_hit = jnp.where(jnp.sum(n_hit * wi, axis=-1, keepdims=True) > 0,
                           -n_hit, n_hit)
         if use_cache:
             # radiance cache: irradiance baked per brick at build time
-            l_hit = cascades.brick_irradiance[b]
+            l_hit = sh[:, 6:9]
         else:
             hit_bias = surface_bias(hit_p, cascades, config)[:, None]
             l_hit = direct_radiance(hit_p + n_hit * hit_bias, n_hit, scene,
                                     cascades, config,
                                     shadow_steps=shadow_steps)
         # emissive surfaces (area lights) contribute directly at the hit
-        bounce = jnp.minimum(alb_hit * l_hit + cascades.brick_emissive[b],
-                             gi_clamp)
+        bounce = jnp.minimum(alb_hit * l_hit + sh[:, 9:12], gi_clamp)
         sky = scene.sky_color   # DomeLight ambient (default SKY constant)
         contrib = jnp.where(rec.hit[:, None], bounce, sky)
         indirect = indirect + contrib
