@@ -217,3 +217,54 @@ class TestVariants:
         st = Stage.from_string(text)
         assert tuple(np.asarray(st.prim_at_path("/Robot")
                      .get("primvars:displayColor")).tolist()) == (1, 0, 0)
+
+
+class TestCompositionRobustness:
+    def test_cyclic_reference_hits_depth_limit(self, tmp_path):
+        from vri_tpu.usd import usda
+
+        (tmp_path / "a.usda").write_text(
+            '#usda 1.0\ndef Xform "A" (references = @b.usda@</B>) {\n}\n')
+        (tmp_path / "b.usda").write_text(
+            '#usda 1.0\ndef Xform "B" (references = @a.usda@</A>) {\n}\n')
+        with pytest.raises(usda.UsdaError, match="depth"):
+            Stage.open(str(tmp_path / "a.usda"))
+
+    def test_missing_referenced_asset_is_tolerated(self, tmp_path):
+        (tmp_path / "root.usda").write_text(
+            '#usda 1.0\ndef Xform "A" (references = @gone.usda@</X>) {\n'
+            '    double3 xformOp:translate = (1, 2, 3)\n}\n')
+        st = Stage.open(str(tmp_path / "root.usda"))
+        a = st.prim_at_path("/A")
+        assert a is not None            # local opinions survive
+        assert tuple(np.asarray(a.get("xformOp:translate")).tolist()) \
+            == (1.0, 2.0, 3.0)
+
+    def test_self_reference_is_ignored(self):
+        st = Stage.from_string(
+            '#usda 1.0\ndef Xform "A" (references = </A>) {\n'
+            '    double3 xformOp:translate = (1, 0, 0)\n}\n')
+        assert st.prim_at_path("/A") is not None
+
+    def test_internal_reference(self):
+        st = Stage.from_string('''#usda 1.0
+def Xform "Proto"
+{
+    def Mesh "M"
+    {
+        point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+        int[] faceVertexCounts = [3]
+        int[] faceVertexIndices = [0,1,2]
+    }
+}
+def Xform "Copy" (
+    references = </Proto>
+)
+{
+    double3 xformOp:translate = (5, 0, 0)
+    uniform token[] xformOpOrder = ["xformOp:translate"]
+}
+''')
+        m = st.prim_at_path("/Copy/M")
+        assert m is not None and m.type_name == "Mesh"
+        assert np.allclose(st.world_transform(m)[:3, 3], [5, 0, 0])
