@@ -61,7 +61,7 @@ class SDFConfig:
     num_cascades: int = 8
     cascade_resolution: int = 64      # voxels per cascade edge
     brick_size: int = 8               # voxels per brick edge (fixed by design)
-    max_bricks: int = 1 << 15         # atlas capacity (reference: 2^18)
+    max_bricks: int = 1 << 17         # atlas capacity (reference: 2^18)
     base_voxel_size: float = 0.02     # cascade i voxel = base * (1 + i)
     # Truncation distance, in voxels, beyond which distance saturates to 1.0.
     truncation_voxels: float = 4.0
