@@ -31,7 +31,10 @@ class SceneLimits:
     """
 
     max_instances: int = 4096        # draw items / DrawItemMetaData entries
-    max_materials: int = 256
+    max_materials: int = 4096        # matches the reference's bindless table
+                                     # (ResourceRegistry.cpp:25-34); packed
+                                     # pools size to the live count, so the
+                                     # cap costs nothing until used
     max_vertices: int = 1 << 20      # packed position pool
     max_faces: int = 1 << 20         # packed triangle pool
     texture_res: int = 256           # unified texture array resolution
@@ -61,7 +64,8 @@ class SDFConfig:
     num_cascades: int = 8
     cascade_resolution: int = 64      # voxels per cascade edge
     brick_size: int = 8               # voxels per brick edge (fixed by design)
-    max_bricks: int = 1 << 17         # atlas capacity (reference: 2^18)
+    max_bricks: int = 1 << 18         # atlas capacity (reference: 2^18,
+                                      # ffx_brixelizer_host_gpu_shared.h:35)
     base_voxel_size: float = 0.02     # cascade i voxel = base * (1 + i)
     # Truncation distance, in voxels, beyond which distance saturates to 1.0.
     truncation_voxels: float = 4.0
@@ -95,8 +99,10 @@ class SDFConfig:
     # hits from VMEM-resident coarse-cell tables; see ops/march_kernel.py)
     kernel_march: bool = True
     # store the brick atlas as uint8 (the reference's R8_UNORM atlas,
-    # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization
-    atlas_u8: bool = False
+    # RenderPass.cpp:299-302): 4x less HBM for a ~0.4% distance quantization.
+    # On by default — 2^18 bricks x 512 texels at f32 would be 537 MB where
+    # the reference's R8 layout costs 134 MB
+    atlas_u8: bool = True
     max_triangles_per_brick: int = 64
     # Cell-binned builder (ops/sdf_build.py): per-cell triangle reference
     # list capacity and the per-cascade large-triangle list capacity —

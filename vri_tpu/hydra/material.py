@@ -33,12 +33,17 @@ class MaterialDesc:
     emissive: np.ndarray                   # (3,) f32
     roughness: float = 0.8
     metallic: float = 0.0
-    texture: Optional[np.ndarray] = None   # (T, T, 3) f32 in [0,1], or None
+    texture: Optional[np.ndarray] = None   # (T, T, 4) f32 RGBA in [0,1]
+    #: UsdPreviewSurface ``opacityThreshold`` — >0 enables alpha cutout
+    #: (the reference interleaves an alpha channel at texture load,
+    #: Source/Common.cpp:603-633)
+    opacity_threshold: float = 0.0
 
     def content_hash(self) -> int:
         h = hash((tuple(np.round(self.base_color, 6)),
                   tuple(np.round(self.emissive, 6)),
-                  round(self.roughness, 6), round(self.metallic, 6)))
+                  round(self.roughness, 6), round(self.metallic, 6),
+                  round(self.opacity_threshold, 6)))
         if self.texture is not None:
             h ^= hash(self.texture.tobytes())
         return h
@@ -112,14 +117,17 @@ def _resolve_input(stage: Stage, shader: Prim, name: str, default,
 
 
 def load_texture(path: str, resolution: int) -> Optional[np.ndarray]:
-    """Decode + resample a texture to (res, res, 3) float32 in [0,1]."""
+    """Decode + resample a texture to (res, res, 4) RGBA float32 in [0,1].
+
+    Sources without an alpha channel get alpha=1 (the reference
+    interleaves alpha the same way, Source/Common.cpp:603-633)."""
     if not os.path.exists(path):
         log.warning("texture not found: %s", path)
         return None
     try:
         from PIL import Image
 
-        img = Image.open(path).convert("RGB").resize(
+        img = Image.open(path).convert("RGBA").resize(
             (resolution, resolution), Image.BILINEAR)
         return np.asarray(img, np.float32) / 255.0
     except Exception as e:  # noqa: BLE001 — any decode failure -> fallback
@@ -145,8 +153,13 @@ def sync_material(stage: Stage, material: Prim, texture_resolution: int
         rough = float(np.asarray(v).reshape(-1)[0])
         v, _ = _resolve_input(stage, shader, "metallic", metal)
         metal = float(np.asarray(v).reshape(-1)[0])
+        v, _ = _resolve_input(stage, shader, "opacityThreshold", 0.0)
+        cutoff = float(np.asarray(v).reshape(-1)[0])
+    else:
+        cutoff = 0.0
     return MaterialDesc(path=material.path, base_color=base, emissive=emissive,
-                        roughness=rough, metallic=metal, texture=texture)
+                        roughness=rough, metallic=metal, texture=texture,
+                        opacity_threshold=cutoff)
 
 
 def default_material() -> MaterialDesc:

@@ -81,6 +81,11 @@ class SDFCascades:
     march_coarse: jnp.ndarray  # (N*8, 128) i32 — 4096 u8 cells per cascade
     march_fine0: jnp.ndarray   # (N*32, 128) i32 — occupancy bits 0..31
     march_fine1: jnp.ndarray   # (N*32, 128) i32 — occupancy bits 32..63
+    # () i32 — near candidates beyond max_triangles_per_brick dropped at
+    # emit (SDF overestimates distance in those bricks); counted like every
+    # other capacity breach, never silent
+    near_drop: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def cascade_origin(center: jnp.ndarray, voxel_size: jnp.ndarray,

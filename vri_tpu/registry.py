@@ -31,6 +31,7 @@ import numpy as np
 
 from vri_tpu.config import RenderConfig, SceneLimits
 from vri_tpu.hydra.material import MaterialDesc, default_material
+from vri_tpu.ops import texture as texture_mod
 
 log = logging.getLogger("vri_tpu")
 
@@ -60,7 +61,7 @@ class SceneBuffers:
     mat_roughness: jnp.ndarray       # (M,) f32
     mat_metallic: jnp.ndarray        # (M,) f32
     mat_texture: jnp.ndarray         # (M,) i32 texture slot or -1
-    textures: jnp.ndarray            # (S, T, T, 3) f32
+    textures: jnp.ndarray            # (S, T, T, 4) f32 RGBA
     # lights
     light_position: jnp.ndarray      # (L, 3) f32 (direction TO a distant light)
     light_color: jnp.ndarray         # (L, 3) f32
@@ -71,7 +72,12 @@ class SceneBuffers:
     num_vertices: jnp.ndarray        # () i32
     num_faces: jnp.ndarray           # () i32
     num_instances: jnp.ndarray       # () i32
-    num_lights: jnp.ndarray          # () i32
+    num_lights: jnp.ndarray         # () i32
+    #: (M,) f32 alpha-cutout threshold per material (0 = opaque)
+    mat_cutoff: Optional[jnp.ndarray] = None
+    #: precomputed mip pyramid (ops/texture.MipAtlas) — scene-static, built
+    #: once at commit so jitted frames never rebuild the reduction chain
+    mip_atlas: Optional[object] = None
 
 
 def bake_world(scene: SceneBuffers) -> jnp.ndarray:
@@ -348,21 +354,28 @@ class ResourceRegistry:
         emis = np.zeros((mcap, 3), np.float32)
         rough = np.full((mcap,), 0.8, np.float32)
         metal = np.zeros((mcap,), np.float32)
+        cutoff = np.zeros((mcap,), np.float32)
         tex_slot = np.full((mcap,), -1, np.int32)
         tex_list: List[np.ndarray] = []
         for i, m in enumerate(mats):
             base[i], emis[i] = m.base_color, m.emissive
             rough[i], metal[i] = m.roughness, m.metallic
+            cutoff[i] = getattr(m, "opacity_threshold", 0.0)
             if m.texture is not None:
+                tex = m.texture.astype(np.float32)
+                if tex.shape[-1] == 3:      # RGB source: alpha = 1
+                    tex = np.concatenate(
+                        [tex, np.ones(tex.shape[:-1] + (1,), np.float32)],
+                        axis=-1)
                 tex_slot[i] = len(tex_list)
-                tex_list.append(m.texture.astype(np.float32))
+                tex_list.append(tex)
         T = lim.texture_res
         if tex_list:
             textures = np.stack(tex_list)
         else:
             # zero-size slot dim: a STATIC signal that lets the resolve
             # skip texture sampling entirely (8 gather taps/pixel saved)
-            textures = np.ones((0, T, T, 3), np.float32)
+            textures = np.ones((0, T, T, 4), np.float32)
 
         lp, lc, li, lt, nl, sky = self._pack_lights()
 
@@ -384,7 +397,9 @@ class ResourceRegistry:
             mat_roughness=jnp.asarray(rough),
             mat_metallic=jnp.asarray(metal),
             mat_texture=jnp.asarray(tex_slot),
+            mat_cutoff=jnp.asarray(cutoff),
             textures=jnp.asarray(textures),
+            mip_atlas=texture_mod.build_mip_atlas(jnp.asarray(textures)),
             light_position=jnp.asarray(lp),
             light_color=jnp.asarray(lc),
             light_intensity=jnp.asarray(li),

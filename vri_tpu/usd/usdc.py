@@ -69,14 +69,13 @@ class _Info(ctypes.Structure):
 
 def _lib():
     lib = native_rt._load()
-    if lib is None:
-        return None
-    try:
-        lib.vri_usdc_info
-    except AttributeError:
+    if lib is None or not hasattr(lib, "vri_usdc_info"):
+        # stale .so from an older build — rebuild once, then re-verify
         if not native_rt.ensure_built(force=True):
             return None
         lib = native_rt._load()
+        if lib is None or not hasattr(lib, "vri_usdc_info"):
+            return None
     lib.vri_usdc_info.restype = ctypes.c_int
     lib.vri_usdc_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(_Info)]
     lib.vri_usdc_tokens.restype = ctypes.c_longlong
