@@ -82,12 +82,15 @@ class TestCrateReader:
         n = lib.vri_lz4_decompress_block(block, len(block), out, 64)
         assert bytes(out[:n]) == b"abcd" + b"abcdabcd" + b"xy"
 
-    def test_stage_open_structured_error(self, tmp_path):
+    def test_stage_open_missing_sections_structured(self, tmp_path):
+        """A structurally-valid crate without the value sections raises a
+        structured CrateError naming the hole, not a parse crash."""
+        from vri_tpu.usd.crate import CrateError
+
         path = _crate(tmp_path, (0, 8, 0), ["", "points"], compressed=True)
-        with pytest.raises(usdc.UsdcUnsupported) as e:
+        with pytest.raises(CrateError) as e:
             Stage.open(path)
-        assert e.value.info.version == (0, 8, 0)
-        assert "TOKENS" in str(e.value)
+        assert "missing section" in str(e.value)
 
     def test_not_a_crate(self, tmp_path):
         p = tmp_path / "junk.usdc"
@@ -95,3 +98,137 @@ class TestCrateReader:
         assert not usdc.is_crate(str(p))
         with pytest.raises(usdc.UsdcError):
             usdc.read_info(str(p))
+
+
+class TestCrateValues:
+    """Full value-layer round-trips through the crate writer + reader
+    (usd/crate.py): the reference opens any stage via UsdStage::Open
+    (Source/Main.cpp:33); here .usdc stages open, compose, and render
+    identically to their .usda twins."""
+
+    def _roundtrip(self, stage, tmp_path, name):
+        import numpy as np
+
+        p = str(tmp_path / f"{name}.usdc")
+        stage.save(p)
+        st2 = Stage.open(p)
+        orig = {pr.path: pr for pr in stage.traverse()}
+        got = {pr.path: pr for pr in st2.traverse()}
+        assert set(orig) == set(got)
+        for path, pr in orig.items():
+            q = got[path]
+            assert pr.type_name == q.type_name
+            assert pr.specifier == q.specifier
+            assert set(pr.attributes) == set(q.attributes), path
+            for an, a in pr.attributes.items():
+                b = q.attributes[an]
+                assert a.type_name == b.type_name, (path, an)
+                assert a.connect == b.connect, (path, an)
+                if isinstance(a.value, (list, tuple)) or \
+                        hasattr(a.value, "shape"):
+                    try:
+                        av = np.asarray(a.value, np.float64)
+                        bv = np.asarray(b.value, np.float64).reshape(av.shape)
+                        np.testing.assert_allclose(av, bv, rtol=1e-5,
+                                                   atol=1e-5,
+                                                   err_msg=f"{path}.{an}")
+                    except (TypeError, ValueError):
+                        assert [str(x) for x in a.value] \
+                            == [str(x) for x in b.value], (path, an)
+                elif a.value is not None:
+                    if isinstance(a.value, (int, float)):
+                        assert abs(float(a.value) - float(b.value)) \
+                            <= 1e-5 * max(1.0, abs(float(a.value))), \
+                            (path, an, a.value, b.value)
+                    else:
+                        assert str(a.value) == str(b.value), (path, an)
+        return st2
+
+    def test_cornell_roundtrip(self, tmp_path):
+        from vri_tpu.usd import scenes
+
+        self._roundtrip(scenes.cornell_box(), tmp_path, "cornell")
+
+    def test_kitchen_roundtrip(self, tmp_path):
+        from vri_tpu.usd import scenes
+
+        self._roundtrip(scenes.kitchen_stress(num_objects=12, tess=2),
+                        tmp_path, "kitchen")
+
+    def test_usdc_renders_identically_to_usda(self, tmp_path):
+        """BASELINE north star: 'existing USD stages load and render
+        identically' — the same stage through .usda and .usdc produces the
+        same SceneBuffers and the same image."""
+        import numpy as np
+
+        from vri_tpu.config import RenderConfig
+        from vri_tpu.hydra import RenderDelegate
+        from vri_tpu.passes import FrameParams, render_frame
+        from vri_tpu.usd import scenes
+
+        stage = scenes.cornell_box()
+        pa = str(tmp_path / "c.usda")
+        pc = str(tmp_path / "c.usdc")
+        with open(pa, "w") as f:
+            f.write(stage.export())
+        stage.save(pc)
+
+        frames = []
+        for p in (pa, pc):
+            d = RenderDelegate(RenderConfig(width=64, height=64))
+            d.populate(Stage.open(p))
+            scene = d.sync()
+            fp = FrameParams.from_camera(d.camera, height=64)
+            aovs = render_frame(scene, fp, height=64, width=64)
+            frames.append(np.asarray(aovs["color"]))
+        np.testing.assert_allclose(frames[0], frames[1], atol=1e-5)
+
+    def test_timesamples_roundtrip(self, tmp_path):
+        """timeSamples containers survive the crate round-trip."""
+        import numpy as np
+
+        from vri_tpu.usd import scenes
+
+        stage = scenes.cornell_box()
+        prim = next(p for p in stage.traverse() if p.type_name == "Mesh")
+        a = prim.attributes["points"]
+        base = np.asarray(a.value, np.float32)
+        a.metadata["timeSamples"] = {
+            0.0: base, 10.0: base + np.float32(0.5)}
+        st2 = self._roundtrip(stage, tmp_path, "anim")
+        q = st2.prim_at_path(prim.path).attributes["points"]
+        ts = q.metadata.get("timeSamples")
+        assert ts is not None and set(ts) == {0.0, 10.0}
+        np.testing.assert_allclose(np.asarray(ts[10.0], np.float32),
+                                   base + 0.5, rtol=1e-6)
+
+    def test_inline_value_forms(self, tmp_path):
+        """Inlined scalar encodings: bool, int, float, f32-exact double,
+        int8-packable vec3, diagonal matrix4d."""
+        import numpy as np
+
+        from vri_tpu.usd.usda import Attribute, Prim
+
+        root = Prim(name="")
+        p = Prim(name="P", type_name="Xform", parent=root)
+        root.children.append(p)
+        vals = {
+            "b": ("bool", True),
+            "i": ("int", 42),
+            "f": ("float", 1.5),
+            "d": ("double", 0.25),
+            "v": ("float3", np.asarray([1.0, -2.0, 3.0], np.float32)),
+            "m": ("matrix4d", np.eye(4)),
+            "big_d": ("double", 0.1),      # not f32-exact -> out of line
+            "vv": ("float3", np.asarray([0.5, 0.25, 1e9], np.float32)),
+        }
+        for n, (tn, v) in vals.items():
+            p.attributes[n] = Attribute(name=n, type_name=tn, value=v)
+        st = Stage(root)
+        st2 = self._roundtrip(st, tmp_path, "inline")
+        q = st2.prim_at_path("/P")
+        assert q.get("b") is True
+        assert q.get("i") == 42
+        assert abs(q.get("d") - 0.25) == 0.0
+        assert abs(q.get("big_d") - 0.1) < 1e-12   # full double precision
+        np.testing.assert_allclose(np.asarray(q.get("m")), np.eye(4))

@@ -492,78 +492,81 @@ def _bin_groups(tx, ty, valid, grid, tile_h: int, tile_w: int,
     return group_ids, jnp.minimum(counts, cap_groups), overflowed
 
 
-def _raster_binned_kernel(tri_ref, z_out, slot_out, *,
+def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
+                          best_z_ref, best_sid_ref, *,
                           tile_h: int, tile_w: int, tri_chunk: int,
-                          num_subs: int):
-    """Visibility inner loop on the MXU.
+                          num_subs: int, num_tx: int):
+    """Visibility inner loop on the MXU, occupancy-adaptive.
 
-    Per sub-chunk of 128 triangle slots, one (1024, 8) x (8, 384) f32
+    Per sub-chunk of 128 triangle slots, one (1024, 4) x (4, 384) f32
     matmul evaluates the affine fields [l1 | l2 | z] for every (pixel,
     triangle) pair of the tile; the VPU derives the remaining inside
-    tests (l1+l2 <= 1, 0 <= z <= 1), packs the depth/winner key and runs
-    the lane-min reduction.  Coefficients are in *tile-local*
-    pixel space (coefficient forms are numerically fine at tile-local
-    magnitudes; it is global 1080p magnitudes where they cancel).
+    tests (l1+l2 <= 1, 0 <= z <= 1) and tracks the per-LANE nearest hit
+    (z + winning slot id) across subs — one compare + two selects per sub
+    — with a single cross-lane reduction at the end instead of one per
+    sub.  Coefficients are in *tile-local* pixel space (coefficient forms
+    are numerically fine at tile-local magnitudes; it is global 1080p
+    magnitudes where they cancel).
 
-    The sub walk is STATIC (python-unrolled): Mosaic's dynamic fori_loop
+    The sub walk is STATIC (python-unrolled; Mosaic's dynamic fori_loop
     trip counts measured pathologically slow when the bound differs from
-    the static maximum (50-600 us per grid step), so per-tile work is
-    bounded by compact exact lists at the XLA level instead.  Only (depth,
-    winner slot id) leave the kernel; attributes are recovered by one XLA
-    row gather over the framebuffer.
+    the static maximum) but each sub is guarded by ``pl.when`` on this
+    tile's activity bitmask from SMEM: per-tile slot lists are
+    front-packed per segment, so a tile pays only for the ceil(count/128)
+    sub-chunks it actually occupies — the mean tile at Kitchen-Set scale
+    walks ~2 of 7 subs.  Only (depth, winner slot id) leave the kernel;
+    attributes are recovered by one XLA row gather over the framebuffer.
+
+    Tie-breaking: equal-z ties resolve to the earliest sub, then the
+    lowest lane — deterministic, matching the old lowest-position rule
+    except when equal depths arise in different subs (coplanar coincident
+    triangles).
     """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile_id = ti * num_tx + tj
+    active = meta_ref[tile_id // 128, tile_id % 128]     # sub bitmask
     p = tile_h * tile_w
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     py = 0.5 + (pix // tile_w).astype(jnp.float32)
     px = 0.5 + (pix % tile_w).astype(jnp.float32)
     one = jnp.ones((p, 1), jnp.float32)
-    zero = jnp.zeros((p, 5), jnp.float32)
-    pixmat = jnp.concatenate([px, py, one, zero], axis=1)     # (P, 8)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tri_chunk), 1)
-    # depth + winner position packed into one sortable int32: the low
-    # mantissa bits of (positive) z carry the list position, so the whole
-    # depth test + tie-break collapses into a single lane-min reduction.
-    # Costs pos_bits mantissa bits of depth resolution (<= 2^-12 relative)
-    # — far below any geometric tolerance here.
-    pos_bits = max(9, (num_subs * tri_chunk - 1).bit_length())
-    assert pos_bits <= 12   # <= 0.05%% relative depth quantization
-    mask = jnp.int32(~((1 << pos_bits) - 1))
+    zero = jnp.zeros((p, 1), jnp.float32)
+    pixmat = jnp.concatenate([px, py, one, zero], axis=1)     # (P, 4)
     tc = tri_chunk
 
-    miss_key = 1073741824  # f32 2.0 bit pattern (scalar bitcast unsupported)
-    best_key = jnp.full((p, 1), miss_key, jnp.int32)
+    best_z_ref[:, :] = jnp.full((p, tc), 2.0, jnp.float32)
+    best_sid_ref[:, :] = jnp.zeros((p, tc), jnp.float32)
     for s in range(num_subs):
-        d = tri_ref[0, s]                                 # (8, 3*TC)
-        out = jnp.dot(pixmat, d, preferred_element_type=jnp.float32)
-        l1 = out[:, 0:tc]
-        l2 = out[:, tc:2 * tc]
-        z = out[:, 2 * tc:3 * tc]
-        # the remaining two inside tests derive on the VPU (l3 = 1-l1-l2,
-        # far plane z <= 1) — 40% less MXU work than materializing them as
-        # matmul columns; dead slots carry z = 10 and fail z <= 1
-        ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
-              & (l1 + l2 <= 1.0) & (z <= 1.0))
-        zm = jnp.where(ok, z, 2.0)
-        key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) \
-            | (s * tri_chunk + lane)
-        best_key = jnp.minimum(best_key,
-                               jnp.min(key, axis=-1, keepdims=True))
+        @pl.when(((active >> s) & 1) != 0)
+        def _(s=s):
+            d = tri_ref[0, s]                             # (4, 3*TC)
+            out = jnp.dot(pixmat, d, preferred_element_type=jnp.float32)
+            l1 = out[:, 0:tc]
+            l2 = out[:, tc:2 * tc]
+            z = out[:, 2 * tc:3 * tc]
+            # the remaining inside tests derive on the VPU (l3 = 1-l1-l2,
+            # far plane z <= 1); dead slots carry z = 10 and fail z <= 1
+            ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
+                  & (l1 + l2 <= 1.0) & (z <= 1.0))
+            zm = jnp.where(ok, z, 2.0)
+            better = zm < best_z_ref[:, :]
+            sid = jnp.broadcast_to(d[3:4, 0:tc], (p, tc))
+            best_sid_ref[:, :] = jnp.where(better, sid, best_sid_ref[:, :])
+            best_z_ref[:, :] = jnp.where(better, zm, best_z_ref[:, :])
 
-    z = jax.lax.bitcast_convert_type(best_key & mask, jnp.float32)
-    hit = z <= 1.0
-    pos = best_key & ~mask
-    # pick the winner's slot id (sid row) by position
-    win_sub = pos // tri_chunk
-    win_lane = pos % tri_chunk
-    slot_f = jnp.zeros((p, 1), jnp.float32)
-    for s in range(num_subs):
-        sel = (win_sub == s) & (lane == win_lane)
-        sid = tri_ref[0, s, 5:6, 0:tc]                    # (1, TC)
-        slot_f = slot_f + jnp.sum(jnp.where(sel, sid, 0.0), axis=-1,
-                                  keepdims=True)
-    slot = jnp.where(hit, slot_f.astype(jnp.int32), -1)
-    z_out[:, :] = jnp.where(hit, z, 3.0e38).reshape(tile_h, tile_w)
-    slot_out[:, :] = slot.reshape(tile_h, tile_w)
+    bz = best_z_ref[:, :]
+    zmin = jnp.min(bz, axis=-1, keepdims=True)            # (P, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
+    k = jnp.min(jnp.where(bz == zmin, lane, jnp.int32(2 ** 30)),
+                axis=-1, keepdims=True)
+    sel = lane == k
+    sid_f = jnp.sum(jnp.where(sel, best_sid_ref[:, :], 0.0), axis=-1,
+                    keepdims=True)
+    hit = zmin <= 1.0
+    z_out[:, :] = jnp.where(hit, zmin, 3.0e38).reshape(tile_h, tile_w)
+    slot_out[:, :] = jnp.where(hit, sid_f.astype(jnp.int32), -1) \
+        .reshape(tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -638,16 +641,45 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,
         tile_w=tile_w, tri_chunk=tri_chunk, kernel_slots=kernel_slots,
-        interpret=interpret)
+        interpret=interpret,
+        seg_counts=[(counts * group, _round_up(cap_t, tri_chunk))])
+
+
+def _sub_activity(seg_counts, num_tiles: int, tri_chunk: int) -> jnp.ndarray:
+    """Per-tile sub-chunk activity bitmask (tiles,) i32.
+
+    ``seg_counts`` is a list of (count, cap_slots) per slot-array segment
+    — count is (tiles,) or scalar live slots, front-packed within the
+    segment; cap_slots must be a multiple of tri_chunk.  Sub s of a
+    segment is active for a tile when count > s * tri_chunk.
+    """
+    bits = jnp.zeros((num_tiles,), jnp.int32)
+    sub_off = 0
+    for count, cap in seg_counts:
+        n_seg = cap // tri_chunk
+        assert cap == n_seg * tri_chunk, "segment cap must be 128-aligned"
+        count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), (num_tiles,))
+        nact = jnp.clip((count + tri_chunk - 1) // tri_chunk, 0, n_seg)
+        local = jnp.arange(n_seg, dtype=jnp.int32)
+        seg_bits = jnp.sum(
+            jnp.where(local[None, :] < nact[:, None],
+                      jnp.int32(1) << (sub_off + local)[None, :], 0),
+            axis=1, dtype=jnp.int32)
+        bits = bits | seg_bits
+        sub_off += n_seg
+    assert sub_off <= 31, "activity bitmask limited to 31 subs"
+    return bits
 
 
 def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
                     *, height, width, hp, wp, grid, tile_h, tile_w,
-                    tri_chunk, kernel_slots, interpret):
+                    tri_chunk, kernel_slots, interpret, seg_counts=None):
     """Shared back half of the list-driven rasterizers: gather per-slot
     rows, optional exact-cull compaction, coefficient packing, the Pallas
     kernel, and the attribute resolve.  ``slots`` is (tiles, capT) indices
-    into the padded slot arrays (invalid slots must carry tz = 10)."""
+    into the padded slot arrays (invalid slots must carry tz = 10);
+    ``seg_counts`` (see _sub_activity) enables the occupancy-adaptive sub
+    walk — None walks every sub for every tile."""
     num_tiles = grid[0] * grid[1]
     cap_t = slots.shape[1]
     kernel_slots = min(_round_up(kernel_slots, tri_chunk), cap_t)
@@ -688,6 +720,8 @@ def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         rows = jnp.take_along_axis(rows, take[..., None], axis=1)
         live = jnp.arange(kernel_slots,
                           dtype=jnp.int32)[None, :] < cnt[:, None]
+        # compaction front-packs the whole tile list into one segment
+        seg_counts = [(jnp.minimum(cnt, kernel_slots), kernel_slots)]
     else:
         live = jnp.ones((num_tiles, cap_t), bool)
 
@@ -725,18 +759,28 @@ def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
     coef = jnp.concatenate(
         [fld(ka1, kb1, kc1), fld(ka2, kb2, kc2), fld(azc, bzc, czc)],
         axis=3)                                       # (tiles, S, 3, 3*TC)
-    # rows 3-7 multiply pixmat zeros; row 5 carries the slot ids in its
-    # first TC columns for the winner pick
+    # row 3 multiplies pixmat's zero column; its first TC columns carry the
+    # slot ids for the in-kernel winner pick
     sid_row = sid.reshape(num_tiles, 1, num_subs, tri_chunk)\
         .transpose(0, 2, 1, 3)                        # (tiles, S, 1, TC)
-    row5 = jnp.concatenate(
+    row3 = jnp.concatenate(
         [sid_row,
          jnp.zeros((num_tiles, num_subs, 1, 2 * tri_chunk), jnp.float32)],
         axis=3)
-    zrows = jnp.zeros((num_tiles, num_subs, 2, 3 * tri_chunk), jnp.float32)
-    data = jnp.concatenate([coef, zrows, row5, zrows], axis=2)
-    # (tiles, S, 8, 3*TC)
+    data = jnp.concatenate([coef, row3], axis=2)      # (tiles, S, 4, 3*TC)
 
+    # per-tile sub activity bitmask in one SMEM int32 table (128 values per
+    # 512-byte row)
+    if seg_counts is not None:
+        bits = _sub_activity(seg_counts, num_tiles, tri_chunk)
+    else:
+        bits = jnp.full((num_tiles,), (1 << num_subs) - 1, jnp.int32)
+    pad_m = (-num_tiles) % 128
+    if pad_m:
+        bits = jnp.concatenate([bits, jnp.zeros((pad_m,), jnp.int32)])
+    meta = bits.reshape(-1, 128)
+
+    p = tile_h * tile_w
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),
@@ -744,21 +788,24 @@ def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, num_subs, 8, 3 * tri_chunk),
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # activity bitmasks
+        pl.BlockSpec((1, num_subs, 4, 3 * tri_chunk),
                      lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
                      memory_space=pltpu.VMEM),      # per-tile coefficients
     ]
     kernel = functools.partial(
         _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
-        tri_chunk=tri_chunk, num_subs=num_subs)
+        tri_chunk=tri_chunk, num_subs=num_subs, num_tx=grid[1])
     z, slot = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((p, tri_chunk), jnp.float32),
+                        pltpu.VMEM((p, tri_chunk), jnp.float32)],
         interpret=interpret,
-    )(data)
+    )(meta, data)
 
     # ---- XLA resolve: winner slot -> attributes ---------------------------
     z = z[:height, :width]
@@ -837,7 +884,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     tiers: tuple = ((1, 256), (4, 128), (16, 64), (64, 64)),
+                     tiers: tuple = ((1, 256), (4, 128), (16, 128),
+                                     (64, 128)),
                      cap_glob: int = 256,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
@@ -940,6 +988,14 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         lists = jnp.where(in_seg,
                           svals[jnp.minimum(gidx, skeys.shape[0] - 1)],
                           fill)
+        # pad each segment to a 128-multiple with dead fill slots so
+        # sub-chunk boundaries respect segment boundaries (the
+        # occupancy-adaptive kernel walks whole subs per segment)
+        pad_seg = _round_up(cap, tri_chunk) - cap
+        if pad_seg:
+            lists = jnp.concatenate(
+                [lists, jnp.full((n_cells, pad_seg), fill, jnp.int32)],
+                axis=1)
         cell_of_tile = (tile_row // rows) * grid[1] + tile_col
         tier_lists.append(lists[cell_of_tile])
         tier_counts.append(count[cell_of_tile])
@@ -949,19 +1005,21 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     glob = jnp.where(gpos >= 0, gpos, fill).astype(jnp.int32)
     n_large = jnp.sum(large.astype(jnp.int32))
 
+    glob_pad = _round_up(cap_glob, tri_chunk)
+    if glob_pad > cap_glob:
+        glob = jnp.concatenate(
+            [glob, jnp.full((glob_pad - cap_glob,), fill, jnp.int32)])
     slots = jnp.concatenate(
         tier_lists + [jnp.broadcast_to(glob[None, :],
-                                       (num_tiles, cap_glob))], axis=1)
-    cap_t = slots.shape[1]
-    pad_c = (-cap_t) % tri_chunk
-    if pad_c:
-        slots = jnp.concatenate(
-            [slots, jnp.full((num_tiles, pad_c), fill, jnp.int32)], axis=1)
+                                       (num_tiles, glob_pad))], axis=1)
     overflowed = (n_large > cap_glob) | jnp.zeros((num_tiles,), bool)
     for (rows, cap), cnt in zip(tiers, tier_counts):
         overflowed |= cnt > cap
+    seg_counts = [(jnp.minimum(cnt, cap), _round_up(cap, tri_chunk))
+                  for (rows, cap), cnt in zip(tiers, tier_counts)]
+    seg_counts.append((jnp.minimum(n_large, cap_glob), glob_pad))
     return _slots_to_frame(
         tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,
         tile_w=tile_w, tri_chunk=tri_chunk, kernel_slots=slots.shape[1],
-        interpret=interpret)
+        interpret=interpret, seg_counts=seg_counts)

@@ -52,7 +52,9 @@ class Stage:
             raise usda.UsdaError(f"composition arc depth > 8 at {path!r}")
         from vri_tpu.usd import usdc
         if usdc.is_crate(path):
-            return usdc.open_crate(path)   # structured error until decoded
+            stage = usdc.open_crate(path)   # crate value decode (usd/crate)
+            stage._compose(_depth)
+            return stage
         with open(path, "r") as f:
             text = f.read()
         root, meta = usda.parse_usda(text)
@@ -156,6 +158,16 @@ class Stage:
 
     def export(self) -> str:
         return usda.write_usda(self.root, self.metadata)
+
+    def save(self, path: str) -> None:
+        """Write this stage to disk — .usdc gets the binary crate writer
+        (usd/crate.py), anything else USDA text."""
+        if path.endswith(".usdc"):
+            from vri_tpu.usd import usdc
+            usdc.write_crate(self, path)
+        else:
+            with open(path, "w") as f:
+                f.write(self.export())
 
     # -- prim access -------------------------------------------------------
 

@@ -67,6 +67,72 @@ class _Info(ctypes.Structure):
                 ("error", ctypes.c_char * 128)]
 
 
+def intcomp_decode(comp: bytes, n: int, width: int = 32):
+    """pxr integer-compression decode via the native lib.  Returns an
+    int32/int64 numpy array, or None on failure."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        return None
+    if n == 0:
+        return np.zeros(0, np.int32 if width == 32 else np.int64)
+    buf = (ctypes.c_ubyte * max(len(comp), 1)).from_buffer_copy(
+        comp or b"\x00")
+    if width == 32:
+        out = np.zeros(n, np.int32)
+        r = lib.vri_intcomp_decode32(
+            buf, len(comp), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    else:
+        out = np.zeros(n, np.int64)
+        r = lib.vri_intcomp_decode64(
+            buf, len(comp), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    return out if r == 0 else None
+
+
+def intcomp_encode(arr) -> bytes:
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        raise UsdcError("native library unavailable for usdc writing")
+    arr = np.ascontiguousarray(arr, np.int32)
+    cap = 64 + arr.size * 6
+    out = (ctypes.c_ubyte * cap)()
+    sz = lib.vri_intcomp_encode32(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), arr.size, out,
+        cap)
+    if sz < 0:
+        raise UsdcError("integer compression encode failed")
+    return bytes(out)[:sz]
+
+
+def fastcomp_decompress(comp: bytes, usize: int):
+    """TfFastCompression (chunked LZ4) inflate.  None on failure."""
+    lib = _lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_ubyte * max(len(comp), 1)).from_buffer_copy(
+        comp or b"\x00")
+    out = (ctypes.c_ubyte * max(usize, 1))()
+    got = lib.vri_fastcomp_decompress(buf, len(comp), out, usize)
+    return bytes(out)[:got] if got == usize else None
+
+
+def fastcomp_compress(data: bytes) -> bytes:
+    lib = _lib()
+    if lib is None:
+        raise UsdcError("native library unavailable for usdc writing")
+    cap = len(data) + len(data) // 100 + 256
+    out = (ctypes.c_ubyte * cap)()
+    sz = lib.vri_fastcomp_compress(data, len(data), out, cap)
+    if sz < 0:
+        raise UsdcError("LZ4 compression failed")
+    return bytes(out)[:sz]
+
+
 def _lib():
     lib = native_rt._load()
     if lib is None or not hasattr(lib, "vri_usdc_info"):
@@ -124,8 +190,25 @@ def read_info(path: str, want_tokens: bool = True) -> CrateInfo:
 def open_crate(path: str):
     """Entry point used by Stage.open for .usdc files.
 
-    Raises UsdcUnsupported (with full structural info) until the value
-    decoders land; a corrupt/non-crate file raises plain UsdcError.
+    Decodes the crate value layer (usd/crate.py) and returns a composed
+    Stage; decode warnings (unsupported value types) are logged, never
+    silent.  A corrupt file raises UsdcError.
     """
-    info = read_info(path)
-    raise UsdcUnsupported(path, info)
+    import logging
+    import os
+
+    from vri_tpu.usd import crate
+    from vri_tpu.usd.stage import Stage
+
+    root, meta, warnings = crate.read_crate(path)
+    for w in warnings:
+        logging.getLogger("vri_tpu").warning("usdc %s: %s", path, w)
+    stage = Stage(root, meta, anchor=os.path.dirname(os.path.abspath(path)))
+    return stage
+
+
+def write_crate(stage, path: str) -> None:
+    """Serialize a Stage to .usdc (usd/crate.py writer)."""
+    from vri_tpu.usd import crate
+
+    crate.write_crate(stage, path)
