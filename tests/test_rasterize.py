@@ -245,6 +245,6 @@ class TestSortedRaster:
         hit, _ = rasterize.rasterize_sorted(
             world, scene.tri_vertices, scene.num_faces,
             jnp.asarray(cam.view_proj), height=res, width=res,
-            tiers=((1, 2), (4, 2), (16, 2), (64, 2)),
-            cap_glob=2)   # capacities far below cornell's list sizes
+            span_rows=1, span_cols=1,
+            cap_glob=2)   # every multi-tile triangle -> tiny global list
         assert int(hit.overflow) > 0

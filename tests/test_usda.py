@@ -6,6 +6,7 @@ import numpy as np
 from vri_tpu.usd import parse_usda, write_usda, Stage
 from vri_tpu.usd import scenes
 from vri_tpu.usd.usda import AssetPath, PrimPathRef
+from vri_tpu.usd import usda
 
 
 SAMPLE = """#usda 1.0
@@ -121,3 +122,57 @@ def test_animate_marks_changes():
     for path in changed:
         after = stage.world_transform(stage.prim_at_path(path))
         assert not np.allclose(before[path], after)
+
+
+class TestTimeSamples:
+    """Authored timeSamples: parse, write, resolve (the reference resolves
+    these through UsdImagingDelegate, Source/Main.cpp:41-46)."""
+
+    TEXT = '''#usda 1.0
+def Xform "A" {
+    float3 xformOp:translate = (0, 0, 0)
+    float3 xformOp:translate.timeSamples = {
+        0: (0, 0, 0),
+        10: (1, 2, 0),
+    }
+    uniform token[] xformOpOrder = ["xformOp:translate"]
+}
+'''
+
+    def test_parse_and_resolve(self):
+        import numpy as np
+
+        root, _ = usda.parse_usda(self.TEXT)
+        a = root.children[0].attributes["xformOp:translate"]
+        ts = a.metadata["timeSamples"]
+        assert set(ts) == {0.0, 10.0}
+        # default (no time): the authored default wins
+        np.testing.assert_allclose(np.asarray(a.value_at(None)), 0.0)
+        # linear interpolation mid-span, clamped at the ends
+        np.testing.assert_allclose(np.asarray(a.value_at(5.0)),
+                                   [0.5, 1.0, 0.0])
+        np.testing.assert_allclose(np.asarray(a.value_at(99.0)),
+                                   [1.0, 2.0, 0.0])
+
+    def test_write_roundtrip(self):
+        import numpy as np
+
+        root, meta = usda.parse_usda(self.TEXT)
+        text2 = usda.write_usda(root, meta)
+        root2, _ = usda.parse_usda(text2)
+        a = root2.children[0].attributes["xformOp:translate"]
+        ts = a.metadata["timeSamples"]
+        assert set(ts) == {0.0, 10.0}
+        np.testing.assert_allclose(np.asarray(ts[10.0]), [1, 2, 0])
+
+    def test_world_transform_at_time(self):
+        import numpy as np
+
+        from vri_tpu.usd.stage import Stage
+
+        st = Stage.from_string(self.TEXT)
+        p = st.prim_at_path("/A")
+        np.testing.assert_allclose(st.world_transform(p)[:3, 3], 0.0)
+        st.set_time(10.0)
+        np.testing.assert_allclose(st.world_transform(p)[:3, 3],
+                                   [1, 2, 0])

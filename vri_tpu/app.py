@@ -133,10 +133,13 @@ def main(argv=None) -> int:
             cam = (free_cam.at_time(i / 30.0, aspect)
                    if free_cam is not None else None)
             stats.tick()
+            # authored timeSamples (the "animated" builtin or any stage
+            # carrying them) advance one time code per frame
+            tc = float(i) if args.builtin == "animated" else None
             with profiler.span(f"frame{i}"):
                 aovs = renderer.render(camera=cam, mode=mode, gi=gi,
                                        samples=args.samples,
-                                       backend=args.backend)
+                                       backend=args.backend, time_code=tc)
             path = os.path.join(args.out, f"frame_{i:04d}.png")
             tonemapped = mode != DebugMode.NONE
             write_png(path, aovs["color"], tonemapped=tonemapped)

@@ -110,8 +110,24 @@ class RenderDelegate:
 
     # -- sync ----------------------------------------------------------------
 
-    def sync(self) -> SceneBuffers:
+    def sync(self, time_code: float | None = None) -> SceneBuffers:
+        """Sync dirty prims (optionally advancing stage time first).
+
+        ``time_code`` drives authored timeSamples animation: prims whose
+        xformOps or points carry samples are marked dirty between frames
+        — the TPU analog of time-sampled prim sync through
+        UsdImagingDelegate (Source/Main.cpp:41-46, Source/Mesh.cpp:11).
+        Transform-only animation rides the cheap transforms-only commit +
+        bounded SDF update path.
+        """
         assert self.stage is not None, "populate() first"
+        if time_code is not None and time_code != self.stage.time:
+            self.stage.set_time(time_code)
+            for path, kind in self._animated_prims():
+                if kind == "transform":
+                    self.tracker.mark_transform(path)
+                else:
+                    self.tracker.mark(path, DirtyBits.ALL)
         t0 = time.perf_counter()
         aspect = self.config.width / self.config.height
         n_synced = 0
@@ -154,7 +170,8 @@ class RenderDelegate:
             self.registry.update_transform(
                 prim.path, stage.world_transform(prim))
             return
-        points = np.asarray(prim.get("points", ()), np.float32).reshape(-1, 3)
+        points = np.asarray(prim.get_at("points", stage.time, ()),
+                            np.float32).reshape(-1, 3)
         counts = np.asarray(prim.get("faceVertexCounts", ()), np.int64).reshape(-1)
         indices = np.asarray(prim.get("faceVertexIndices", ()), np.int64).reshape(-1)
         # native fast path (falls back to hydra.meshutil when the .so is absent)
@@ -309,6 +326,36 @@ class RenderDelegate:
             path=prim.path, position=pos,
             color=np.asarray(prim.get("inputs:color", (1, 1, 1)), np.float32),
             intensity=float(prim.get("inputs:intensity", 1.0))))
+
+    def _animated_prims(self):
+        """(mesh path, 'transform'|'geometry') pairs affected by authored
+        timeSamples, cached after the first timed sync.  An animated
+        xformOp on an ancestor Xform dirties every Mesh underneath it."""
+        cached = getattr(self, "_animated_cache", None)
+        if cached is not None:
+            return cached
+        out = []
+        for prim in self.stage.traverse():
+            kinds = set()
+            for a in prim.attributes.values():
+                if not a.metadata.get("timeSamples"):
+                    continue
+                if a.name.startswith("xformOp"):
+                    kinds.add("transform")
+                elif a.name in ("points", "faceVertexIndices",
+                                "faceVertexCounts"):
+                    kinds.add("geometry")
+            if not kinds:
+                continue
+            kind = "geometry" if "geometry" in kinds else "transform"
+            if prim.type_name == "Mesh":
+                out.append((prim.path, kind))
+            else:
+                for sub in prim.traverse():
+                    if sub.type_name == "Mesh":
+                        out.append((sub.path, kind))
+        self._animated_cache = out
+        return out
 
     # -- edits ---------------------------------------------------------------
 

@@ -878,31 +878,29 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "tile_h", "tile_w", "tri_chunk", "tiers",
-    "cap_glob", "interpret", "proj_height"))
+    "height", "width", "tile_h", "tile_w", "tri_chunk", "cap",
+    "span_rows", "span_cols", "cap_glob", "interpret", "proj_height"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     tiers: tuple = ((1, 256), (4, 128), (16, 128),
-                                     (64, 128)),
-                     cap_glob: int = 256,
+                     cap: int = 1024, span_rows: int = 4,
+                     span_cols: int = 2, cap_glob: int = 256,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
-    """Visibility raster with sort-built per-tile lists — the scale path
-    (cost O(F log F + tiles*caps), no (tiles x groups) matrices).
+    """Visibility raster with sort-built EXACT per-tile lists — the scale
+    path (cost O(F log F + tiles*caps), no (tiles x groups) matrices).
 
-    ``tiers`` is a ladder of (tile-rows per cell, list capacity): each
-    triangle lands in the finest tier whose 2x2-cell window covers its
-    bbox (all tiers span <= 2 tile columns; wider triangles go to the
-    ``cap_glob`` global list every tile walks — the per-draw loop analog,
-    RenderPass.cpp:642-664).  Each triangle emits <= 4 (cell, slot) pairs
-    and one ``sort_key_val`` per tier builds capacity-bounded lists — the
-    same stream-compaction pattern as the SDF builder.  A tile's slot
-    array is the concatenation of its cell's list from every tier plus the
-    global list, statically walked by the MXU kernel.  Capacity overflow
-    in any tier sets ``HitRecord.overflow``.
+    Each triangle whose screen bbox spans <= span_rows x span_cols tiles
+    emits one (tile, slot) pair per covered tile (<= 8 by default — the
+    TPU-native indirect-draw batching; per-draw loop analog
+    RenderPass.cpp:642-664); one ``sort_key_val`` + searchsorted builds
+    front-packed per-tile lists, so the occupancy-adaptive kernel walks
+    exactly ceil(count/128) sub-chunks per tile — the mean Kitchen-Set
+    tile walks 1-2.  Wider triangles go to the ``cap_glob`` global list
+    every tile walks.  Capacity overflow sets ``HitRecord.overflow``
+    (callers fall back to the capacity-free ranged kernel).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -911,6 +909,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     wp = _round_up(width, tile_w)
     grid = (hp // tile_h, wp // tile_w)
     num_tiles = grid[0] * grid[1]
+    cap = _round_up(cap, tri_chunk)
 
     tx, ty, tz, tw, b1, b2, src_id, valid = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
@@ -933,91 +932,52 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     loy, hiy = ty.min(axis=1), ty.max(axis=1)
     tx0 = jnp.floor(lox / tile_w).astype(jnp.int32)
     tx1 = jnp.floor(hix / tile_w).astype(jnp.int32)
-    ty0f = jnp.floor(loy / tile_h).astype(jnp.int32)
-    ty1f = jnp.floor(hiy / tile_h).astype(jnp.int32)
+    ty0 = jnp.floor(loy / tile_h).astype(jnp.int32)
+    ty1 = jnp.floor(hiy / tile_h).astype(jnp.int32)
     on_screen = ((tx1 >= 0) & (tx0 < grid[1])
-                 & (ty1f >= 0) & (ty0f < grid[0]))
+                 & (ty1 >= 0) & (ty0 < grid[0]))
     vis = valid & on_screen
-    narrow = vis & (tx1 - tx0 <= 1)
+    small = vis & (tx1 - tx0 < span_cols) & (ty1 - ty0 < span_rows)
 
+    # direct emission: span_rows x span_cols pair slots per triangle
+    oy = jnp.arange(span_rows, dtype=jnp.int32)
+    ox = jnp.arange(span_cols, dtype=jnp.int32)
+    cy = ty0[:, None, None] + oy[None, :, None]
+    cx = tx0[:, None, None] + ox[None, None, :]
+    ok = (small[:, None, None]
+          & (cy <= ty1[:, None, None]) & (cy >= 0) & (cy < grid[0])
+          & (cx <= tx1[:, None, None]) & (cx >= 0) & (cx < grid[1]))
+    keys = jnp.where(ok, cy * grid[1] + cx, 0x7FFFFFFF) \
+        .astype(jnp.uint32).reshape(-1)
     slot_ids = jnp.arange(fp, dtype=jnp.int32)
-    tile_row = jnp.arange(num_tiles) // grid[1]
-    tile_col = jnp.arange(num_tiles) % grid[1]
-
-    # ONE sort covers every tier: each triangle belongs to exactly one
-    # tier, so its 4 pairs key into that tier's segment-id range (tier
-    # offsets are cumulative) and a single sort_key_val + per-tier
-    # searchsorted slices build all the lists.
-    taken = jnp.zeros((fp,), bool)
-    tier_keys, seg_off = [], 0
-    tier_meta = []                     # (offset, n_cells, rows, cap)
-    for rows, cap in tiers:
-        cell_h = tile_h * rows
-        n_rows = (grid[0] + rows - 1) // rows
-        cy0 = jnp.floor(loy / cell_h).astype(jnp.int32)
-        cy1 = jnp.floor(hiy / cell_h).astype(jnp.int32)
-        mine = narrow & ~taken & (cy1 - cy0 <= 1)
-        taken = taken | mine
-        oy = jnp.arange(2, dtype=jnp.int32)
-        cy = cy0[:, None, None] + oy[None, :, None]
-        cx = tx0[:, None, None] + oy[None, None, :]
-        ok = (mine[:, None, None]
-              & (cy <= cy1[:, None, None]) & (cy >= 0) & (cy < n_rows)
-              & (cx <= tx1[:, None, None]) & (cx >= 0) & (cx < grid[1]))
-        cell = cy * grid[1] + cx
-        n_cells = n_rows * grid[1]
-        tier_keys.append(jnp.where(ok, seg_off + cell, 0x7FFFFFFF))
-        tier_meta.append((seg_off, n_cells, rows, cap))
-        seg_off += n_cells
-
-    keys = tier_keys[0]
-    for tk in tier_keys[1:]:           # disjoint tiers: min picks the one
-        keys = jnp.minimum(keys, tk)
-    keys = keys.astype(jnp.uint32).reshape(-1)
-    vals = jnp.broadcast_to(slot_ids[:, None, None], (fp, 2, 2)).reshape(-1)
+    vals = jnp.broadcast_to(slot_ids[:, None, None],
+                            (fp, span_rows, span_cols)).reshape(-1)
     skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
 
-    tier_lists, tier_counts = [], []
-    for off, n_cells, rows, cap in tier_meta:
-        starts = jnp.searchsorted(
-            skeys, jnp.arange(off, off + n_cells + 1, dtype=jnp.uint32))
-        count = (starts[1:] - starts[:-1]).astype(jnp.int32)
-        k_ids = jnp.arange(cap, dtype=jnp.int32)
-        gidx = starts[:n_cells, None].astype(jnp.int32) + k_ids[None, :]
-        in_seg = k_ids[None, :] < count[:, None]
-        lists = jnp.where(in_seg,
-                          svals[jnp.minimum(gidx, skeys.shape[0] - 1)],
-                          fill)
-        # pad each segment to a 128-multiple with dead fill slots so
-        # sub-chunk boundaries respect segment boundaries (the
-        # occupancy-adaptive kernel walks whole subs per segment)
-        pad_seg = _round_up(cap, tri_chunk) - cap
-        if pad_seg:
-            lists = jnp.concatenate(
-                [lists, jnp.full((n_cells, pad_seg), fill, jnp.int32)],
-                axis=1)
-        cell_of_tile = (tile_row // rows) * grid[1] + tile_col
-        tier_lists.append(lists[cell_of_tile])
-        tier_counts.append(count[cell_of_tile])
+    starts = jnp.searchsorted(
+        skeys, jnp.arange(num_tiles + 1, dtype=jnp.uint32))
+    count = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    k_ids = jnp.arange(cap, dtype=jnp.int32)
+    gidx = starts[:num_tiles, None].astype(jnp.int32) + k_ids[None, :]
+    in_seg = k_ids[None, :] < count[:, None]
+    lists = jnp.where(in_seg, svals[jnp.minimum(gidx, skeys.shape[0] - 1)],
+                      fill)                               # (tiles, cap)
 
-    large = vis & ~taken
+    large = vis & ~small
     gpos = jnp.nonzero(large, size=cap_glob, fill_value=-1)[0]
     glob = jnp.where(gpos >= 0, gpos, fill).astype(jnp.int32)
     n_large = jnp.sum(large.astype(jnp.int32))
-
     glob_pad = _round_up(cap_glob, tri_chunk)
     if glob_pad > cap_glob:
         glob = jnp.concatenate(
             [glob, jnp.full((glob_pad - cap_glob,), fill, jnp.int32)])
+
     slots = jnp.concatenate(
-        tier_lists + [jnp.broadcast_to(glob[None, :],
-                                       (num_tiles, glob_pad))], axis=1)
-    overflowed = (n_large > cap_glob) | jnp.zeros((num_tiles,), bool)
-    for (rows, cap), cnt in zip(tiers, tier_counts):
-        overflowed |= cnt > cap
-    seg_counts = [(jnp.minimum(cnt, cap), _round_up(cap, tri_chunk))
-                  for (rows, cap), cnt in zip(tiers, tier_counts)]
-    seg_counts.append((jnp.minimum(n_large, cap_glob), glob_pad))
+        [lists, jnp.broadcast_to(glob[None, :], (num_tiles, glob_pad))],
+        axis=1)
+    overflowed = (count > cap) | (n_large > cap_glob)
+    seg_counts = [(jnp.minimum(count, cap), cap),
+                  (jnp.minimum(n_large, cap_glob), glob_pad)]
     return _slots_to_frame(
         tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,

@@ -193,9 +193,14 @@ class Renderer:
     def render(self, camera: Optional[CameraState] = None,
                mode: int = DebugMode.NONE, gi: bool = True,
                samples: int = 1, backend: str = "raster",
-               gi_scale: int = 1,
+               gi_scale: int = 1, time_code: Optional[float] = None,
                to_numpy: bool = True) -> Dict[str, np.ndarray]:
         assert self.scene is not None, "load_stage() first"
+        if time_code is not None:
+            # authored timeSamples animation: re-sync at the new time code;
+            # transform-only motion rides the transforms-only commit and
+            # the bounded SDF update (ensure_cascades sees last_update)
+            self.scene = self.delegate.sync(time_code=time_code)
         cam = camera or self.camera
         assert cam is not None, "no camera"
         if backend == "raster" and self._raster_overflowed:

@@ -290,10 +290,28 @@ def kitchen_stress(num_objects: int = 256, seed: int = 7,
     return stage
 
 
-def animated_stage(num_objects: int = 8) -> Stage:
-    """Small dynamic stage: call :func:`animate` each frame to move prims
-    (exercises dirty tracking + incremental SDF updates)."""
+def animated_stage(num_objects: int = 8, authored_frames: int = 48) -> Stage:
+    """Small dynamic stage with AUTHORED animation: every prop's
+    ``xformOp:translate`` carries timeSamples (a bobbing motion), so
+    ``delegate.sync(time_code=t)`` drives it the way the reference gets
+    time-sampled xforms from UsdImagingDelegate (Source/Main.cpp:41-46).
+    :func:`animate` remains for procedural (scripted-edit) animation.
+    """
     stage = kitchen_stress(num_objects=num_objects, seed=3, num_materials=4)
+    for prim in stage.prims_of_type("Mesh"):
+        if "/Props/" not in prim.path:
+            continue
+        a = prim.attributes.get("xformOp:translate")
+        if a is None:
+            continue
+        base = np.asarray(a.value, np.float32)
+        phase = hash(prim.path) % 7
+        samples = {}
+        for f in range(0, authored_frames + 1, 4):
+            t = base.copy()
+            t[1] = abs(base[1]) + 0.25 * (1 + np.sin(f / 8.0 + phase))
+            samples[float(f)] = t
+        a.metadata["timeSamples"] = samples
     return stage
 
 

@@ -32,6 +32,8 @@ class Stage:
         self.metadata = metadata or {}
         #: directory used to resolve relative asset paths (textures)
         self.anchor = anchor
+        #: current time code for timeSamples resolution (None = Default)
+        self.time: Optional[float] = None
         self._index: Dict[str, Prim] = {}
         self._reindex()
 
@@ -180,6 +182,10 @@ class Stage:
     def prim_at_path(self, path: str) -> Optional[Prim]:
         return self._index.get(path)
 
+    def set_time(self, time: Optional[float]) -> None:
+        """Set the stage time code; timeSamples resolve against it."""
+        self.time = time
+
     def traverse(self) -> Iterator[Prim]:
         for p in self.root.traverse():
             if p.name:
@@ -206,9 +212,11 @@ class Stage:
         for op_name in order:
             op = str(op_name)
             a = prim.attributes.get(op)
-            if a is None or a.value is None:
+            if a is None:
                 continue
-            v = a.value
+            v = a.value_at(self.time)
+            if v is None:
+                continue
             if op.startswith("xformOp:transform"):
                 om = np.asarray(v, np.float64).reshape(4, 4).T.astype(np.float32)
             elif op.startswith("xformOp:translate"):

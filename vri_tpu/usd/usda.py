@@ -46,6 +46,47 @@ class Attribute:
     def interpolation(self) -> Optional[str]:
         return self.metadata.get("interpolation")
 
+    @property
+    def time_samples(self) -> Optional[Dict[float, Any]]:
+        return self.metadata.get("timeSamples")
+
+    def value_at(self, time: Optional[float] = None):
+        """Resolve the value at ``time``.
+
+        USD semantics: the default value answers UsdTimeCode::Default
+        (time None); authored timeSamples answer numeric times with
+        linear interpolation for floating-point data and held
+        interpolation otherwise (the reference gets this resolution from
+        UsdImagingDelegate, Source/Main.cpp:41-46).  A samples-only
+        attribute falls back to its earliest sample at Default.
+        """
+        ts = self.metadata.get("timeSamples")
+        if not ts:
+            return self.value
+        if time is None:
+            return self.value if self.value is not None \
+                else ts[min(ts)]
+        keys = sorted(ts)
+        if time <= keys[0]:
+            return ts[keys[0]]
+        if time >= keys[-1]:
+            return ts[keys[-1]]
+        import bisect
+
+        hi = bisect.bisect_right(keys, time)
+        t0, t1 = keys[hi - 1], keys[hi]
+        v0, v1 = ts[t0], ts[t1]
+        try:
+            a0 = np.asarray(v0)
+            a1 = np.asarray(v1)
+            if a0.shape == a1.shape and a0.dtype.kind == "f" \
+                    and a1.dtype.kind == "f":
+                w = (time - t0) / (t1 - t0)
+                return (a0 * (1.0 - w) + a1 * w).astype(a0.dtype)
+        except (TypeError, ValueError):
+            pass
+        return v0                         # held interpolation
+
 
 @dataclasses.dataclass
 class Prim:
@@ -79,6 +120,14 @@ class Prim:
         a = self.attributes.get(attr)
         return default if a is None or a.value is None else a.value
 
+    def get_at(self, attr: str, time=None, default=None):
+        """Like ``get`` but resolving timeSamples at ``time``."""
+        a = self.attributes.get(attr)
+        if a is None:
+            return default
+        v = a.value_at(time)
+        return default if v is None else v
+
     def traverse(self):
         yield self
         for c in self.children:
@@ -97,7 +146,7 @@ _TOKEN_RE = re.compile(
   | (?P<path><[^>]*>)
   | (?P<number>[-+]?(\d+\.\d*|\.\d+|\d+)([eE][-+]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9:.\[\]]*)
-  | (?P<punct>[{}()\[\],=;])
+  | (?P<punct>[{}()\[\],=;:])
     """,
     re.VERBOSE,
 )
@@ -310,19 +359,44 @@ class _Parser:
         connect = name.endswith(".connect")
         if connect:
             name = name[: -len(".connect")]
+        samples = name.endswith(".timeSamples")
+        if samples:
+            name = name[: -len(".timeSamples")]
         attr = prim.attributes.get(name) or Attribute(name=name, type_name=type_name)
         attr.type_name = type_name
         attr.uniform, attr.custom = uniform, custom
         if self.peek()[1] == "=":
             self.next()
-            v = self.parse_value()
-            if connect:
-                attr.connect = v.path if isinstance(v, PrimPathRef) else str(v)
+            if samples:
+                attr.metadata["timeSamples"] = \
+                    self.parse_time_samples(type_name)
             else:
-                attr.value = _to_array(type_name, v)
+                v = self.parse_value()
+                if connect:
+                    attr.connect = v.path if isinstance(v, PrimPathRef) \
+                        else str(v)
+                else:
+                    attr.value = _to_array(type_name, v)
         if self.peek()[1] == "(":
             attr.metadata.update(self.parse_metadata_block())
         prim.attributes[name] = attr
+
+    def parse_time_samples(self, type_name: str) -> Dict[float, Any]:
+        """``{ <time>: <value>, ... }`` blocks (authored animation — the
+        reference resolves these through UsdImagingDelegate,
+        Source/Main.cpp:41-46)."""
+        self.expect("{")
+        out: Dict[float, Any] = {}
+        while self.peek()[1] != "}":
+            kind, t = self.next()
+            if kind != "number":
+                raise UsdaError(f"expected sample time, got {t!r}")
+            self.expect(":")
+            out[float(t)] = _to_array(type_name, self.parse_value())
+            if self.peek()[1] in (",", ";"):
+                self.next()
+        self.expect("}")
+        return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -494,11 +568,20 @@ def _write_prim(prim: Prim, out: List[str], indent: int) -> None:
                 line += f" = <{attr.connect}>"
             elif attr.value is not None:
                 line += f" = {_fmt_value(attr.value)}"
-        if attr.metadata:
+        meta = {k: v for k, v in attr.metadata.items() if k != "timeSamples"}
+        if meta:
             line += " (" + " ".join(
-                f"{k} = {_fmt_value(v)}" for k, v in attr.metadata.items()
+                f"{k} = {_fmt_value(v)}" for k, v in meta.items()
             ) + ")"
         out.append(line + "\n")
+        ts = attr.metadata.get("timeSamples")
+        if ts and attr.type_name != "rel":
+            tpad = "    " * (indent + 1)
+            out.append(f"{tpad}{attr.type_name} {attr.name}.timeSamples"
+                       " = {\n")
+            for t in sorted(ts):
+                out.append(f"{tpad}    {t!r}: {_fmt_value(ts[t])},\n")
+            out.append(tpad + "}\n")
     for set_name, variants in prim.variant_sets.items():
         vpad = "    " * (indent + 1)
         out.append(f'{vpad}variantSet "{set_name}" = {{\n')
