@@ -272,6 +272,11 @@ class RenderDelegate:
                                uvs.astype(np.float32), extent,
                                mat.path if mat is not None else None, local))
 
+        # each instance is (prototype key, transform, material): the packed
+        # pools store one copy of each prototype's geometry (registry proto
+        # layout) — 10k instances of a 1k-vert prototype pack ~1k verts,
+        # not 10M (reference analog: per-draw-item metadata over shared
+        # buffers, Include/ResourceRegistry.h:30-36)
         for i in range(len(positions)):
             k = int(proto_idx[i]) if len(proto_idx) else 0
             k = min(k, len(proto_data) - 1)
@@ -284,7 +289,8 @@ class RenderDelegate:
                 path=f"{prim.path}.inst{i:05d}", points=pts, tris=tris,
                 tri_face=tri_face, uvs=uvs,
                 transform=(pi_world @ trs @ local).astype(np.float32),
-                material_path=mat_path, extent=extent))
+                material_path=mat_path, extent=extent,
+                proto=f"{prim.path}.proto{k}"))
 
     def _sync_material(self, prim: Prim) -> None:
         desc = material_mod.sync_material(

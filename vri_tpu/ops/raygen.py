@@ -15,23 +15,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def pixel_ndc(height: int, width: int):
-    """NDC xy coordinates of pixel centers, shape (H, W, 2)."""
+def pixel_ndc(height: int, width: int, y0: int = 0,
+              proj_height: int | None = None):
+    """NDC xy coordinates of pixel centers, shape (H, W, 2).
+
+    ``y0``/``proj_height`` select a row band of a taller framebuffer
+    (the per-chip view of the row-sharded multi-chip frame)."""
+    ph = proj_height or height
     x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    y = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    y = 1.0 - (y0 + jnp.arange(height, dtype=jnp.float32) + 0.5) / ph * 2.0
     xx, yy = jnp.meshgrid(x, y)
     return jnp.stack([xx, yy], axis=-1)
 
 
 def camera_rays(inv_view_proj: jnp.ndarray, eye: jnp.ndarray,
-                height: int, width: int):
+                height: int, width: int, y0: int = 0,
+                proj_height: int | None = None):
     """Per-pixel world-space rays.
 
     Returns (origins (H,W,3), directions (H,W,3) normalized).
     Unprojects NDC points at depth 0 (near) and 1 (far) and takes the
     difference, so it is exact for any projection matrix.
     """
-    ndc = pixel_ndc(height, width)                      # (H, W, 2)
+    ndc = pixel_ndc(height, width, y0, proj_height)     # (H, W, 2)
 
     def unproject(z):
         p = jnp.concatenate(

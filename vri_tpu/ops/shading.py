@@ -109,8 +109,11 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
              - scene.instance_face_offset[finst])
     fcut = (scene.mat_cutoff[fmat] if scene.mat_cutoff is not None
             else jnp.zeros_like(fmat, jnp.float32))
+    # shared-prototype layout: per-corner st lives in the prototype pool
+    f_uv = (scene.tri_uv if scene.tri_proto is None
+            else scene.tri_uv[scene.tri_proto])
     table = jnp.concatenate(
-        [fverts.reshape(-1, 9), scene.tri_uv.reshape(-1, 6), fn,
+        [fverts.reshape(-1, 9), f_uv.reshape(-1, 6), fn,
          scene.mat_base_color[fmat], scene.mat_emissive[fmat],
          finst.astype(jnp.float32)[:, None],
          fmat.astype(jnp.float32)[:, None],

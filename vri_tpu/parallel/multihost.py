@@ -77,16 +77,27 @@ def merge_scene_partitions(scene: SceneBuffers, host_instance: jnp.ndarray,
         own_vert = own_inst[scene.vertex_instance]          # (V,) bool
         own_face = own_inst[scene.tri_instance]             # (F,) bool
 
-        # which ownership mask partitions each pool
+        # which ownership mask partitions each pool.  Under shared-
+        # prototype instancing the prototype pools (positions/tri_uv/
+        # tri_face) are stage LAYOUT — identical on every host — so they
+        # pass through; the expanded index arrays partition per owner.
+        proto = scene.tri_proto is not None
         by_mask = {
-            "positions": own_vert, "vertex_instance": own_vert,
-            "tri_vertices": own_face, "tri_uv": own_face,
-            "tri_instance": own_face, "tri_face": own_face,
+            "vertex_instance": own_vert,
+            "tri_vertices": own_face,
+            "tri_instance": own_face,
             "instance_transform": own_inst, "instance_material": own_inst,
             "instance_face_offset": own_inst,
             "instance_face_count": own_inst,
             "instance_aabb_lo": own_inst, "instance_aabb_hi": own_inst,
         }
+        if proto:
+            by_mask["vertex_proto"] = own_vert
+            by_mask["tri_proto"] = own_face
+        else:
+            by_mask["positions"] = own_vert
+            by_mask["tri_uv"] = own_face
+            by_mask["tri_face"] = own_face
 
         def one(name, a):
             if a is None or (hasattr(a, "size") and a.size == 0):

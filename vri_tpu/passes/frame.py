@@ -52,7 +52,8 @@ class FrameParams:
 
 
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
-                       width, variant: str = "auto"):
+                       width, variant: str = "auto", y0: int = 0,
+                       proj_height: int | None = None):
     """Raster dispatch: group-binned lists for ordinary scenes (big
     triangles dominate; the global tier would overflow), the sort-binned
     kernel beyond ~64k triangles (tessellated scenes: per-triangle exact
@@ -70,7 +71,9 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
     else:
         fn = raster_mod.rasterize_sorted
     hit, _ = fn(world_verts, scene.tri_vertices, scene.num_faces,
-                frame.view_proj, height=height, width=width)
+                frame.view_proj, height=height, width=width,
+                proj_height=proj_height,
+                y_offset=jnp.float32(y0) if y0 else None)
     return hit
 
 
@@ -330,17 +333,20 @@ def pack_temporal(indirect, depth, normal, count, view_proj, eye
 
 
 def _reproject(state: TemporalState, position, normal, valid, height: int,
-               width: int, depth_tol: float = 0.02):
+               width: int, depth_tol: float = 0.02, y0: int = 0,
+               proj_height: int | None = None):
     """Sample the history at each pixel's position reprojected through the
     previous frame's camera; disocclusions (depth mismatch, normal flip —
     which also rejects the thin-wall front/back aliasing a depth test alone
-    cannot see — or off-screen) return count 0 so the blend restarts."""
+    cannot see — or off-screen) return count 0 so the blend restarts.
+    In band mode the history covers rows [y0, y0+height) of a proj_height
+    frame; reprojections landing outside the band restart."""
     clip = jnp.concatenate(
         [position, jnp.ones_like(position[:, :1])], axis=1) @ state.view_proj.T
     w = clip[:, 3]
     ndc = clip[:, :3] / jnp.maximum(w, 1e-6)[:, None]
     px = (ndc[:, 0] * 0.5 + 0.5) * width
-    py = (0.5 - ndc[:, 1] * 0.5) * height
+    py = (0.5 - ndc[:, 1] * 0.5) * (proj_height or height) - y0
     xi = jnp.floor(px).astype(jnp.int32)
     yi = jnp.floor(py).astype(jnp.int32)
     inside = ((w > 1e-6) & (xi >= 0) & (xi < width)
@@ -359,31 +365,40 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
 @functools.partial(jax.jit, static_argnames=("height", "width", "config",
                                              "backend", "samples",
                                              "use_cache", "gi_scale",
-                                             "history_cap"))
+                                             "history_cap", "band"))
 def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
                              cascades, key, state: TemporalState, *,
                              height: int, width: int, config,
                              backend: str = "raster", samples: int = 1,
                              use_cache: bool = False, gi_scale: int = 1,
-                             history_cap: float = 16.0):
+                             history_cap: float = 16.0, band=None):
     """GI frame with temporally reprojected indirect accumulation.
 
     Under camera motion every pixel reuses up to ``history_cap`` frames of
     GI history (validated by reprojected depth), so a flythrough at
     gi_scale=2 / samples=1 converges like a static accumulation with many
     times the marched rays.  Returns (aovs, new_state).
+
+    ``band=(y0, full_height)`` renders rows [y0, y0+height) of a
+    full_height frame — the EXACT per-chip body of the row-sharded
+    multi-chip topology (each chip keeps its band's history; reprojection
+    across band borders restarts accumulation, as it would on-device).
+    Used to measure the v5e-8 per-chip frame time on one real chip.
     """
     from vri_tpu.ops import gi as gi_mod
 
+    y0, proj_h = band if band is not None else (0, None)
     world_verts = bake_world(scene)
     origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
-                                       height, width)
+                                       height, width, y0=y0,
+                                       proj_height=proj_h)
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
     if backend in ("raster", "raster_ranged"):
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
-            variant="ranged" if backend == "raster_ranged" else "auto")
+            variant="ranged" if backend == "raster_ranged" else "auto",
+            y0=y0, proj_height=proj_h)
     else:
         hit = _visibility_brute(scene, world_verts, o, d)
     gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
@@ -406,7 +421,7 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
                          gi_scale, 1).reshape(-1, 3)
 
     h_ind, h_count = _reproject(state, gb.position, gb.normal, gb.valid,
-                                height, width)
+                                height, width, y0=y0, proj_height=proj_h)
     count = jnp.minimum(h_count, history_cap) + 1.0
     ind_blend = h_ind + (ind - h_ind) / count[:, None]
     new_state = pack_temporal(ind_blend, t, gb.normal, count,

@@ -41,13 +41,22 @@ class SceneBuffers:
     """Packed scene, fully device-resident. Shapes are padded capacities;
     live element counts are device scalars used for masking."""
 
-    # geometry pools (object space)
-    positions: jnp.ndarray          # (V, 3) f32
+    # geometry pools (object space).  Two layouts:
+    #   flat  (vertex_proto/tri_proto None): positions/tri_uv/tri_face are
+    #         per-EXPANDED-vertex/face — every instance owns its copies.
+    #   proto (shared-prototype instancing): positions (Vp,3) / tri_uv
+    #         (Fp,3,2) / tri_face (Fp,) are PROTOTYPE pools packed once;
+    #         vertex_proto/tri_proto map the expanded index space onto
+    #         them.  A 10k-instance stage with a 1k-vert prototype packs
+    #         1k verts of geometry + integer index arrays (the reference
+    #         analog: per-draw-item metadata over shared buffers,
+    #         Include/ResourceRegistry.h:30-36).
+    positions: jnp.ndarray          # (V|Vp, 3) f32
     vertex_instance: jnp.ndarray    # (V,)  i32
-    tri_vertices: jnp.ndarray       # (F, 3) i32 — global vertex ids
-    tri_uv: jnp.ndarray             # (F, 3, 2) f32 per-corner st
+    tri_vertices: jnp.ndarray       # (F, 3) i32 — global EXPANDED vert ids
+    tri_uv: jnp.ndarray             # (F|Fp, 3, 2) f32 per-corner st
     tri_instance: jnp.ndarray       # (F,)  i32
-    tri_face: jnp.ndarray           # (F,)  i32 authored-face id (primitive param)
+    tri_face: jnp.ndarray           # (F|Fp,) i32 authored-face id
     # instances (the DrawItemMetaData analog)
     instance_transform: jnp.ndarray  # (I, 4, 4) f32 object->world
     instance_material: jnp.ndarray   # (I,) i32
@@ -78,15 +87,23 @@ class SceneBuffers:
     #: precomputed mip pyramid (ops/texture.MipAtlas) — scene-static, built
     #: once at commit so jitted frames never rebuild the reduction chain
     mip_atlas: Optional[object] = None
+    #: (V,) i32 expanded-vertex -> prototype-vertex (None = flat layout)
+    vertex_proto: Optional[jnp.ndarray] = None
+    #: (F,) i32 expanded-face -> prototype-face (None = flat layout)
+    tri_proto: Optional[jnp.ndarray] = None
 
 
 def bake_world(scene: SceneBuffers) -> jnp.ndarray:
     """Derive world-space vertex positions: gather each vertex's instance
     matrix and transform.  One fused gather + (V,3)x(3,3) contraction — this
     is the TPU replacement for the per-draw push-constant MVP of the
-    reference's visibility pass (Source/RenderPass.cpp:642-664)."""
+    reference's visibility pass (Source/RenderPass.cpp:642-664).  Under
+    shared-prototype instancing the object-space position comes through
+    the vertex_proto indirection (one extra 3-wide row gather)."""
     m = scene.instance_transform[scene.vertex_instance]       # (V, 4, 4)
-    p = jnp.einsum("vij,vj->vi", m[:, :3, :3], scene.positions,
+    pos = scene.positions if scene.vertex_proto is None \
+        else scene.positions[scene.vertex_proto]
+    p = jnp.einsum("vij,vj->vi", m[:, :3, :3], pos,
                    preferred_element_type=jnp.float32) + m[:, :3, 3]
     return p
 
@@ -104,6 +121,9 @@ class MeshRecord:
     transform: np.ndarray       # (4, 4) f32
     material_path: Optional[str]
     extent: np.ndarray          # (2, 3) f32 object-space AABB
+    #: records sharing a prototype key share geometry in the packed pools
+    #: (points/tris/uvs must be the same arrays); None = own geometry
+    proto: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -148,12 +168,13 @@ class ResourceRegistry:
             # any per-face array difference requires a repack: uvs/tri_face
             # feed the packed tri_uv/tri_face pools, so a primvar-only edit
             # (DirtyBits.PRIMVAR resync) must also mark geometry dirty
-            if (old.points.shape != rec.points.shape
-                    or old.tris.shape != rec.tris.shape
-                    or not np.array_equal(old.tris, rec.tris)
-                    or not np.array_equal(old.points, rec.points)
-                    or not np.array_equal(old.uvs, rec.uvs)
-                    or not np.array_equal(old.tri_face, rec.tri_face)):
+            def _same(a, b):
+                return a is b or (a.shape == b.shape and np.array_equal(a, b))
+            if not (_same(old.points, rec.points)
+                    and _same(old.tris, rec.tris)
+                    and _same(old.uvs, rec.uvs)
+                    and _same(old.tri_face, rec.tri_face)
+                    and old.proto == rec.proto):
                 self._geometry_dirty = True
             if old.material_path != rec.material_path:
                 self._geometry_dirty = True
@@ -313,13 +334,6 @@ class ResourceRegistry:
                 f"scene exceeds limits: {total_v} verts (cap {V}), "
                 f"{total_f} faces (cap {F})")
 
-        positions = np.zeros((V, 3), np.float32)
-        vertex_instance = np.zeros((V,), np.int32)
-        tri_vertices = np.zeros((F, 3), np.int32)
-        tri_uv = np.zeros((F, 3, 2), np.float32)
-        tri_instance = np.zeros((F,), np.int32)
-        tri_face = np.zeros((F,), np.int32)
-
         n_inst = len(self._order)
         icap = max(_round_up(max(n_inst, 1), 8), 8)
         if n_inst > lim.max_instances:
@@ -328,22 +342,92 @@ class ResourceRegistry:
         inst_face_offset = np.zeros((icap,), np.int32)
         inst_face_count = np.zeros((icap,), np.int32)
 
-        voff = foff = 0
-        for i, path in enumerate(self._order):
-            rec = self._meshes[path]
-            nv, nf = len(rec.points), len(rec.tris)
-            positions[voff:voff + nv] = rec.points
-            vertex_instance[voff:voff + nv] = i
-            tri_vertices[foff:foff + nf] = rec.tris + voff
-            tri_uv[foff:foff + nf] = rec.uvs
-            tri_instance[foff:foff + nf] = i
-            tri_face[foff:foff + nf] = rec.tri_face
-            inst_material[i] = slots.get(rec.material_path, 0)
-            inst_face_offset[i] = foff
-            inst_face_count[i] = nf
-            voff += nv
-            foff += nf
-        # padding faces are degenerate (all-zero verts of instance 0)
+        # prototype dedup: records sharing a proto key pack geometry ONCE
+        # (reference analog: per-item metadata over shared buffers,
+        # Include/ResourceRegistry.h:30-36); unique-geometry scenes take
+        # the flat layout with no indirection arrays at all
+        proto_of = {p: (self._meshes[p].proto or p) for p in self._order}
+        proto_keys = list(dict.fromkeys(proto_of.values()))
+        shared = len(proto_keys) < n_inst
+
+        if not shared:
+            positions = np.zeros((V, 3), np.float32)
+            vertex_instance = np.zeros((V,), np.int32)
+            tri_vertices = np.zeros((F, 3), np.int32)
+            tri_uv = np.zeros((F, 3, 2), np.float32)
+            tri_instance = np.zeros((F,), np.int32)
+            tri_face = np.zeros((F,), np.int32)
+            vertex_proto = tri_proto = None
+
+            voff = foff = 0
+            for i, path in enumerate(self._order):
+                rec = self._meshes[path]
+                nv, nf = len(rec.points), len(rec.tris)
+                positions[voff:voff + nv] = rec.points
+                vertex_instance[voff:voff + nv] = i
+                tri_vertices[foff:foff + nf] = rec.tris + voff
+                tri_uv[foff:foff + nf] = rec.uvs
+                tri_instance[foff:foff + nf] = i
+                tri_face[foff:foff + nf] = rec.tri_face
+                inst_material[i] = slots.get(rec.material_path, 0)
+                inst_face_offset[i] = foff
+                inst_face_count[i] = nf
+                voff += nv
+                foff += nf
+            # padding faces are degenerate (all-zero verts of instance 0)
+        else:
+            # prototype pools (packed once per unique proto)
+            first = {}
+            for p in self._order:
+                first.setdefault(proto_of[p], self._meshes[p])
+            pv_off, pf_off = {}, {}
+            vp = fp_ = 0
+            for k in proto_keys:
+                rec = first[k]
+                pv_off[k] = vp
+                pf_off[k] = fp_
+                vp += len(rec.points)
+                fp_ += len(rec.tris)
+            Vp = max(_round_up(vp, lim.pad), lim.pad)
+            Fp = max(_round_up(fp_, lim.pad), lim.pad)
+            positions = np.zeros((Vp, 3), np.float32)
+            tri_uv = np.zeros((Fp, 3, 2), np.float32)
+            tri_face = np.zeros((Fp,), np.int32)
+            proto_tris = np.zeros((Fp, 3), np.int32)   # proto-local ids
+            for k in proto_keys:
+                rec = first[k]
+                vo, fo = pv_off[k], pf_off[k]
+                positions[vo:vo + len(rec.points)] = rec.points
+                tri_uv[fo:fo + len(rec.tris)] = rec.uvs
+                tri_face[fo:fo + len(rec.tris)] = rec.tri_face
+                proto_tris[fo:fo + len(rec.tris)] = rec.tris
+
+            vertex_instance = np.zeros((V,), np.int32)
+            vertex_proto = np.zeros((V,), np.int32)
+            tri_vertices = np.zeros((F, 3), np.int32)
+            tri_instance = np.zeros((F,), np.int32)
+            tri_proto = np.zeros((F,), np.int32)
+            voff = foff = 0
+            for i, path in enumerate(self._order):
+                rec = self._meshes[path]
+                k = proto_of[path]
+                nv, nf = len(rec.points), len(rec.tris)
+                vertex_instance[voff:voff + nv] = i
+                vertex_proto[voff:voff + nv] = np.arange(
+                    pv_off[k], pv_off[k] + nv, dtype=np.int32)
+                tri_vertices[foff:foff + nf] = \
+                    proto_tris[pf_off[k]:pf_off[k] + nf] + voff
+                tri_instance[foff:foff + nf] = i
+                tri_proto[foff:foff + nf] = np.arange(
+                    pf_off[k], pf_off[k] + nf, dtype=np.int32)
+                inst_material[i] = slots.get(rec.material_path, 0)
+                inst_face_offset[i] = foff
+                inst_face_count[i] = nf
+                voff += nv
+                foff += nf
+            log.info("proto pack: %d instances share %d prototypes "
+                     "(%d proto verts for %d expanded)",
+                     n_inst, len(proto_keys), vp, total_v)
 
         transforms, aabb_lo, aabb_hi = self._pack_transforms()
         assert transforms.shape[0] == icap
@@ -409,6 +493,10 @@ class ResourceRegistry:
             num_instances=jnp.asarray(n_inst, jnp.int32),
             num_lights=jnp.asarray(nl, jnp.int32),
             sky_color=jnp.asarray(sky),
+            vertex_proto=(None if vertex_proto is None
+                          else jnp.asarray(vertex_proto)),
+            tri_proto=(None if tri_proto is None
+                       else jnp.asarray(tri_proto)),
         )
         log.info("registry commit: %d instances, %d verts (cap %d), "
                  "%d tris (cap %d), %d materials, %d textures, %d lights",

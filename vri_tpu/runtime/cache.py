@@ -23,25 +23,30 @@ from vri_tpu.runtime import native
 
 log = logging.getLogger("vri_tpu")
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_scene_cache(registry: ResourceRegistry, path: str) -> None:
     arrays = {}
     meta = {"version": _FORMAT_VERSION, "meshes": [], "materials": [],
             "lights": []}
+    geom_of = {}          # proto key -> index whose arrays hold the geometry
     for i, mesh_path in enumerate(registry._order):
         rec = registry._meshes[mesh_path]
-        q, aabb = native.quantize_positions(rec.points)
-        arrays[f"m{i}_pos_q"] = q
-        arrays[f"m{i}_pos_aabb"] = aabb
-        arrays[f"m{i}_tris"] = rec.tris
-        arrays[f"m{i}_tri_face"] = rec.tri_face
-        arrays[f"m{i}_uvs"] = rec.uvs.astype(np.float16)
+        key = rec.proto or mesh_path
+        src = geom_of.setdefault(key, i)
+        if src == i:      # first record of this prototype stores geometry
+            q, aabb = native.quantize_positions(rec.points)
+            arrays[f"m{i}_pos_q"] = q
+            arrays[f"m{i}_pos_aabb"] = aabb
+            arrays[f"m{i}_tris"] = rec.tris
+            arrays[f"m{i}_tri_face"] = rec.tri_face
+            arrays[f"m{i}_uvs"] = rec.uvs.astype(np.float16)
         arrays[f"m{i}_transform"] = rec.transform
         arrays[f"m{i}_extent"] = rec.extent
         meta["meshes"].append({"path": mesh_path,
-                               "material": rec.material_path})
+                               "material": rec.material_path,
+                               "proto": rec.proto, "geom": src})
     for j, mat_path in enumerate(sorted(registry._materials)):
         desc = registry._materials[mat_path]
         arrays[f"mat{j}_base"] = desc.base_color
@@ -82,15 +87,21 @@ def load_scene_cache(registry: ResourceRegistry, path: str) -> None:
             path=m["path"], base_color=z[f"mat{j}_base"],
             emissive=z[f"mat{j}_emissive"], roughness=float(params[0]),
             metallic=float(params[1]), texture=tex))
+    geom_cache = {}       # geometry source index -> decoded arrays (shared)
     for i, m in enumerate(meta["meshes"]):
-        points = native.dequantize_positions(z[f"m{i}_pos_q"],
-                                             z[f"m{i}_pos_aabb"])
+        g = m.get("geom", i)
+        if g not in geom_cache:
+            geom_cache[g] = (
+                native.dequantize_positions(z[f"m{g}_pos_q"],
+                                            z[f"m{g}_pos_aabb"]),
+                z[f"m{g}_tris"], z[f"m{g}_tri_face"],
+                z[f"m{g}_uvs"].astype(np.float32))
+        points, tris, tri_face, uvs = geom_cache[g]
         registry.push_mesh(MeshRecord(
-            path=m["path"], points=points, tris=z[f"m{i}_tris"],
-            tri_face=z[f"m{i}_tri_face"],
-            uvs=z[f"m{i}_uvs"].astype(np.float32),
+            path=m["path"], points=points, tris=tris,
+            tri_face=tri_face, uvs=uvs,
             transform=z[f"m{i}_transform"], material_path=m["material"],
-            extent=z[f"m{i}_extent"]))
+            extent=z[f"m{i}_extent"], proto=m.get("proto")))
     for k, l in enumerate(meta["lights"]):
         v = z[f"l{k}"]
         kind = int(v[7]) if len(v) > 7 else 0

@@ -40,7 +40,9 @@ def validate_scene(scene: SceneBuffers, raise_on_error: bool = False
     nf = int(scene.num_faces)
     ni = int(scene.num_instances)
 
-    pos = np.asarray(scene.positions[:nv])
+    # proto layout: positions is the prototype pool, smaller than nv
+    npos = scene.positions.shape[0] if scene.vertex_proto is not None else nv
+    pos = np.asarray(scene.positions[:npos])
     if not np.isfinite(pos).all():
         out.append(Finding("error", "non-finite vertex positions"))
     tris = np.asarray(scene.tri_vertices[:nf])
