@@ -286,3 +286,29 @@ class TestMultiHost:
             assert np.asarray(b).dtype == np.asarray(a).dtype, f
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-6, err_msg=f)
+
+
+class TestShardedBuild:
+    """SDF build tier over sharded cascade z-slabs (parallel/halo.py):
+    the design docs (docs/architecture.md) place halo exchange in the
+    BUILD tier; the render tier replicates cascades (HBM analysis there).
+    """
+
+    def test_esd_sharded_matches_dense(self, mesh8):
+        from vri_tpu.ops import sdf_build
+        from vri_tpu.parallel import halo
+
+        rng = np.random.default_rng(3)
+        R = 16
+        occ = rng.random((R, R, R)) < 0.04
+        dense = np.asarray(
+            sdf_build.esd_map(jnp.asarray(occ[None]), max_esd=6)
+        ).reshape(R, R, R)
+
+        def body(slab):
+            return halo.esd_sharded(slab, "tiles", max_esd=6)
+
+        out = shard_map(body, mesh=mesh8, in_specs=P("tiles"),
+                        out_specs=P("tiles"), check_vma=False)(
+            jnp.asarray(occ))
+        np.testing.assert_array_equal(np.asarray(out), dense)

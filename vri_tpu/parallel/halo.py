@@ -72,3 +72,47 @@ def scroll_slab(slab: jnp.ndarray, shift: int, halo: int, axis_name: str
         slab = jnp.concatenate([pad, interior, pad], axis=0)
         return exchange_halo(slab, halo, axis_name)
     return interior
+
+
+def exchange_halo_fill(interior: jnp.ndarray, halo: int, axis_name: str,
+                       fill) -> jnp.ndarray:
+    """Attach ``halo`` ghost planes from ring neighbors WITHOUT wrapping:
+    the global volume's outer boundary gets ``fill`` instead (matching a
+    SAME-padded dense computation).  interior: (slab_z, ...) per-device."""
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    low = interior[:halo]
+    high = interior[-halo:]
+    right = [(i, (i + 1) % n) for i in range(n)]
+    left = [(i, (i - 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(high, axis_name, right)
+    from_right = jax.lax.ppermute(low, axis_name, left)
+    fill_a = jnp.full_like(from_left, fill)
+    from_left = jnp.where(me == 0, fill_a, from_left)
+    from_right = jnp.where(me == n - 1, fill_a, from_right)
+    return jnp.concatenate([from_left, interior, from_right], axis=0)
+
+
+def esd_sharded(occ_slab: jnp.ndarray, axis_name: str, max_esd: int
+                ) -> jnp.ndarray:
+    """Chebyshev empty-space-distance relaxation over a z-slab-sharded
+    occupancy volume — the SDF build tier's halo-exchange consumer.
+
+    Each of the ``max_esd - 1`` relaxation sweeps needs one ghost plane
+    per side (a 3x3x3 min-pool), refreshed over ICI with
+    :func:`exchange_halo_fill`; per sweep the wire carries exactly two
+    (R, R) planes per device pair.  Matches the replicated
+    ``sdf_build.build_march_tables`` ESD exactly (same SAME-padding
+    semantics via the +inf boundary fill).
+
+    occ_slab: (slab_z, R, R) bool — True where a brick exists.
+    Returns (slab_z, R, R) i32 chebyshev distances clipped to
+    [1, max_esd] (occupied cells report 1, like the dense builder).
+    """
+    d = jnp.where(occ_slab, 0.0, float(max_esd))
+    for _ in range(max_esd - 1):
+        ext = exchange_halo_fill(d, 1, axis_name, float(max_esd) + 1.0)
+        pooled = -jax.lax.reduce_window(
+            -ext, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        d = jnp.minimum(d, pooled[1:-1] + 1.0)
+    return jnp.clip(d.astype(jnp.int32), 1, max_esd)
