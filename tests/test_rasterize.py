@@ -245,6 +245,7 @@ class TestSortedRaster:
         hit, _ = rasterize.rasterize_sorted(
             world, scene.tri_vertices, scene.num_faces,
             jnp.asarray(cam.view_proj), height=res, width=res,
-            span_rows=1, span_cols=1,
-            cap_glob=2)   # every multi-tile triangle -> tiny global list
+            tile_h=1, span_rows=1, span_cols=1,
+            cap_glob=2)   # 1-px tile rows: everything outruns the S/M/L
+                          # windows into the tiny global list
         assert int(hit.overflow) > 0

@@ -85,3 +85,53 @@ class TestTemporal:
         err_one = np.abs(one - ref).mean()
         err_many = np.abs(many - ref).mean()
         assert err_many < err_one * 0.7, (err_one, err_many)
+
+    def test_subpixel_pan_matches_static_quality(self, renderer):
+        """Bilinear history (VERDICT r2 weak #4): under a sub-pixel-per-
+        frame pan the accumulated GI must converge about as well as a
+        static accumulation at the same sample count — a nearest-tap
+        history resamples off-grid every frame and decoheres."""
+        import jax
+        from vri_tpu.hydra.camera import make_camera
+        from vri_tpu.passes import frame as frame_mod
+
+        h, w = renderer.config.height, renderer.config.width
+        n_frames = 6
+        cascades = renderer.ensure_cascades(
+            eye=np.asarray([0.0, 0.0, 3.2], np.float32))
+
+        def run(pan_per_frame):
+            """Accumulate n frames ENDING at the same pose (x = 0), so the
+            final views are identical and only the history path differs."""
+            state = frame_mod.init_temporal(h, w)
+            aovs = None
+            for i in range(n_frames):
+                # slow sideways pan, ~0.4 px/frame at 48 px width
+                x = pan_per_frame * (i - (n_frames - 1))
+                eye = np.asarray([x, 0.0, 3.2], np.float32)
+                tgt = np.asarray([x, 0.0, 0.0], np.float32)
+                cam = make_camera(eye, tgt, 45.0, w / h, 0.05, 100.0)
+                aovs, state = frame_mod.render_frame_gi_temporal(
+                    renderer.scene,
+                    frame_mod.FrameParams.from_camera(cam, h), cascades,
+                    jax.random.fold_in(jax.random.PRNGKey(7), i), state,
+                    height=h, width=w, config=renderer.config.sdf,
+                    use_cache=True)
+            return aovs
+
+        static = run(0.0)
+        panned = run(0.02)
+        hs = np.asarray(static["gi_history"])
+        hp = np.asarray(panned["gi_history"])
+        hit = np.asarray(static["depth"]) < 1e9
+        # the pan keeps (nearly) as much history as the static accumulation
+        assert hp[hit].mean() >= 0.8 * hs[hit].mean(), \
+            (hp[hit].mean(), hs[hit].mean())
+        # and the panned result stays close to the static one (no smear /
+        # decoherence): compare where both have full history
+        cs = np.asarray(static["color"])
+        cp = np.asarray(panned["color"])
+        both = hit & (hp >= n_frames - 1) & (hs >= n_frames - 1)
+        assert both.mean() > 0.3
+        rmse = float(np.sqrt(((cs - cp) ** 2)[both].mean()))
+        assert rmse < 0.12, rmse
