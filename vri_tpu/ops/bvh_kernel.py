@@ -1,0 +1,213 @@
+"""Pallas wavefront (packet) LBVH traversal — the north-star experiment.
+
+BASELINE.json names "ray-scene intersection as a Pallas wavefront
+LBVH-traversal kernel over an HBM-resident BVH" as a design north star;
+round 2 demoted the XLA ``while_loop`` traversal (ops/bvh.py) to a
+correctness oracle on XLA-level evidence only.  This module is the
+KERNEL-level experiment the verdict asked for: the strongest TPU
+formulation we could construct, measured honestly (numbers in
+docs/ROADMAP.md), keeping or demoting the raster on kernel-level evidence.
+
+Formulation — per-BLOCK packet traversal (the Embree-style SIMD answer to
+divergence, adapted to a 1024-lane machine):
+
+* rays are processed in 1024-ray blocks, one per grid step, held as
+  (8, 128) component planes (the native f32 tile; (P, 1) or (P, 3)
+  layouts pad the minor dim to 128 and blow scoped VMEM), so a block's
+  rays share most of their traversal (primary rays);
+* the whole node table and the Morton-ordered triangle table live in
+  VMEM for the kernel's lifetime (up to ~100k triangles; the implicit
+  heap needs no child pointers, ops/bvh.py:71-84);
+* ONE shared stack in SMEM drives the whole block: a node is descended
+  when ANY lane's ray hits its AABB (wave-uniform control flow — the
+  reference's trace relies on the same trick at wave width 32/64,
+  ffx_brixelizer_trace_ops.h:114-116; here the "wave" is 1024 lanes);
+* leaves intersect all lanes against ``leaf_size`` triangles with the
+  triangle constants broadcast from their table rows (Moller-Trumbore,
+  one unrolled step per triangle, all (8, 128) VPU math).
+
+The structural weakness this measures: a lock-step machine pays the
+UNION of 1024 rays' traversals, serialized through a scalar-driven
+``while_loop`` whose per-iteration cost is fixed; the raster kernel gets
+the same visibility answer from dense (pixel x triangle) blocks with no
+data-dependent control flow at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vri_tpu.ops.bvh import BVH
+from vri_tpu.ops.intersect import HitRecord
+
+_ROWS, _LANES = 8, 128
+_BLOCK = _ROWS * _LANES
+
+
+def _pack_bvh(bvh: BVH):
+    """Node and triangle tables in kernel layout.
+
+    nodes: (2L-1, 8) f32 [lo3 | hi3 | pad2]; tris: (Fp, 12) f32
+    [v0 | e1 | e2 | slot_id | valid | pad].
+    """
+    n = bvh.node_lo.shape[0]
+    nodes = jnp.concatenate(
+        [bvh.node_lo, bvh.node_hi, jnp.zeros((n, 2), jnp.float32)], axis=1)
+    fp = bvh.v0.shape[0]
+    tris = jnp.concatenate(
+        [bvh.v0, bvh.e1, bvh.e2,
+         jnp.arange(fp, dtype=jnp.float32)[:, None],
+         bvh.slot_valid.astype(jnp.float32)[:, None],
+         jnp.zeros((fp, 1), jnp.float32)], axis=1)
+    return nodes, tris
+
+
+def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     nodes_ref, tris_ref, t_out, tri_out,
+                     stack_ref, *, num_leaves: int, leaf_size: int,
+                     max_nodes: int):
+    shp = (_ROWS, _LANES)
+    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    safe = lambda d: 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    ix, iy, iz = safe(dx), safe(dy), safe(dz)
+
+    stack_ref[0] = 0                          # root
+    init = (jnp.int32(1),                     # sp
+            jnp.int32(0),                     # visited (safety bound)
+            jnp.full(shp, 3.0e38, jnp.float32),      # best t
+            jnp.full(shp, -1.0, jnp.float32))        # best slot id
+
+    def cond(state):
+        sp, visited, _, _ = state
+        return (sp > 0) & (visited < max_nodes)
+
+    def body(state):
+        sp, visited, best_t, best_id = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        nrow = nodes_ref[pl.ds(node, 1), :]               # (1, 8)
+        cst = lambda j: jnp.broadcast_to(nrow[0, j], shp)
+        # slab test, component form
+        tmin = jnp.full(shp, -3.0e38, jnp.float32)
+        tmax = jnp.full(shp, 3.0e38, jnp.float32)
+        for (j, o_c, inv_c) in ((0, ox, ix), (1, oy, iy), (2, oz, iz)):
+            t0 = (cst(j) - o_c) * inv_c
+            t1 = (cst(j + 3) - o_c) * inv_c
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t)
+        any_hit = jnp.any(hit)
+
+        is_leaf = node >= num_leaves - 1
+
+        def leaf_case(sp, best_t, best_id):
+            leaf = node - (num_leaves - 1)
+            rows = tris_ref[pl.ds(leaf * leaf_size, leaf_size), :]
+            # one unrolled Moller-Trumbore step per leaf triangle; all
+            # triangle constants broadcast to the (8, 128) ray planes
+            for k in range(leaf_size):
+                c = lambda j: jnp.broadcast_to(rows[k, j], shp)
+                e1x, e1y, e1z = c(3), c(4), c(5)
+                e2x, e2y, e2z = c(6), c(7), c(8)
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+                tvx, tvy, tvz = ox - c(0), oy - c(1), oz - c(2)
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                ok = ((rows[k, 10] > 0.5) & (jnp.abs(det) > 1e-12)
+                      & (u >= 0) & (v >= 0) & (u + v <= 1)
+                      & (t > 1e-4) & (t < best_t))
+                best_id = jnp.where(ok, c(9), best_id)
+                best_t = jnp.where(ok, t, best_t)
+            return sp, best_t, best_id
+
+        def inner_case(sp, best_t, best_id):
+            stack_ref[sp] = 2 * node + 1
+            stack_ref[sp + 1] = 2 * node + 2
+            return sp + 2, best_t, best_id
+
+        def hit_case(args):
+            sp, best_t, best_id = args
+            return jax.lax.cond(is_leaf, leaf_case, inner_case,
+                                sp, best_t, best_id)
+
+        sp, best_t, best_id = jax.lax.cond(
+            any_hit, hit_case, lambda a: a, (sp, best_t, best_id))
+        return sp, visited + 1, best_t, best_id
+
+    _, _, best_t, best_id = jax.lax.while_loop(cond, body, init)
+    t_out[:, :] = best_t
+    tri_out[:, :] = best_id.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_nodes"))
+def trace_packet(bvh: BVH, origins: jnp.ndarray, dirs: jnp.ndarray,
+                 *, max_nodes: int = 16384,
+                 interpret: bool | None = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace rays through the BVH with the packet kernel.
+
+    Returns (t (N,), slot_id (N,)) — slot ids index the BVH's
+    Morton-sorted triangle order (map through ``bvh.order`` for source
+    ids).  ``max_nodes`` bounds the shared-stack walk per block (safety
+    valve against adversarial blocks; counted conservatively).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = origins.shape[0]
+    pad = (-n) % _BLOCK
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad, 3), jnp.float32)])
+        dirs = jnp.concatenate(
+            [dirs, jnp.ones((pad, 3), jnp.float32)])
+    np_ = origins.shape[0]
+    rows = np_ // _LANES
+    planes = [a[:, j].reshape(rows, _LANES)
+              for a in (origins, dirs) for j in range(3)]
+    nodes, tris = _pack_bvh(bvh)
+    grid = (np_ // _BLOCK,)
+    kernel = functools.partial(
+        _traverse_kernel, num_leaves=bvh.num_leaves,
+        leaf_size=bvh.leaf_size, max_nodes=max_nodes)
+    ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    t, tri = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # whole node table
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # whole tri table
+        ],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((256,), jnp.int32)],
+        interpret=interpret,
+    )(*planes, nodes, tris)
+    return t.reshape(-1)[:n], tri.reshape(-1)[:n]
+
+
+def trace_packet_hits(bvh: BVH, origins, dirs, **kw) -> HitRecord:
+    """HitRecord adapter (source triangle ids via bvh.order)."""
+    t, slot = trace_packet(bvh, origins, dirs, **kw)
+    hit = slot >= 0
+    tri = jnp.where(hit, bvh.order[jnp.maximum(slot, 0)], -1)
+    return HitRecord(t=jnp.where(hit, t, jnp.float32(3.0e38)), tri=tri,
+                     u=jnp.zeros_like(t), v=jnp.zeros_like(t))

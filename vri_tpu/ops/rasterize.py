@@ -571,14 +571,18 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
     zero = jnp.zeros((p, 1), jnp.float32)
     pixmat = jnp.concatenate([px, py, one, zero], axis=1)     # (P, 4)
     tc = tri_chunk
-    assert num_subs <= 16, "sub index rides 4 low mantissa bits"
 
-    # per-LANE best as ONE int32 key: depth bit pattern with the sub index
-    # in the 4 low mantissa bits (z >= 0 so bit order == float order;
-    # costs 2^-19 relative depth resolution).  One min per sub — no
-    # select chains, no per-sub cross-lane reduction.
-    miss = 1073741824 | 15                     # f32 2.0 bits, worst sub
-    best_ref[:, :] = jnp.full((p, tc), miss, jnp.int32)
+    # per-LANE best depth + best slot id tracked together in ONE walk:
+    # best_ref = nearest z this lane has seen (misses carry 2.0),
+    # sid_ref = the slot id that produced it.  One min + one masked
+    # select per sub; the cross-lane reduction happens once at the end
+    # (a second pl.when walk just to recover the winner's slot id
+    # measured ~2x the whole kernel; full f32 depth precision kept).
+    # sid_ref is deliberately NOT initialized: a lane is only read back
+    # when it won the cross-lane min, which implies it was written by the
+    # sub that produced the win; no-hit pixels (z stays 2.0) are masked
+    # by the z <= 1 test before sid is used.
+    best_ref[:, :] = jnp.full((p, tc), 2.0, jnp.float32)
     for s in range(num_subs):
         @pl.when(((active >> s) & 1) != 0)
         def _(s=s):
@@ -592,29 +596,22 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
             ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
                   & (l1 + l2 <= 1.0) & (z <= 1.0))
             zm = jnp.where(ok, z, 2.0)
-            key = (jax.lax.bitcast_convert_type(zm, jnp.int32)
-                   & jnp.int32(~15)) | s
-            best_ref[:, :] = jnp.minimum(best_ref[:, :], key)
+            prev = best_ref[:, :]
+            upd = zm < prev                    # ties keep the earlier sub
+            sid = jnp.broadcast_to(tri_ref[0, s, 3:4, 0:tc], (p, tc))
+            best_ref[:, :] = jnp.where(upd, zm, prev)
+            sid_ref[:, :] = jnp.where(upd, sid, sid_ref[:, :])
 
     bk = best_ref[:, :]
-    kmin = jnp.min(bk, axis=-1, keepdims=True)            # (P, 1)
-    z = jax.lax.bitcast_convert_type(kmin & jnp.int32(~15), jnp.float32)
-    s_win = kmin & 15
+    z = jnp.min(bk, axis=-1, keepdims=True)               # (P, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
-    k = jnp.min(jnp.where(bk == kmin, lane, jnp.int32(2 ** 30)),
+    k = jnp.min(jnp.where(bk == z, lane, jnp.int32(2 ** 30)),
                 axis=-1, keepdims=True)
-    sel = lane == k                                       # winner lane
-    sid_ref[:, :] = jnp.zeros((p, 1), jnp.float32)
-    for s in range(num_subs):
-        @pl.when(((active >> s) & 1) != 0)
-        def _(s=s):
-            sid = jnp.broadcast_to(tri_ref[0, s, 3:4, 0:tc], (p, tc))
-            pick = sel & (s_win == s)
-            sid_ref[:, :] = sid_ref[:, :] + jnp.sum(
-                jnp.where(pick, sid, 0.0), axis=-1, keepdims=True)
+    sid = jnp.sum(jnp.where(lane == k, sid_ref[:, :], 0.0),
+                  axis=-1, keepdims=True)
     hit = z <= 1.0
     z_out[:, :] = jnp.where(hit, z, 3.0e38).reshape(tile_h, tile_w)
-    slot_out[:, :] = jnp.where(hit, sid_ref[:, :].astype(jnp.int32), -1) \
+    slot_out[:, :] = jnp.where(hit, sid.astype(jnp.int32), -1) \
         .reshape(tile_h, tile_w)
 
 
@@ -857,12 +854,18 @@ def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         in_specs=in_specs,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((p, tri_chunk), jnp.int32),
-                        pltpu.VMEM((p, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((p, tri_chunk), jnp.float32),
+                        pltpu.VMEM((p, tri_chunk), jnp.float32)],
         interpret=interpret,
     )(meta, data)
 
-    # ---- XLA resolve: winner slot -> attributes ---------------------------
+    return _resolve_frame(z, slot, tx, ty, tw, b1, b2, src_sorted,
+                          overflowed, height=height, width=width)
+
+
+def _resolve_frame(z, slot, tx, ty, tw, b1, b2, src_sorted, overflowed,
+                   *, height, width):
+    """XLA resolve: per-pixel winner slot -> (HitRecord, z)."""
     z = z[:height, :width]
     slot = slot[:height, :width]
     hit_mask = slot >= 0
@@ -950,12 +953,15 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     Each triangle whose screen bbox spans <= span_rows x span_cols tiles
     emits one (tile, slot) pair per covered tile (<= 8 by default — the
     TPU-native indirect-draw batching; per-draw loop analog
-    RenderPass.cpp:642-664); one ``sort_key_val`` + searchsorted builds
-    front-packed per-tile lists, so the occupancy-adaptive kernel walks
-    exactly ceil(count/128) sub-chunks per tile — the mean Kitchen-Set
-    tile walks 1-2.  Wider triangles go to the ``cap_glob`` global list
-    every tile walks.  Capacity overflow sets ``HitRecord.overflow``
-    (callers fall back to the capacity-free ranged kernel).
+    RenderPass.cpp:642-664); wider triangles emit through a ladder of
+    compacted id lists with progressively wider emission windows, ending
+    in a whole-grid window (``cap_glob`` ids) so even screen-dominating
+    triangles land in exact per-tile lists.  One ``sort_key_val`` +
+    binary search builds front-packed per-tile lists; the
+    occupancy-adaptive kernel walks ~ceil(count/128) sub-chunks per tile
+    — the mean Kitchen-Set tile walks 1-2.  Capacity overflow sets
+    ``HitRecord.overflow`` (callers fall back to the capacity-free
+    ranged kernel).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1026,11 +1032,17 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     # into ``overflowed`` (the renderer falls back to the ranged kernel).
     slot_ids = jnp.arange(fp, dtype=jnp.int32)
     sr, sc = span_rows, span_cols
-    ladder = [  # (row window, col window, id-list cap divisor) — sized
-                # against measured kitchen-stress class counts with slack
-        (2 * sr, sc, 3),
-        (4 * sr, sc, 8),
-        (16 * sr, 2 * sc, 64),
+    ladder = [  # (row window, col window, id-list cap) — sized against
+                # measured kitchen-stress class counts with slack; the
+                # last class's window covers the whole tile grid, so
+                # screen-dominating triangles land in exact per-tile
+                # lists too (a shared "global list" walked by every tile
+                # measured 1.4k extra sub-walks at 49k tris — most tiles
+                # are NOT covered by any given large triangle)
+        (2 * sr, sc, max(fp // 3, 512)),
+        (4 * sr, sc, max(fp // 8, 512)),
+        (16 * sr, 2 * sc, max(fp // 64, 512)),
+        (grid[0] + 1, grid[1] + 1, cap_glob),
     ]
     is_s = vis & (rows_of < sr) & (cols_of < sc)
     keys_l = []
@@ -1040,10 +1052,9 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     vals_l.append(vs_)
     taken = is_s
     class_overflow = jnp.int32(0)
-    for wr, wc, div in ladder:
+    for wr, wc, cap_ids in ladder:
         mine = vis & ~taken & (rows_of < wr) & (cols_of < wc)
         taken = taken | mine
-        cap_ids = max(fp // div, 512)
         ids = jnp.nonzero(mine, size=cap_ids, fill_value=fp)[0] \
             .astype(jnp.int32)
         class_overflow += jnp.maximum(
@@ -1059,42 +1070,138 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     starts = _binsearch_first_geq(
         skeys, jnp.arange(num_tiles + 1, dtype=jnp.uint32))
     count = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    k_ids = jnp.arange(cap, dtype=jnp.int32)
-    gidx = starts[:num_tiles, None].astype(jnp.int32) + k_ids[None, :]
-    in_seg = k_ids[None, :] < count[:, None]
 
-    # wide-row gathers end-to-end: narrow s32 gathers run on the TPU's
-    # scalar core (a (tiles, cap) svals gather measured 14.8 ms; the same
-    # data as two 10-wide f32 row gathers vectorizes to ~3 ms).  Gather
-    # the packed per-slot rows once over the sorted pair stream, then
-    # gather tile rows from the stream.
+    # CHUNKED list fetch: per-tile slot windows are fetched as whole
+    # 128-slot chunks of the sorted stream, starting at the tile's
+    # aligned chunk.  The <=127 leading slots belong to earlier tiles and
+    # the trailing chunk may run into later tiles — both are BENIGN: the
+    # kernel's half-plane/z tests delimit each triangle exactly, so a
+    # foreign slot either re-adds coverage this tile also emitted (bbox
+    # emission is conservative) or covers no pixel here.  Gathering 5 KB
+    # contiguous chunks keeps the gather on the vector path — the
+    # front-packed (tiles, cap) row gather this replaces lowered to a
+    # {0,1}-layout strided gather measured at 12.8 ms/frame.
+    tc = tri_chunk
     fp_ids = jnp.arange(fp, dtype=jnp.float32)[:, None]
     packed = jnp.concatenate([tx, ty, tz, fp_ids], axis=1)   # (fp, 10)
     stream = packed[svals]                                # (pairs, 10)
     dead = packed[fill]                                   # tz = 10 row
-    rows_t = stream[jnp.minimum(gidx, stream.shape[0] - 1)]
-    rows_t = jnp.where(in_seg[..., None], rows_t, dead[None, None, :])
+    pairs_pad = _round_up(stream.shape[0] + 1, tc)
+    stream = jnp.concatenate(
+        [stream, jnp.broadcast_to(dead[None, :],
+                                  (pairs_pad - stream.shape[0], 10))])
+    chunks = stream.reshape(pairs_pad // tc, tc, 10) \
+        .transpose(0, 2, 1)                               # (C, 10, TC)
 
-    large = vis & ~taken
-    gpos = jnp.nonzero(large, size=cap_glob, fill_value=-1)[0]
-    glob = jnp.where(gpos >= 0, gpos, fill).astype(jnp.int32)
-    n_large = jnp.sum(large.astype(jnp.int32))
-    glob_pad = _round_up(cap_glob, tri_chunk)
-    if glob_pad > cap_glob:
-        glob = jnp.concatenate(
-            [glob, jnp.full((glob_pad - cap_glob,), fill, jnp.int32)])
-    glob_rows = packed[glob]                              # (glob_pad, 10)
-    rows_full = jnp.concatenate(
-        [rows_t, jnp.broadcast_to(glob_rows[None],
-                                  (num_tiles,) + glob_rows.shape)], axis=1)
+    max_subs = cap // tc + 1            # +1: aligned-start slack
+    start_chunk = starts[:num_tiles].astype(jnp.int32) // tc
+    end = starts[1:].astype(jnp.int32)
+    span = end - start_chunk * tc
+    nsub = jnp.where(count > 0,
+                     jnp.clip((span + tc - 1) // tc, 0, max_subs), 0)
+    cidx = jnp.minimum(start_chunk[:, None]
+                       + jnp.arange(max_subs, dtype=jnp.int32)[None, :],
+                       pairs_pad // tc - 1)
+    rows_c = chunks[cidx]                          # (tiles, S, 10, TC)
 
-    overflowed = (count > cap) | (n_large > cap_glob) | (clip_over > 0) \
-        | (class_overflow > 0)
-    seg_counts = [(jnp.minimum(count, cap), cap),
-                  (jnp.minimum(n_large, cap_glob), glob_pad)]
-    return _slots_to_frame(
-        tx, ty, tz, tw, b1, b2, src_sorted, None, overflowed,
-        height=height, width=width, hp=hp, wp=wp, grid=grid, tile_h=tile_h,
-        tile_w=tile_w, tri_chunk=tri_chunk,
-        kernel_slots=rows_full.shape[1], interpret=interpret,
-        seg_counts=seg_counts, rows=rows_full)
+    sub_i = jnp.arange(max_subs, dtype=jnp.int32)[None, :]
+    bits = jnp.sum(jnp.where(sub_i < nsub[:, None],
+                             jnp.int32(1) << sub_i, 0),
+                   axis=1, dtype=jnp.int32)
+
+    overflowed = (span > max_subs * tc) \
+        | (clip_over > 0) | (class_overflow > 0)
+    return _chunks_to_frame(
+        rows_c, bits, tx, ty, tw, b1, b2, src_sorted,
+        jnp.sum(overflowed.astype(jnp.int32)) > 0,
+        height=height, width=width, hp=hp, wp=wp, grid=grid,
+        tile_h=tile_h, tile_w=tile_w, tri_chunk=tc, interpret=interpret)
+
+
+def _chunks_to_frame(rows_c, bits, tx, ty, tw, b1, b2, src_sorted,
+                     overflowed, *, height, width, hp, wp, grid, tile_h,
+                     tile_w, tri_chunk, interpret):
+    """Back half of the chunked sorted path: tile-local coefficients on
+    128-minor layouts, the shared Pallas kernel, and the resolve.
+
+    ``rows_c`` is (tiles, S, 10, TC) packed slot rows [x3 | y3 | z3 |
+    slot id]; ``bits`` is the per-tile sub activity bitmask.
+    """
+    num_tiles, num_subs, _, tc = rows_c.shape
+    tile_x0 = ((jnp.arange(num_tiles) % grid[1]) * tile_w
+               ).astype(jnp.float32)[:, None, None]
+    tile_y0 = ((jnp.arange(num_tiles) // grid[1]) * tile_h
+               ).astype(jnp.float32)[:, None, None]
+
+    ax = rows_c[:, :, 0] - tile_x0                   # (tiles, S, TC)
+    bx = rows_c[:, :, 1] - tile_x0
+    cx = rows_c[:, :, 2] - tile_x0
+    ay = rows_c[:, :, 3] - tile_y0
+    by = rows_c[:, :, 4] - tile_y0
+    cy = rows_c[:, :, 5] - tile_y0
+    az = rows_c[:, :, 6]
+    bz = rows_c[:, :, 7]
+    cz = rows_c[:, :, 8]
+    sid = rows_c[:, :, 9]
+
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    dead = (az >= 9.0) | (jnp.abs(area) <= 1e-12)
+    inv = jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, area))
+    ka1 = -(ay - cy) * inv
+    kb1 = (ax - cx) * inv
+    kc1 = (cx * (ay - cy) - cy * (ax - cx)) * inv
+    ka2 = -(by - ay) * inv
+    kb2 = (bx - ax) * inv
+    kc2 = (ax * (by - ay) - ay * (bx - ax)) * inv
+    dz1, dz2 = bz - az, cz - az
+    azc = ka1 * dz1 + ka2 * dz2
+    bzc = kb1 * dz1 + kb2 * dz2
+    czc = az + kc1 * dz1 + kc2 * dz2
+    czc = jnp.where(dead, 10.0, czc)   # (1-z) >= 0 test culls dead slots
+    azc = jnp.where(dead, 0.0, azc)
+    bzc = jnp.where(dead, 0.0, bzc)
+
+    def fld(a, b, c):                  # -> (tiles, S, 3, TC)
+        return jnp.stack([a, b, c], axis=2)
+    coef = jnp.concatenate(
+        [fld(ka1, kb1, kc1), fld(ka2, kb2, kc2), fld(azc, bzc, czc)],
+        axis=3)                                       # (tiles, S, 3, 3*TC)
+    row3 = jnp.concatenate(
+        [sid[:, :, None, :],
+         jnp.zeros((num_tiles, num_subs, 1, 2 * tc), jnp.float32)],
+        axis=3)
+    data = jnp.concatenate([coef, row3], axis=2)      # (tiles, S, 4, 3*TC)
+
+    pad_m = (-num_tiles) % 128
+    if pad_m:
+        bits = jnp.concatenate([bits, jnp.zeros((pad_m,), jnp.int32)])
+    meta = bits.reshape(-1, 128)
+
+    p = tile_h * tile_w
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+    ]
+    out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # activity bitmasks
+        pl.BlockSpec((1, num_subs, 4, 3 * tc),
+                     lambda i, j, nx=grid[1]: (i * nx + j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),      # per-tile coefficients
+    ]
+    kernel = functools.partial(
+        _raster_binned_kernel, tile_h=tile_h, tile_w=tile_w,
+        tri_chunk=tc, num_subs=num_subs, num_tx=grid[1])
+    z, slot = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 2,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((p, tc), jnp.float32),
+                        pltpu.VMEM((p, tc), jnp.float32)],
+        interpret=interpret,
+    )(meta, data)
+    return _resolve_frame(z, slot, tx, ty, tw, b1, b2, src_sorted,
+                          overflowed, height=height, width=width)
