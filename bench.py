@@ -1,9 +1,13 @@
-"""Benchmark: primary visibility throughput (Mrays/s/chip) on the
-Kitchen-Set-scale stress scene at 1920x1080 via the Pallas tiled rasterizer.
+"""Benchmark: primary visibility throughput (Mrays/s/chip) at
+Kitchen-Set-representative scale (~49k triangles, 1920x1080) via the
+sort-built exact-list Pallas rasterizer, plus the production GI frame.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline = BASELINE.json north star (>=200 Mrays/s/chip primary visibility);
-the reference itself publishes no numbers (BASELINE.md).
+the reference itself publishes no numbers (BASELINE.md).  "extra" carries
+the secondary numbers the VERDICT tracks: the small-scene (3k) and stress
+(111k) raster points and the 1080p production GI frame / 135-row band
+(v5e-8 per-chip proxy) times.
 
 Timing notes: through the axon tunnel, per-dispatch overhead is ~5 ms and
 block_until_ready does not synchronize with device execution, so the frame
@@ -29,52 +33,107 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 ITERS = 30
+HEIGHT, WIDTH = 1080, 1920
 
 
-def main():
+def _raster_ms(tess: int) -> float:
+    """In-jit per-frame ms for the sorted-raster visibility pass on the
+    kitchen-stress scene at the given tessellation level."""
     from vri_tpu.config import RenderConfig
     from vri_tpu.hydra.delegate import RenderDelegate
     from vri_tpu.ops import rasterize
     from vri_tpu.registry import bake_world
     from vri_tpu.usd import scenes
 
-    height, width = 1080, 1920
-    d = RenderDelegate(RenderConfig(width=width, height=height))
-    d.populate(scenes.kitchen_stress(num_objects=256))
+    d = RenderDelegate(RenderConfig(width=WIDTH, height=HEIGHT))
+    d.populate(scenes.kitchen_stress(num_objects=256, tess=tess))
     scene = d.sync()
     world = bake_world(scene)
     vp = jnp.asarray(d.camera.view_proj)
 
-    def frame(v):
-        hit, z = rasterize.rasterize_binned(world, scene.tri_vertices,
-                                            scene.num_faces, v,
-                                            height=height, width=width)
-        return z
-
     @jax.jit
     def loop(v0):
         def body(i, v):
-            z = frame(v)
+            hit, z = rasterize.rasterize_sorted(
+                world, scene.tri_vertices, scene.num_faces, v,
+                height=HEIGHT, width=WIDTH)
             # data dependency XLA cannot elide: each frame consumes the last
-            return vp + 0.0 * z[:4, :4]
+            return vp + 0.0 * z[:4, :4] + 0.0 * hit.tri[0]
         return jax.lax.fori_loop(0, ITERS, body, v0)
 
-    # warm / compile, then one fenced run
-    _ = np.asarray(loop(vp))
+    _ = np.asarray(loop(vp))                      # warm / compile
     t0 = time.time()
     _ = np.asarray(loop(vp))
-    per_frame = (time.time() - t0 - 0.04) / ITERS   # 0.04 = readback RTT
+    return (time.time() - t0 - 0.04) / ITERS      # 0.04 = readback RTT
 
-    rays = height * width
-    mrays = rays / per_frame / 1e6
+
+def _gi_ms() -> dict:
+    """1080p production GI frame (gi_scale=2, temporal, 1spp) and the
+    135-row band (the v5e-8 per-chip row-shard proxy), both in-jit."""
+    from vri_tpu.config import RenderConfig, SDFConfig
+    from vri_tpu.passes import frame as frame_mod
+    from vri_tpu.renderer import Renderer
+    from vri_tpu.usd import scenes
+
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT,
+                       sdf=SDFConfig.preset("room"))
+    r = Renderer(cfg)
+    r.load_stage(scenes.kitchen_stress(num_objects=256))
+    cascades = r.ensure_cascades()
+    scene = r.scene
+    fp = frame_mod.FrameParams.from_camera(r.camera, HEIGHT)
+    key = jax.random.PRNGKey(0)
+
+    def bench(h, band, iters=10):
+        st0 = frame_mod.init_temporal(h, WIDTH)
+
+        @jax.jit
+        def loop(st):
+            def body(i, carry):
+                st, acc = carry
+                aovs, st2 = frame_mod.render_frame_gi_temporal(
+                    scene, fp, cascades, jax.random.fold_in(key, i), st,
+                    height=h, width=WIDTH, config=cfg.sdf,
+                    backend="raster", samples=1, use_cache=True,
+                    gi_scale=2, band=band)
+                return st2, acc + aovs["color"][0, 0]
+            return jax.lax.fori_loop(0, iters, body, (st, jnp.zeros(3)))
+
+        _ = np.asarray(loop(st0)[1])
+        t0 = time.time()
+        _ = np.asarray(loop(st0)[1])
+        return (time.time() - t0 - 0.04) / iters * 1e3
+
+    full = bench(HEIGHT, None)
+    band = bench(136, (472, HEIGHT))
+    return {"gi_1080p_ms": round(full, 1),
+            "gi_band135_ms": round(band, 1)}
+
+
+def main():
+    extra = {}
+    per_frame = _raster_ms(tess=4)                # ~49k triangles
+    mrays = HEIGHT * WIDTH / per_frame / 1e6
+    extra["raster_49k_ms"] = round(per_frame * 1e3, 2)
+    for tess, label in ((1, "raster_3k"), (6, "raster_111k")):
+        try:
+            ms = _raster_ms(tess=tess)
+            extra[label + "_mrays"] = round(HEIGHT * WIDTH / ms / 1e6, 1)
+        except Exception as e:                     # pragma: no cover
+            extra[label + "_mrays"] = f"error: {e}"
+    try:
+        extra.update(_gi_ms())
+    except Exception as e:                         # pragma: no cover
+        extra["gi_error"] = str(e)[:200]
 
     baseline = 200.0  # Mrays/s/chip north-star target
     print(json.dumps({
-        "metric": "primary visibility Mrays/s/chip (kitchen-stress 1080p, "
-                  "Pallas raster)",
+        "metric": "primary visibility Mrays/s/chip (kitchen-stress 49k "
+                  "tris, 1080p, sorted Pallas raster)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 3),
+        "extra": extra,
     }))
 
 

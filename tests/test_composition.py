@@ -268,3 +268,99 @@ def Xform "Copy" (
         m = st.prim_at_path("/Copy/M")
         assert m is not None and m.type_name == "Mesh"
         assert np.allclose(st.world_transform(m)[:3, 3], [5, 0, 0])
+
+
+class TestClassArcs:
+    """inherits / specializes (class-prim arcs; the I and S in LIVRPS)."""
+
+    def test_inherits_from_class_prim(self):
+        st = Stage.from_string('''#usda 1.0
+class Xform "_base"
+{
+    double radius = 7
+    def Mesh "Part"
+    {
+        int[] faceVertexCounts = [3]
+    }
+}
+def Xform "A" (
+    prepend inherits = </_base>
+)
+{
+}
+def Xform "B" (
+    inherits = </_base>
+)
+{
+    double radius = 2
+}
+''')
+        a = st.prim_at_path("/A")
+        assert float(a.get("radius")) == 7.0
+        assert st.prim_at_path("/A/Part").type_name == "Mesh"
+        # local opinion stays stronger than the inherit
+        assert float(st.prim_at_path("/B").get("radius")) == 2.0
+
+    def test_inherits_stronger_than_reference(self):
+        st = Stage.from_string('''#usda 1.0
+class "_cls"
+{
+    double v = 1
+}
+def Xform "Src"
+{
+    double v = 2
+    double only_ref = 9
+}
+def Xform "A" (
+    inherits = </_cls>
+    references = </Src>
+)
+{
+}
+''')
+        a = st.prim_at_path("/A")
+        assert float(a.get("v")) == 1.0          # inherit beats reference
+        assert float(a.get("only_ref")) == 9.0   # reference still fills gaps
+
+    def test_specializes_is_weakest(self):
+        st = Stage.from_string('''#usda 1.0
+class "_spec"
+{
+    double v = 5
+    double only_spec = 3
+}
+def Xform "Src"
+{
+    double v = 2
+}
+def Xform "A" (
+    specializes = </_spec>
+    references = </Src>
+)
+{
+}
+''')
+        a = st.prim_at_path("/A")
+        assert float(a.get("v")) == 2.0          # reference beats specialize
+        assert float(a.get("only_spec")) == 3.0  # specialize fills the rest
+
+    def test_abstract_prims_do_not_image(self):
+        st = Stage.from_string('''#usda 1.0
+class Mesh "_template"
+{
+    point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0,1,2]
+}
+def Mesh "real"
+{
+    point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0,1,2]
+}
+''')
+        names = [p.name for p in st.prims_of_type("Mesh")]
+        assert names == ["real"]
+        # ... but the class prim is still addressable as an arc target
+        assert st.prim_at_path("/_template") is not None

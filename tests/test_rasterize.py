@@ -245,7 +245,6 @@ class TestSortedRaster:
         hit, _ = rasterize.rasterize_sorted(
             world, scene.tri_vertices, scene.num_faces,
             jnp.asarray(cam.view_proj), height=res, width=res,
-            tile_h=1, span_rows=1, span_cols=1,
-            cap_glob=2)   # 1-px tile rows: everything outruns the S/M/L
-                          # windows into the tiny global list
+            tile_h=1, pairs_cap=128)  # 1-px tile rows: emission outruns
+                                      # the tiny pair-stream capacity
         assert int(hit.overflow) > 0

@@ -88,13 +88,17 @@ class Stage:
             for p in list(layer.root.children):
                 _merge_weaker(self.root, p, layer.anchor, self.anchor)
         self._reindex()
-        # variant selections (strength: local > variants > references —
-        # the V in LIVRPS); a variant may itself add reference arcs, which
-        # the pass below then resolves
-        for prim in list(self.traverse()):
+        # inherits: class-prim opinions, stronger than variants/references
+        # (the I in LIVRPS) — applied first so later, weaker arcs only fill
+        # remaining gaps
+        self._apply_class_arcs("inherits")
+        # variant selections (strength: local > inherits > variants >
+        # references — LIVRPS); a variant may itself add reference arcs,
+        # which the pass below then resolves
+        for prim in list(self.traverse(include_abstract=True)):
             self._apply_variants(prim)
         # references / payloads on any prim (local opinions stay stronger)
-        for prim in list(self.traverse()):
+        for prim in list(self.traverse(include_abstract=True)):
             arcs = []
             for key in ("references", "payload", "payloads"):
                 v = prim.metadata.get(key)
@@ -103,7 +107,30 @@ class Stage:
                 arcs.extend(v if isinstance(v, list) else [v])
             for arc in arcs:
                 self._apply_reference(prim, arc, depth)
+        # specializes: weakest arc of all (the S in LIVRPS) — fills only
+        # what no other arc authored
+        self._apply_class_arcs("specializes")
         self._reindex()
+
+    def _apply_class_arcs(self, key: str) -> None:
+        """Merge ``inherits``/``specializes`` targets (class prims in this
+        layer stack) into each arc-bearing prim as weaker opinions.  The
+        reference relies on full OpenUSD for these arcs (Main.cpp:33)."""
+        self._reindex()
+        for prim in list(self.traverse(include_abstract=True)):
+            v = prim.metadata.get(key)
+            if v is None:
+                continue
+            for arc in v if isinstance(v, list) else [v]:
+                path = getattr(arc, "path", None) or str(arc)
+                target = self.prim_at_path(path)
+                if target is None or target is prim:
+                    continue
+                if not prim.type_name:
+                    prim.type_name = target.type_name
+                _merge_weaker_into_prim(prim, target, self.anchor,
+                                        self.anchor,
+                                        path_map=(target.path, prim.path))
 
     def _apply_variants(self, prim: Prim) -> None:
         """Compose the selected variant of each variantSet into the prim.
@@ -186,10 +213,19 @@ class Stage:
         """Set the stage time code; timeSamples resolve against it."""
         self.time = time
 
-    def traverse(self) -> Iterator[Prim]:
-        for p in self.root.traverse():
-            if p.name:
-                yield p
+    def traverse(self, include_abstract: bool = False) -> Iterator[Prim]:
+        """Composed prims, depth-first.  Abstract (``class``) prims never
+        image in USD — they exist only as inherit/specialize targets — so
+        they (and their subtrees) are skipped unless ``include_abstract``."""
+        def walk(prim):
+            for c in prim.children:
+                if not c.name:
+                    continue
+                if c.specifier == "class" and not include_abstract:
+                    continue
+                yield c
+                yield from walk(c)
+        yield from walk(self.root)
 
     def prims_of_type(self, type_name: str) -> List[Prim]:
         return [p for p in self.traverse() if p.type_name == type_name]
