@@ -248,3 +248,56 @@ class TestSortedRaster:
             tile_h=1, pairs_cap=128)  # 1-px tile rows: emission outruns
                                       # the tiny pair-stream capacity
         assert int(hit.overflow) > 0
+
+
+class TestOverflowEscalation:
+    """Renderer caps ladder: overflow -> 2x -> 4x lists -> ranged kernel
+    (the graceful middle path before the ~20x capacity-free cliff)."""
+
+    def test_caps_scale_resolves_overflow(self, cornell):
+        res = 48
+        scene, cam = _setup(cornell, res)
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        # 1-px tile rows + a deliberately tiny pair-stream budget
+        # overflow at scale 1 ...
+        h1, _ = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=res, width=res, tile_h=1, pairs_cap=256)
+        assert int(h1.overflow) > 0
+        # ... and the SAME caps at 4x absorb the scene, matching the
+        # capacity-free oracle
+        h4, _ = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=res, width=res, tile_h=1, pairs_cap=256, caps_scale=4)
+        ho, _ = rasterize.rasterize(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=res, width=res)
+        assert int(h4.overflow) == 0
+        same = np.asarray(h4.tri) == np.asarray(ho.tri)
+        assert same.mean() > 0.99       # depth ties may flip winners
+
+    def test_renderer_escalates_on_overflow(self, cornell, monkeypatch):
+        from vri_tpu.config import RenderConfig
+        from vri_tpu.renderer import Renderer
+        import vri_tpu.renderer as renderer_mod
+
+        r = Renderer(RenderConfig(width=32, height=32))
+        r.load_stage(cornell)
+
+        seen = []
+
+        def fake_render_frame(scene, fp, *, height, width, mode=0,
+                              shadows=True, backend="raster"):
+            seen.append(backend)
+            # report overflow until the ranged kernel takes over
+            over = 0 if backend == "raster_ranged" else 1
+            return {"color": jnp.zeros((height, width, 3)),
+                    "depth": jnp.zeros((height, width)),
+                    "raster_overflow_tiles": jnp.int32(over)}
+
+        monkeypatch.setattr(renderer_mod.frame_mod, "render_frame",
+                            fake_render_frame)
+        for _ in range(4):
+            r.render(gi=False, backend="raster")
+        assert seen == ["raster", "raster2x", "raster4x", "raster_ranged"]

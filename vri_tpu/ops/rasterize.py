@@ -617,12 +617,13 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap_groups",
-    "kernel_slots", "interpret", "proj_height"))
+    "kernel_slots", "caps_scale", "interpret", "proj_height"))
 def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
                      cap_groups: int = 64, kernel_slots: int = 512,
+                     caps_scale: int = 1,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
@@ -644,6 +645,10 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    # caps_scale: the renderer's graceful overflow response
+    cap_groups = cap_groups * caps_scale
+    kernel_slots = kernel_slots * caps_scale
 
     group = 8   # measured best: finer groups (4) overflow scattered tiles
                 # at equal slot capacity and only save ~5% frame time
@@ -937,13 +942,13 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap",
-    "cap_glob", "pairs_cap", "interpret", "proj_height"))
+    "cap_glob", "pairs_cap", "caps_scale", "interpret", "proj_height"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
                      cap: int = 1024, cap_glob: int = 512,
-                     pairs_cap: int | None = None,
+                     pairs_cap: int | None = None, caps_scale: int = 1,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
@@ -966,13 +971,20 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # caps_scale: the renderer's graceful overflow response (doubling the
+    # list capacities costs far less than the 20x ranged-kernel cliff)
+    cap = cap * caps_scale
+    cap_glob = cap_glob * caps_scale
+    if pairs_cap is not None:
+        pairs_cap = pairs_cap * caps_scale
+
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
     grid = (hp // tile_h, wp // tile_w)
     num_tiles = grid[0] * grid[1]
     cap = _round_up(cap, tri_chunk)
 
-    extra = max(tri_vertices.shape[0] // 16, 256)
+    extra = max(tri_vertices.shape[0] // 16, 256) * caps_scale
     tx, ty, tz, tw, b1, b2, src_id, valid, clip_over = \
         triangle_setup_clipped(
             world_verts, tri_vertices, num_faces, view_proj,
@@ -1137,7 +1149,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         # past them) are ever walked, so the stream gather need not
         # materialize the full emission \u2014 just enough for any real
         # scene's exact per-tile coverage (overflow-checked below)
-        pairs_cap = min(keys.shape[0], max(4 * fp, 128 * 1024))
+        pairs_cap = min(keys.shape[0],
+                        max(4 * fp, 128 * 1024) * caps_scale)
     pairs_cap = _round_up(pairs_cap, tc)
 
     # Per-slot affine coefficients in a TRIANGLE-LOCAL frame (origin =

@@ -51,29 +51,49 @@ class FrameParams:
                    pixel_spread=jnp.asarray(spread, jnp.float32))
 
 
+def _raster_variant(backend: str) -> tuple:
+    """Parse a raster backend string -> (variant, caps_scale).
+
+    ``raster`` = list kernels at default capacities; ``raster2x`` /
+    ``raster4x`` = the same with doubled/quadrupled list capacities (the
+    renderer's graceful overflow escalation); ``raster_ranged`` = the
+    exact, capacity-free chunk-range kernel (the last-resort fallback —
+    ~20x slower at 111k tris, so the caps ladder comes first)."""
+    if backend == "raster_ranged":
+        return "ranged", 1
+    if backend in ("raster2x", "raster4x"):
+        return "auto", int(backend[6])
+    return "auto", 1
+
+
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto", y0: int = 0,
-                       proj_height: int | None = None):
+                       proj_height: int | None = None,
+                       caps_scale: int = 1):
     """Raster dispatch: group-binned lists for ordinary scenes (big
     triangles dominate; the global tier would overflow), the sort-binned
     kernel beyond ~64k triangles (tessellated scenes: per-triangle exact
     lists, O(F log F) — the (tiles x groups) binning matrix stops scaling).
     ``variant='ranged'`` forces the chunk-range kernel — the exact,
     capacity-free fallback when a list kernel reports overflow
-    (HitRecord.overflow > 0)."""
+    (HitRecord.overflow > 0); ``caps_scale`` multiplies the list
+    capacities (the renderer's intermediate overflow response)."""
     from vri_tpu.ops import rasterize as raster_mod
 
     f = scene.tri_vertices.shape[0]
+    kw = {}
     if variant == "ranged":
         fn = raster_mod.rasterize
     elif f <= (1 << 16):
         fn = raster_mod.rasterize_binned
+        kw = {"caps_scale": caps_scale}
     else:
         fn = raster_mod.rasterize_sorted
+        kw = {"caps_scale": caps_scale}
     hit, _ = fn(world_verts, scene.tri_vertices, scene.num_faces,
                 frame.view_proj, height=height, width=width,
                 proj_height=proj_height,
-                y_offset=jnp.float32(y0) if y0 else None)
+                y_offset=jnp.float32(y0) if y0 else None, **kw)
     return hit
 
 
@@ -106,10 +126,11 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
         from vri_tpu.ops import trace as trace_mod
 
         hit = trace_mod.trace_scene(scene, world_verts, o, d)
-    elif backend in ("raster", "raster_ranged"):
+    elif backend.startswith("raster"):
+        variant, caps_scale = _raster_variant(backend)
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
-            variant="ranged" if backend == "raster_ranged" else "auto")
+            variant=variant, caps_scale=caps_scale)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -238,10 +259,11 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
         return {"color": color.reshape(height, width, 3),
                 "depth": rec.t.reshape(height, width)}
 
-    if backend in ("raster", "raster_ranged"):
+    if backend.startswith("raster"):
+        variant, caps_scale = _raster_variant(backend)
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
-            variant="ranged" if backend == "raster_ranged" else "auto")
+            variant=variant, caps_scale=caps_scale)
     elif backend == "bvh":
         from vri_tpu.ops import trace as trace_mod
 
@@ -426,10 +448,11 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
                                        proj_height=proj_h)
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
-    if backend in ("raster", "raster_ranged"):
+    if backend.startswith("raster"):
+        variant, caps_scale = _raster_variant(backend)
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
-            variant="ranged" if backend == "raster_ranged" else "auto",
+            variant=variant, caps_scale=caps_scale,
             y0=y0, proj_height=proj_h)
     else:
         hit = _visibility_brute(scene, world_verts, o, d)

@@ -41,9 +41,12 @@ class Renderer:
         self._scene_version = -1
         self._sync_count = 0
         self.frame_index = 0
-        # set when the binned raster reports tile-capacity overflow: later
-        # frames use the ranged kernel so no geometry is dropped
-        self._raster_overflowed = False
+        # list-raster overflow escalation: 1 -> 2x -> 4x list capacities,
+        # then the exact capacity-free ranged kernel (~20x slower at 111k
+        # tris — the caps ladder keeps one overflowed frame from cliffing
+        # every later frame).  No geometry is ever dropped silently: each
+        # overflowed frame is logged and the next frame escalates.
+        self._raster_caps_scale = 1
 
     # -- scene --------------------------------------------------------------
 
@@ -203,8 +206,9 @@ class Renderer:
             self.scene = self.delegate.sync(time_code=time_code)
         cam = camera or self.camera
         assert cam is not None, "no camera"
-        if backend == "raster" and self._raster_overflowed:
-            backend = "raster_ranged"
+        if backend == "raster" and self._raster_caps_scale > 1:
+            backend = ("raster_ranged" if self._raster_caps_scale > 4
+                       else f"raster{self._raster_caps_scale}x")
         fp = frame_mod.FrameParams.from_camera(cam, self.config.height)
         h, w = self.config.height, self.config.width
         if gi or mode >= DebugMode.SDF_DISTANCE:
@@ -222,13 +226,15 @@ class Renderer:
         over = aovs.get("raster_overflow_tiles")
         # only inspect the overflow scalar when a readback happens anyway
         # (through the remote-TPU tunnel a forced sync costs a frame's time)
-        if over is not None and to_numpy and not self._raster_overflowed \
+        if over is not None and to_numpy and self._raster_caps_scale <= 4 \
                 and int(over) > 0:
+            self._raster_caps_scale *= 2
+            nxt = ("the capacity-free ranged kernel"
+                   if self._raster_caps_scale > 4
+                   else f"{self._raster_caps_scale}x list capacities")
             log.warning(
-                "binned raster overflowed %d tile lists (geometry may be "
-                "missing there); falling back to the ranged raster kernel "
-                "for subsequent frames", int(over))
-            self._raster_overflowed = True
+                "list raster overflowed (%d; geometry may be missing "
+                "there); subsequent frames escalate to %s", int(over), nxt)
         if to_numpy:
             return {k: np.asarray(v) for k, v in aovs.items()}
         return aovs
