@@ -197,3 +197,73 @@ class TestAuthoredAnimation:
         b = r.render(time_code=12.0, gi=False)
         assert r.delegate.registry.last_update["kind"] == "transforms"
         assert np.abs(a["color"] - b["color"]).max() > 0
+
+
+class TestParallelSync:
+    """Threaded prepare phase (reference analog: TBB-parallel resource
+    commit + jthread async load): worker-pool sync must produce exactly
+    the serial result — registry mutation stays serial + deterministic."""
+
+    def _stage(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        meshes = []
+        for i in range(6):
+            tex = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            p = tmp_path / f"t{i}.png"
+            Image.fromarray(tex).save(p)
+            meshes.append(f'''
+    def Mesh "M{i}" {{
+        int[] faceVertexCounts = [4]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        point3f[] points = [({i}, -1, 0), ({i + 1}, -1, 0),
+                            ({i + 1}, 1, 0), ({i}, 1, 0)]
+        texCoord2f[] primvars:st = [(0, 0), (1, 0), (1, 1), (0, 1)] (interpolation = "faceVarying")
+        rel material:binding = </World/Mat{i}>
+    }}
+    def Material "Mat{i}" {{
+        token outputs:surface.connect = </World/Mat{i}/S.outputs:surface>
+        def Shader "S" {{
+            uniform token info:id = "UsdPreviewSurface"
+            color3f inputs:diffuseColor.connect = </World/Mat{i}/T.outputs:rgb>
+        }}
+        def Shader "T" {{
+            uniform token info:id = "UsdUVTexture"
+            asset inputs:file = @t{i}.png@
+        }}
+    }}''')
+        text = ('#usda 1.0\n(\n    defaultPrim = "World"\n)\n'
+                'def Xform "World" {\n' + "\n".join(meshes) + "\n}\n")
+        f = tmp_path / "scene.usda"
+        f.write_text(text)
+        from vri_tpu.usd import Stage
+
+        return Stage.open(str(f))
+
+    def test_parallel_matches_serial(self, tmp_path):
+        serial = RenderDelegate(RenderConfig(width=32, height=32,
+                                             sync_workers=1))
+        serial.populate(self._stage(tmp_path))
+        a = serial.sync()
+        par = RenderDelegate(RenderConfig(width=32, height=32,
+                                          sync_workers=4))
+        par.populate(self._stage(tmp_path))
+        b = par.sync()
+        for field in ("positions", "tri_vertices", "tri_uv",
+                      "instance_transform", "instance_material",
+                      "mat_base_color", "mat_texture", "textures"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, field)),
+                                          np.asarray(getattr(b, field)),
+                                          err_msg=field)
+        assert int(a.num_faces) == int(b.num_faces) == 12
+
+    def test_incremental_after_parallel(self, tmp_path):
+        d = RenderDelegate(RenderConfig(width=32, height=32,
+                                        sync_workers=4))
+        d.populate(self._stage(tmp_path))
+        s0 = d.sync()
+        # transform-only dirtying must still ride the cheap serial path
+        d.tracker.mark_transform("/World/M0")
+        s1 = d.sync()
+        assert s1.positions is s0.positions

@@ -170,6 +170,14 @@ class RenderConfig:
     # meshoptimizer-style preprocessing: weld duplicate vertices at sync
     # (the pass the reference vendors but never calls, RenderPass.cpp:1017)
     dedup_vertices: bool = False
+    # Host-side sync worker threads for the pure per-prim prepare phase
+    # (triangulation, vertex dedup, primvar expansion, texture decode) —
+    # the TPU-native analog of the reference's TBB-parallel resource
+    # commit + jthread async scene load (ResourceRegistry.cpp,
+    # Main.cpp).  numpy / ctypes / PIL all release the GIL, so plain
+    # threads scale; registry mutation stays serial and deterministic.
+    # 0 = auto (min(8, cpu_count)); 1 = fully serial.
+    sync_workers: int = 0
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     sdf: SDFConfig = dataclasses.field(default_factory=SDFConfig)
 

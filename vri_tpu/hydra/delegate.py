@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import enum
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -131,6 +132,7 @@ class RenderDelegate:
         t0 = time.perf_counter()
         aspect = self.config.width / self.config.height
         n_synced = 0
+        prepared = self._parallel_prepare()
         for path in self.tracker.dirty_paths():
             prim = self.stage.prim_at_path(path)
             bits = self.tracker.bits(path)
@@ -139,11 +141,15 @@ class RenderDelegate:
                 self.tracker.clean(path)
                 continue
             if prim.type_name == "Mesh":
-                self._sync_mesh(prim, bits)
+                self._sync_mesh(prim, bits, prepared)
             elif prim.type_name == "PointInstancer":
                 self._sync_instancer(prim)
             elif prim.type_name == "Material":
-                self._sync_material(prim)
+                desc = prepared.get("mat:" + path)
+                if desc is not None:
+                    self.registry.push_material(desc)
+                else:
+                    self._sync_material(prim)
             elif prim.type_name == "Camera":
                 self.camera = camera_mod.sync_camera(self.stage, prim, aspect)
             elif prim.type_name in ("SphereLight", "DistantLight",
@@ -161,15 +167,87 @@ class RenderDelegate:
                 self.camera = camera_mod.sync_camera(self.stage, cam_prim, aspect)
         return scene
 
-    def _sync_mesh(self, prim: Prim, bits: DirtyBits) -> None:
+    def _parallel_prepare(self) -> dict:
+        """Fan the pure per-prim prepare work of every dirty prim over a
+        thread pool: mesh triangulation/dedup/primvar expansion
+        (`_prepare_mesh`) and material network walk + texture decode
+        (`material.sync_material`).  The TPU-native analog of the
+        reference's TBB-parallel resource commit (ResourceRegistry.cpp)
+        and jthread async scene load (Main.cpp) — numpy, ctypes and PIL
+        release the GIL, so plain threads scale; all registry mutation
+        stays in the serial loop, in deterministic path order.
+
+        Returns {mesh_path: MeshRecord, "mat:"+path: MaterialDesc}."""
+        workers = self.config.sync_workers
+        if workers == 0:
+            workers = min(8, os.cpu_count() or 1)
+        if workers <= 1:
+            return {}
+        mesh_jobs = []          # (path, prim)
+        mat_jobs = {}           # path -> prim
+        for path in self.tracker.dirty_paths():
+            prim = self.stage.prim_at_path(path)
+            if prim is None:
+                continue
+            bits = self.tracker.bits(path)
+            if prim.type_name == "Mesh":
+                if (bits == DirtyBits.TRANSFORM
+                        and path in self.registry._meshes):
+                    continue    # cheap fast path, stays serial
+                mesh_jobs.append((path, prim))
+                mat = self.stage.bound_material(prim)
+                if (mat is not None
+                        and mat.path not in self.registry._materials):
+                    mat_jobs.setdefault(mat.path, mat)
+            elif prim.type_name == "Material":
+                mat_jobs.setdefault(path, prim)
+        if len(mesh_jobs) + len(mat_jobs) < 2:
+            return {}
+        from concurrent.futures import ThreadPoolExecutor
+
+        res = self.config.limits.texture_res
+        prepared: dict = {}
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            mfuts = {p: ex.submit(self._prepare_mesh, prim)
+                     for p, prim in mesh_jobs}
+            tfuts = {p: ex.submit(material_mod.sync_material,
+                                  self.stage, prim, res)
+                     for p, prim in mat_jobs.items()}
+            for p, f in mfuts.items():
+                prepared[p] = f.result()
+            for p, f in tfuts.items():
+                prepared["mat:" + p] = f.result()
+        return prepared
+
+    def _sync_mesh(self, prim: Prim, bits: DirtyBits,
+                   prepared: dict | None = None) -> None:
         """Mesh::Sync analog (Source/Mesh.cpp:11-120): points + extent +
         triangulated topology + triangulated faceVarying st + transform +
-        material binding."""
+        material binding.  ``prepared`` carries records built by the
+        parallel prepare phase (keyed by prim path)."""
         stage = self.stage
         if bits == DirtyBits.TRANSFORM and prim.path in self.registry._meshes:
             self.registry.update_transform(
                 prim.path, stage.world_transform(prim))
             return
+        rec = (prepared or {}).get(prim.path)
+        if rec is None:
+            rec = self._prepare_mesh(prim)
+        mat = stage.bound_material(prim)
+        if mat is not None and mat.path not in self.registry._materials:
+            desc = (prepared or {}).get("mat:" + mat.path)
+            if desc is not None:
+                self.registry.push_material(desc)
+            else:
+                self._sync_material(mat)
+        self.registry.push_mesh(rec)
+
+    def _prepare_mesh(self, prim: Prim) -> "MeshRecord":
+        """The pure (registry-free) half of mesh sync: triangulation,
+        vertex dedup, primvar expansion, extent, transform.  Safe to run
+        on a worker thread — stage reads are read-only and the numpy /
+        ctypes hot loops release the GIL."""
+        stage = self.stage
         points = np.asarray(prim.get_at("points", stage.time, ()),
                             np.float32).reshape(-1, 3)
         counts = np.asarray(prim.get("faceVertexCounts", ()), np.int64).reshape(-1)
@@ -192,14 +270,12 @@ class RenderDelegate:
         extent = (np.asarray(extent, np.float32) if extent is not None
                   else meshutil.compute_extent(points))
         mat = stage.bound_material(prim)
-        if mat is not None and mat.path not in self.registry._materials:
-            self._sync_material(mat)
-        self.registry.push_mesh(MeshRecord(
+        return MeshRecord(
             path=prim.path, points=points, tris=tris, tri_face=tri_face,
             uvs=uvs.astype(np.float32),
             transform=stage.world_transform(prim),
             material_path=mat.path if mat is not None else None,
-            extent=extent))
+            extent=extent)
 
     def _instancer_prototypes(self, prim: Prim):
         """Resolve the ``prototypes`` rel targets to Mesh prims (descends
