@@ -127,8 +127,18 @@ def load_texture(path: str, resolution: int) -> Optional[np.ndarray]:
     try:
         from PIL import Image
 
-        img = Image.open(path).convert("RGBA").resize(
-            (resolution, resolution), Image.BILINEAR)
+        if path.lower().endswith(".dds"):
+            # self-contained BC1/BC2/BC3 + uncompressed decode — the
+            # reference keeps DDS blocks GPU-native (Material.cpp:109-125,
+            # Vulkan samples BC in hardware); the TPU samples a unified
+            # float table, so blocks are decoded once at ingest
+            from vri_tpu.utils import dds
+
+            img = Image.fromarray(dds.read_dds(path), "RGBA").resize(
+                (resolution, resolution), Image.BILINEAR)
+        else:
+            img = Image.open(path).convert("RGBA").resize(
+                (resolution, resolution), Image.BILINEAR)
         return np.asarray(img, np.float32) / 255.0
     except Exception as e:  # noqa: BLE001 — any decode failure -> fallback
         log.warning("texture decode failed for %s: %s", path, e)
