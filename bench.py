@@ -37,8 +37,13 @@ HEIGHT, WIDTH = 1080, 1920
 
 
 def _raster_ms(tess: int) -> float:
-    """In-jit per-frame ms for the sorted-raster visibility pass on the
-    kitchen-stress scene at the given tessellation level."""
+    """In-jit per-frame ms for the PRODUCTION visibility pass (the same
+    dispatch the renderer uses: binned lists <=16k tris, sorted exact
+    emission beyond) on the kitchen-stress scene at the given
+    tessellation level.  The full HitRecord (ids + resolved source
+    barycentrics) is consumed so the attribute resolve cannot be
+    dead-code-eliminated out of the measurement; overflow is asserted
+    zero so the number is never taken from a partial frame."""
     from vri_tpu.config import RenderConfig
     from vri_tpu.hydra.delegate import RenderDelegate
     from vri_tpu.ops import rasterize
@@ -50,15 +55,23 @@ def _raster_ms(tess: int) -> float:
     scene = d.sync()
     world = bake_world(scene)
     vp = jnp.asarray(d.camera.view_proj)
+    fn = (rasterize.rasterize_binned
+          if scene.tri_vertices.shape[0] <= (1 << 14)
+          else rasterize.rasterize_sorted)
+
+    hit0, _ = fn(world, scene.tri_vertices, scene.num_faces, vp,
+                 height=HEIGHT, width=WIDTH)
+    assert int(hit0.overflow) == 0, "raster capacity overflow in bench"
 
     @jax.jit
     def loop(v0):
         def body(i, v):
-            hit, z = rasterize.rasterize_sorted(
-                world, scene.tri_vertices, scene.num_faces, v,
-                height=HEIGHT, width=WIDTH)
-            # data dependency XLA cannot elide: each frame consumes the last
-            return vp + 0.0 * z[:4, :4] + 0.0 * hit.tri[0]
+            hit, z = fn(world, scene.tri_vertices, scene.num_faces, v,
+                        height=HEIGHT, width=WIDTH)
+            # data dependency XLA cannot elide: each frame consumes the
+            # last, including the resolved attributes
+            return vp + 0.0 * z[:4, :4] + 0.0 * hit.tri[0] \
+                + 0.0 * hit.u[0]
         return jax.lax.fori_loop(0, ITERS, body, v0)
 
     _ = np.asarray(loop(vp))                      # warm / compile

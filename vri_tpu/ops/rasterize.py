@@ -56,6 +56,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dot_2pass(pixmat: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
+    """f32-accurate coefficient evaluation in THREE bf16 MXU passes.
+
+    Mosaic's default f32 matmul truncates both operands to ONE bf16 pass
+    (~8 mantissa bits): measured 5.5e-2 absolute error at tile-local
+    pixel magnitudes — a half-pixel edge wobble that opens cracks along
+    shared triangle edges and z-fights coplanar quads.  Its HIGHEST mode
+    is accurate but costs ~2.7 us extra per 128-slot step (6-pass double
+    split).  Here the LHS needs no split at all: pixel-center columns
+    are k+0.5 with k < 128 (8 significand bits — exactly representable
+    in bf16; the 0/1 constant columns trivially so), so splitting ONLY
+    the coefficient operand into a 3-term bf16 cascade (hi + mid + lo)
+    recovers ~2^-26 relative accuracy — f32-indistinguishable for the
+    edge/depth tests (a 2-term split's 2^-17 still flipped edge pixels
+    on sliver triangles) — at three MXU passes (~+1 us/step vs the
+    default, measured in tools/micro_worklist.py)."""
+    hi = coef.astype(jnp.bfloat16)
+    r1 = coef - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    pixb = pixmat.astype(jnp.bfloat16)
+    return (jnp.dot(pixb, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(pixb, mid, preferred_element_type=jnp.float32)
+            + jnp.dot(pixb, lo, preferred_element_type=jnp.float32))
+
+
 def triangle_setup_clipped(world_verts: jnp.ndarray,
                            tri_vertices: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,
@@ -182,7 +208,11 @@ def _binsearch_first_geq(sorted_arr: jnp.ndarray, queries: jnp.ndarray
     n = sorted_arr.shape[0]
     lo = jnp.zeros(queries.shape, jnp.int32)
     hi = jnp.full(queries.shape, n, jnp.int32)
-    for _ in range(max(n - 1, 1).bit_length()):
+    # the search interval is [0, n] (n+1 candidate answers): n.bit_length()
+    # halvings guarantee lo == hi; bit_length(n-1) is one short when n is
+    # a power of two (a latent off-by-one the foreign-head chunk slack
+    # used to mask)
+    for _ in range(n.bit_length()):
         mid = (lo + hi) >> 1
         v = sorted_arr[jnp.minimum(mid, n - 1)]
         go_hi = v < queries
@@ -535,29 +565,34 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
                           num_subs: int, num_tx: int):
     """Visibility inner loop on the MXU, occupancy-adaptive.
 
-    Per sub-chunk of 128 triangle slots, one (1024, 4) x (4, 384) f32
-    matmul evaluates the affine fields [l1 | l2 | z] for every (pixel,
-    triangle) pair of the tile; the VPU derives the remaining inside
-    tests (l1+l2 <= 1, 0 <= z <= 1) and tracks the per-LANE nearest hit
-    (z + winning slot id) across subs — one compare + two selects per sub
-    — with a single cross-lane reduction at the end instead of one per
-    sub.  Coefficients are in *tile-local* pixel space (coefficient forms
-    are numerically fine at tile-local magnitudes; it is global 1080p
+    Per sub-chunk of 128 triangle slots, one (1024, 4) x (4, 384)
+    coefficient matmul (bf16 hi+lo cascade, see _dot_2pass) evaluates
+    the affine fields [l1 | l2 | z] for every (pixel, triangle) pair of
+    the tile; the VPU derives the remaining inside tests (l1+l2 <= 1,
+    0 <= z <= 1), packs depth + winner position into ONE sortable int32
+    key (low mantissa bits of positive z carry the position: the whole
+    depth test + tie-break collapses into a single running lane-min on a
+    (P, 1) accumulator — the (P, TC) best/sid select chain this replaces
+    measured ~2x the kernel at 3k tris), and recovers the winner's slot
+    id by position in a second activity-guarded pass over the RESIDENT
+    coefficient block.  Costs pos_bits (<= 12) mantissa bits of depth
+    resolution, <= 2^-12 relative — far below geometric tolerance.
+    Coefficients are in *tile-local* pixel space (coefficient forms are
+    numerically fine at tile-local magnitudes; it is global 1080p
     magnitudes where they cancel).
 
     The sub walk is STATIC (python-unrolled; Mosaic's dynamic fori_loop
     trip counts measured pathologically slow when the bound differs from
     the static maximum) but each sub is guarded by ``pl.when`` on this
     tile's activity bitmask from SMEM: per-tile slot lists are
-    front-packed per segment, so a tile pays only for the ceil(count/128)
-    sub-chunks it actually occupies — the mean tile at Kitchen-Set scale
-    walks ~2 of 7 subs.  Only (depth, winner slot id) leave the kernel;
+    front-packed per segment, so a tile pays only for the
+    ceil(count/128) sub-chunks it actually occupies.  The (P, 1)
+    accumulators live in scratch only because SSA values cannot cross
+    ``pl.when`` regions.  Only (depth, winner slot id) leave the kernel;
     attributes are recovered by one XLA row gather over the framebuffer.
 
-    Tie-breaking: equal-z ties resolve to the earliest sub, then the
-    lowest lane — deterministic, matching the old lowest-position rule
-    except when equal depths arise in different subs (coplanar coincident
-    triangles).
+    Tie-breaking: equal packed keys resolve to the lowest (sub, lane)
+    position — deterministic under the fixed list order.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -571,23 +606,19 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
     zero = jnp.zeros((p, 1), jnp.float32)
     pixmat = jnp.concatenate([px, py, one, zero], axis=1)     # (P, 4)
     tc = tri_chunk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
 
-    # per-LANE best depth + best slot id tracked together in ONE walk:
-    # best_ref = nearest z this lane has seen (misses carry 2.0),
-    # sid_ref = the slot id that produced it.  One min + one masked
-    # select per sub; the cross-lane reduction happens once at the end
-    # (a second pl.when walk just to recover the winner's slot id
-    # measured ~2x the whole kernel; full f32 depth precision kept).
-    # sid_ref is deliberately NOT initialized: a lane is only read back
-    # when it won the cross-lane min, which implies it was written by the
-    # sub that produced the win; no-hit pixels (z stays 2.0) are masked
-    # by the z <= 1 test before sid is used.
-    best_ref[:, :] = jnp.full((p, tc), 2.0, jnp.float32)
+    pos_bits = max(9, (num_subs * tc - 1).bit_length())
+    assert pos_bits <= 12   # <= 2^-12 relative depth quantization
+    mask = jnp.int32(~((1 << pos_bits) - 1))
+    miss_key = 1073741824   # f32 2.0 bit pattern
+
+    best_ref[:, :] = jnp.full((p, 1), miss_key, jnp.int32)
     for s in range(num_subs):
         @pl.when(((active >> s) & 1) != 0)
         def _(s=s):
             d = tri_ref[0, s]                             # (4, 3*TC)
-            out = jnp.dot(pixmat, d, preferred_element_type=jnp.float32)
+            out = _dot_2pass(pixmat, d)
             l1 = out[:, 0:tc]
             l2 = out[:, tc:2 * tc]
             z = out[:, 2 * tc:3 * tc]
@@ -596,22 +627,28 @@ def _raster_binned_kernel(meta_ref, tri_ref, z_out, slot_out,
             ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
                   & (l1 + l2 <= 1.0) & (z <= 1.0))
             zm = jnp.where(ok, z, 2.0)
-            prev = best_ref[:, :]
-            upd = zm < prev                    # ties keep the earlier sub
-            sid = jnp.broadcast_to(tri_ref[0, s, 3:4, 0:tc], (p, tc))
-            best_ref[:, :] = jnp.where(upd, zm, prev)
-            sid_ref[:, :] = jnp.where(upd, sid, sid_ref[:, :])
+            key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) \
+                | (s * tc + lane)
+            best_ref[:, :] = jnp.minimum(
+                best_ref[:, :], jnp.min(key, axis=-1, keepdims=True))
 
     bk = best_ref[:, :]
-    z = jnp.min(bk, axis=-1, keepdims=True)               # (P, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
-    k = jnp.min(jnp.where(bk == z, lane, jnp.int32(2 ** 30)),
-                axis=-1, keepdims=True)
-    sid = jnp.sum(jnp.where(lane == k, sid_ref[:, :], 0.0),
-                  axis=-1, keepdims=True)
+    z = jax.lax.bitcast_convert_type(bk & mask, jnp.float32)  # (P, 1)
     hit = z <= 1.0
+    pos = bk & ~mask
+    win_sub = pos // tc
+    win_lane = pos % tc
+    sid_ref[:, :] = jnp.zeros((p, 1), jnp.float32)
+    for s in range(num_subs):
+        @pl.when(((active >> s) & 1) != 0)
+        def _(s=s):
+            sel = (win_sub == s) & (lane == win_lane)
+            sid = tri_ref[0, s, 3:4, 0:tc]                # (1, TC)
+            sid_ref[:, :] = sid_ref[:, :] + jnp.sum(
+                jnp.where(sel, sid, 0.0), axis=-1, keepdims=True)
+
     z_out[:, :] = jnp.where(hit, z, 3.0e38).reshape(tile_h, tile_w)
-    slot_out[:, :] = jnp.where(hit, sid.astype(jnp.int32), -1) \
+    slot_out[:, :] = jnp.where(hit, sid_ref[:, :].astype(jnp.int32), -1) \
         .reshape(tile_h, tile_w)
 
 
@@ -859,8 +896,8 @@ def _slots_to_frame(tx, ty, tz, tw, b1, b2, src_sorted, slots, overflowed,
         in_specs=in_specs,
         out_specs=[out_spec] * 2,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((p, tri_chunk), jnp.float32),
-                        pltpu.VMEM((p, tri_chunk), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32),
+                        pltpu.VMEM((p, 1), jnp.float32)],
         interpret=interpret,
     )(meta, data)
 
@@ -877,14 +914,19 @@ def _resolve_frame(z, slot, tx, ty, tw, b1, b2, src_sorted, overflowed,
     slot = jnp.maximum(slot, 0)
 
     # one contiguous row gather per pixel: XLA's per-index gather overhead
-    # dominated when this was 15 separate gathers
+    # dominated when this was 15 separate gathers.  The (N, 16) result is
+    # transposed ONCE before per-field extraction: minor-dim slices of an
+    # (N, 16) array relayout the whole (128-lane-padded) buffer per field
+    # (measured 3.1 ms for one slice at 1080p), while major-dim rows of
+    # the (16, N) transpose are free.
     table = jnp.concatenate(
         [tx, ty, tw, b1, b2, src_sorted.astype(jnp.float32)[:, None]],
         axis=1)                                           # (Fp, 16)
-    attrs = table[slot]                                   # (H, W, 16)
-    ax, bx, cx = attrs[..., 0], attrs[..., 1], attrs[..., 2]
-    ay, by, cy = attrs[..., 3], attrs[..., 4], attrs[..., 5]
-    w0, w1, w2 = attrs[..., 6], attrs[..., 7], attrs[..., 8]
+    attrs_t = table[slot.reshape(-1)].T                   # (16, H*W)
+    fld = lambda k: attrs_t[k].reshape(slot.shape)
+    ax, bx, cx = fld(0), fld(1), fld(2)
+    ay, by, cy = fld(3), fld(4), fld(5)
+    w0, w1, w2 = fld(6), fld(7), fld(8)
 
     pxc = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     pyc = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
@@ -902,11 +944,9 @@ def _resolve_frame(z, slot, tx, ty, tw, b1, b2, src_sorted, overflowed,
     u_c = p1 * inv_sum
     v_c = p2 * inv_sum
     w_c = 1.0 - u_c - v_c
-    src_u = (w_c * attrs[..., 9] + u_c * attrs[..., 10]
-             + v_c * attrs[..., 11])
-    src_v = (w_c * attrs[..., 12] + u_c * attrs[..., 13]
-             + v_c * attrs[..., 14])
-    tri = jnp.where(hit_mask, attrs[..., 15].astype(jnp.int32), -1)
+    src_u = w_c * fld(9) + u_c * fld(10) + v_c * fld(11)
+    src_v = w_c * fld(12) + u_c * fld(13) + v_c * fld(14)
+    tri = jnp.where(hit_mask, fld(15).astype(jnp.int32), -1)
     z = jnp.where(hit_mask, z, _BIG)
 
     hit = HitRecord(t=z.reshape(-1), tri=tri.reshape(-1),
@@ -947,26 +987,27 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
                      tile_w: int = 128, tri_chunk: int = 128,
-                     cap: int = 1024, cap_glob: int = 512,
+                     cap: int = 2048, cap_glob: int = 512,
                      pairs_cap: int | None = None, caps_scale: int = 1,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
-    path (cost O(F log F + tiles*caps), no (tiles x groups) matrices).
+    path (cost O(F log F + live pairs), no (tiles x groups) matrices).
 
-    Each triangle emits one (tile, slot) pair per tile of its smallest
-    covering window class (the TPU-native indirect-draw batching;
-    per-draw loop analog RenderPass.cpp:642-664), ending in a whole-grid
-    window (``cap_glob`` ids) so even screen-dominating triangles land
-    in exact per-tile lists.  One ``sort_key_val`` + binary search
+    Each visible triangle emits EXACTLY one (tile, slot) pair per screen
+    tile its clamped bbox covers (segmented-repeat emission; the
+    TPU-native indirect-draw batching, per-draw loop analog
+    RenderPass.cpp:642-664).  One ``sort_key_val`` + binary search
     builds front-packed per-tile lists; a scalar-prefetched WORK-LIST
-    kernel pair walks exactly the ceil(count/128) chunks each tile
-    occupies (pass 1: visibility; pass 2: winner-attribute matmul).
-    ``cap`` bounds one tile's list span, ``pairs_cap`` the sorted pair
-    stream (default 8x the slot count).  Capacity overflow sets
-    ``HitRecord.overflow`` (callers fall back to the capacity-free
-    ranged kernel).
+    kernel walks exactly the ceil(count/128) chunks each tile occupies,
+    and attributes resolve in one XLA row gather over the framebuffer.
+    ``cap`` bounds one tile's list span, ``pairs_cap`` the emitted pair
+    stream (default 6x the slot count).  Capacity overflow sets
+    ``HitRecord.overflow`` (the renderer escalates ``caps_scale`` then
+    falls back to the capacity-free ranged kernel).  ``cap_glob`` is
+    retained for call compatibility (unused since exact emission needs
+    no whole-grid class).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1013,119 +1054,78 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     on_screen = ((tx1 >= 0) & (tx0 < grid[1])
                  & (ty1 >= 0) & (ty0 < grid[0]))
     vis = valid & on_screen
-    rows_of = ty1 - ty0
-    cols_of = tx1 - tx0
 
-    def emit(ids, n_rows, n_cols):
-        """(tile, slot) pairs for a compacted id list with an
-        (n_rows x n_cols)-tile emission window.  The window origin is
-        the bbox origin CLAMPED on-screen, so slots whose projected
-        bbox explodes off-screen (near-plane-adjacent geometry: spans
-        in the millions of tiles) still reach their on-screen tiles
-        through the whole-grid class."""
-        oy = jnp.arange(n_rows, dtype=jnp.int32)
-        ox = jnp.arange(n_cols, dtype=jnp.int32)
-        oy0 = jnp.clip(ty0[ids], 0, grid[0] - 1)
-        ox0 = jnp.clip(tx0[ids], 0, grid[1] - 1)
-        cy = oy0[:, None, None] + oy[None, :, None]
-        cx = ox0[:, None, None] + ox[None, None, :]
-        live = (ids < fp)[:, None, None] if ids.ndim else None
-        ok = ((cy <= ty1[ids][:, None, None]) & (cy >= 0) & (cy < grid[0])
-              & (cx <= tx1[ids][:, None, None]) & (cx >= 0)
-              & (cx < grid[1]) & live)
-        k = jnp.where(ok, cy * grid[1] + cx, 0x7FFFFFFF) \
-            .astype(jnp.uint32).reshape(-1)
-        v = jnp.broadcast_to(ids[:, None, None],
-                             ids.shape + (n_rows, n_cols)).reshape(-1)
-        return k, v
+    # EXACT per-slot emission (no window-class quantization): every
+    # visible slot emits precisely its clamped bbox-tile count via the
+    # scatter+cumsum segmented-repeat pattern, so the sorted stream holds
+    # only real (tile, slot) pairs.  The window-class ladder this replaces
+    # emitted static per-class capacities (2.13M keys/frame at 49k tris,
+    # 1080p -- 52% from the whole-grid class alone) and paid the sort +
+    # emission passes for every dead pair; exact emission sorts ~0.25M.
+    # Screen-dominating or near-plane-exploded slots are naturally bounded
+    # by the on-screen clamp (<= num_tiles pairs); ``pairs_cap`` bounds the
+    # total with a counted overflow (the renderer escalates caps_scale --
+    # capacity pressure is never silent).
+    tc = tri_chunk
+    if pairs_cap is None:
+        pairs_cap = max(6 * fp, 128 * 1024) * caps_scale
+    pairs_cap = _round_up(pairs_cap, tc)
 
-    # a ladder of size classes, every pair keyed directly by TILE so one
-    # sort builds a single exact front-packed list per tile (no
-    # per-segment sub-chunk ceilings).  Each slot takes the SMALLEST
-    # window class covering its bbox span; ONE sort groups slot ids by
-    # class, and per-class id lists are contiguous dynamic slices of the
-    # class-sorted order.  Windows are NESTED, so class-capacity
-    # overflow cascades softly: a class's excess slots sit at the tail
-    # of its sorted segment \u2014 contiguously before the next class's \u2014 and
-    # the next class's slice simply starts ``carry`` earlier (paying a
-    # wider window, never dropping a triangle).  The FINAL class is a
-    # whole-grid window (``cap_glob`` ids): screen-dominating or
-    # near-plane-exploded slots emit one pair per grid tile.  Its dead
-    # pairs only cost sort keys (~2 K keys/slot); the alternative \u2014
-    # having every tile walk a shared global chunk in-kernel \u2014 measured
-    # ~2.8 us x num_tiles = 5.7 ms/frame for a handful of triangles.
-    # Whole-grid overflow is counted into ``overflowed`` (the renderer
-    # falls back to the ranged kernel).
-    slot_ids = jnp.arange(fp, dtype=jnp.int32)
-    if tile_w >= 4 * tile_h:
-        ladder = [  # wide tiles (8x128): spans are tall-narrow; windows
-                    # sized against kitchen-stress span histograms,
-                    # floors for low-tess scenes (caps scale with
-                    # neither fp nor resolution alone)
-            (2, 1, None),                             # base: all slots
-            (4, 1, min(fp, max(fp // 6, 2048))),
-            (8, 1, min(fp, max(fp // 5, 2048))),
-            (8, 2, min(fp, max(fp // 8, 2048))),
-            (16, 2, min(fp, max(fp // 8, 2048))),
-            (32, 2, min(fp, max(fp // 16, 2048))),
-            (64, 4, min(fp, max(fp // 64, 1024))),
-        ]
-    else:
-        ladder = [  # square-ish tiles (32x32): spans are isotropic;
-                    # (2,2) covers 66-91% of kitchen-stress slots
-            (2, 2, None),                             # base: all slots
-            (4, 2, min(fp, max(fp // 6, 2048))),
-            (4, 4, min(fp, max(fp // 12, 2048))),
-            (8, 8, min(fp, max(fp // 48, 1024))),
-            (16, 16, min(fp, max(fp // 192, 512))),
-        ]
-    ladder.append((grid[0] + 1, grid[1] + 1,
-                   min(fp, _round_up(max(cap_glob, 128), 128))))
-    n_cls = len(ladder)
-    cls = jnp.full((fp,), n_cls, jnp.int32)       # invalid -> dead class
-    for c in range(n_cls - 1, -1, -1):
-        if c == n_cls - 1:
-            # whole-grid class: EVERY remaining visible slot, no span
-            # test \u2014 off-screen-exploding bboxes land here (emit clamps
-            # the window origin on-screen)
-            fits = vis
-        else:
-            wr, wc, _ = ladder[c]
-            fits = vis & (rows_of < wr) & (cols_of < wc)
-        cls = jnp.where(fits, c, cls)
-    cls_key = cls.astype(jnp.uint32) * jnp.uint32(fp) \
-        + slot_ids.astype(jnp.uint32)
-    _, svals_cls = jax.lax.sort_key_val(cls_key, slot_ids, is_stable=True)
-    cls_count = jnp.stack(
-        [jnp.sum((cls == c).astype(jnp.int32)) for c in range(n_cls)])
-    cls_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cls_count)])
-    max_cap = max(c for _, _, c in ladder if c is not None)
-    svals_pad = jnp.concatenate(
-        [svals_cls, jnp.full((max_cap,), fp, jnp.int32)])
+    ry0 = jnp.clip(ty0, 0, grid[0] - 1)
+    rx0 = jnp.clip(tx0, 0, grid[1] - 1)
+    e_rows = jnp.where(vis, jnp.clip(ty1, 0, grid[0] - 1) - ry0 + 1, 0)
+    e_cols = jnp.where(vis, jnp.clip(tx1, 0, grid[1] - 1) - rx0 + 1, 0)
+    area_t = e_rows * e_cols                       # (fp,) pairs per slot
+    starts_x = jnp.cumsum(area_t) - area_t         # exclusive prefix
+    total_pairs = starts_x[-1] + area_t[-1]
+    emit_over = jnp.maximum(total_pairs - pairs_cap, 0)
 
-    keys_l = []
-    vals_l = []
-    carry = jnp.int32(0)
-    glob_over = jnp.int32(0)
-    for c, (wr, wc, cap_ids) in enumerate(ladder):
-        if cap_ids is None:               # base class: no compaction
-            ids = jnp.where(cls == c, slot_ids, fp)
-        else:
-            seg = cls_count[c] + carry
-            ids = jax.lax.dynamic_slice(
-                svals_pad, (cls_start[c] - carry,), (cap_ids,))
-            live = jnp.arange(cap_ids, dtype=jnp.int32) < seg
-            ids = jnp.where(live, ids, fp)
-            carry = jnp.maximum(seg - cap_ids, 0)
-            if c == n_cls - 1:            # beyond whole-grid: dropped
-                glob_over = carry
-        k, v = emit(jnp.where(ids < fp, jnp.minimum(ids, fp - 1), fp),
-                    wr, wc)
-        keys_l.append(k)
-        vals_l.append(v)
-    keys = jnp.concatenate(keys_l)
-    vals = jnp.minimum(jnp.concatenate(vals_l), fill)  # id fp -> dead fill
+    # Per-pair slot id / window geometry / segment start WITHOUT random
+    # gathers (random s32 gathers measured ~2 ms each at this size; the
+    # scatter+cumsum carries below are ~0.5 ms total).  The carry trick:
+    # for a MONOTONE per-slot field, scatter each live slot's delta vs
+    # the previous live slot's value at its first pair position; a
+    # prefix sum then broadcasts the field across the segment.  The two
+    # carried words are built monotone by packing behind an increasing
+    # prefix (slot id / segment start).
+    live_slot = area_t > 0
+    sx = max(grid[1] - 1, 1).bit_length()
+    sy = max(grid[0] - 1, 1).bit_length()
+    cb = sx + 1                                    # e_cols <= grid[1]
+    assert fp < (1 << (31 - sx - sy)), "slot count exceeds carry packing"
+    # word A: [slot id | ry0 | rx0]  (monotone: slot id ascends)
+    word_a = (jnp.arange(fp, dtype=jnp.int32) << (sx + sy)) \
+        | (ry0 << sx) | rx0
+    # word B: [segment start | e_cols]  (monotone: starts strictly ascend
+    # across live slots)
+    word_b = (starts_x.astype(jnp.int32) << cb) | e_cols
+
+    def seg_carry(field):
+        """Monotone per-slot field -> per-pair value over its segment."""
+        masked = jnp.where(live_slot, field, -1)
+        prev_live = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(masked)[:-1]])
+        diff = jnp.where(live_slot, field - jnp.maximum(prev_live, 0), 0)
+        buf = jnp.zeros((pairs_cap,), jnp.int32).at[
+            jnp.where(live_slot, starts_x, pairs_cap)].add(diff,
+                                                           mode="drop")
+        return jnp.cumsum(buf)
+
+    a = seg_carry(word_a)
+    b = seg_carry(word_b)
+    sid = a >> (sx + sy)
+    k_start = b >> cb
+    cols_s = jnp.maximum(b & ((1 << cb) - 1), 1)
+    j = jnp.arange(pairs_cap, dtype=jnp.int32)
+    k_local = j - k_start
+    dy = k_local // cols_s
+    dx = k_local - dy * cols_s
+    tile_of = (((a >> sx) & ((1 << sy) - 1)) + dy) * grid[1] \
+        + (a & ((1 << sx) - 1)) + dx
+    dead_pair = j >= total_pairs
+    keys = jnp.where(dead_pair, jnp.uint32(0x7FFFFFFF),
+                     tile_of.astype(jnp.uint32))
+    vals = jnp.where(dead_pair, fill, sid)
     skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
 
     starts = _binsearch_first_geq(
@@ -1142,16 +1142,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     # contiguous chunks keeps the gather on the vector path \u2014 the
     # front-packed (tiles, cap) row gather this replaces lowered to a
     # {0,1}-layout strided gather measured at 12.8 ms/frame.
-    tc = tri_chunk
     live_pairs = starts[num_tiles].astype(jnp.int32)
-    if pairs_cap is None:
-        # static stream budget: only LIVE pairs (every dead key sorts
-        # past them) are ever walked, so the stream gather need not
-        # materialize the full emission \u2014 just enough for any real
-        # scene's exact per-tile coverage (overflow-checked below)
-        pairs_cap = min(keys.shape[0],
-                        max(4 * fp, 128 * 1024) * caps_scale)
-    pairs_cap = _round_up(pairs_cap, tc)
 
     # Per-slot affine coefficients in a TRIANGLE-LOCAL frame (origin =
     # the slot's screen-bbox min): construction at local magnitudes is
@@ -1188,27 +1179,45 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     kcz = jnp.where(dead, 10.0, kcz)   # z <= 1 test culls dead slots
     kaz = jnp.where(dead, 0.0, kaz)
     kbz = jnp.where(dead, 0.0, kbz)
-    # 16-row packed slot table: [a1 b1 c1 | a2 b2 c2 | az bz cz |
-    # ox oy | slot id | 4 pad]; the stream is stored TRANSPOSED
-    # (coefficient-major) so each chunk block lands MXU-ready
+    # 12-field packed slot table: [a1 b1 c1 | a2 b2 c2 | az bz cz |
+    # ox oy | slot id]; gathered once per stream entry, then restacked
+    # into the kernel-operand template below
     packed = jnp.stack(
         [ka1, kb1, kc1, ka2, kb2, kc2, kaz, kbz, kcz, ox, oy,
          jnp.arange(fp, dtype=jnp.float32)], axis=1)      # (fp, 12)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((fp, 4), jnp.float32)], axis=1)  # (fp, 16)
-    if pairs_cap > svals.shape[0]:
-        svals = jnp.concatenate(
-            [svals, jnp.full((pairs_cap - svals.shape[0],), fill,
-                             jnp.int32)])
-    stream = packed[svals[:pairs_cap]]                    # (pairs_cap, 16)
-    chunks = stream.reshape(pairs_cap // tc, tc, 16) \
-        .transpose(0, 2, 1)                               # (C, 16, TC)
+
+    # (A 128-aligned per-tile chunk re-gather was tried here to remove
+    # foreign-HEAD slots — it measured SLOWER (33.2 vs 29.6 ms at 49k):
+    # per-tile chunks defeat the DMA skip for consecutive small tiles
+    # sharing one stream chunk, and inflate the template build ~1.7x.
+    # The shared-stream walk below keeps both.)
+    stream = packed[svals[:pairs_cap]]                    # (pairs_cap, 12)
+    cm = stream.reshape(pairs_cap // tc, tc, 12) \
+        .transpose(0, 2, 1)                               # (C, 12, TC)
+    # kernel-operand template (C, 8, 3TC): rows 0-1 = the (2, 3TC) MXU
+    # operand [a-coefs | b-coefs] over the three fields (l1, l2, z),
+    # row 2 = local-frame constants, rows 3-4 = slot origins (replicated
+    # per field group), row 5 = slot ids, rows 6-7 = pad to the 8-sublane
+    # f32 tile.  Pre-packing here matters: Mosaic cannot CONCATENATE
+    # vector slices whose sublane offsets differ (offset-mismatch concat
+    # is unimplemented as of this writing), so the kernel must receive
+    # every multi-row operand contiguous at offset 0 and only combine
+    # single rows elementwise.
+    def grp(i, j, k):
+        return jnp.concatenate([cm[:, i], cm[:, j], cm[:, k]], axis=-1)
+    rep = lambda i: jnp.tile(cm[:, i], (1, 3))
+    zero3 = jnp.zeros_like(cm[:, 0:1])
+    chunks = jnp.stack(
+        [grp(0, 3, 6), grp(1, 4, 7), grp(2, 5, 8),
+         rep(9), rep(10), rep(11)], axis=1)               # (C, 6, 3TC)
+    chunks = jnp.concatenate(
+        [chunks, jnp.tile(zero3, (1, 2, 3))], axis=1)     # (C, 8, 3TC)
     num_chunks = pairs_cap // tc
 
     # ---- work list: one entry per (tile, chunk) walk step -------------
     # EVERY tile contributes >= 1 step so its output rows get written
     # (init + finalize); an empty tile's single step walks a foreign
-    # chunk, which is benign \u2014 the kernel's half-plane/z tests are
+    # chunk, which is benign -- the kernel's half-plane/z tests are
     # exact, so slots whose bbox excludes the tile cover no pixel here
     max_subs = cap // tc + 1            # +1: aligned-start slack
     start_chunk = jnp.minimum(starts[:num_tiles].astype(jnp.int32) // tc,
@@ -1233,8 +1242,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
              + 4 * live.astype(jnp.int32))
 
     overflowed = jnp.any(span > max_subs * tc) \
-        | (live_pairs > pairs_cap) | (clip_over > 0) \
-        | (glob_over > 0)
+        | (emit_over > 0) | (clip_over > 0)
     return _worklist_to_frame(
         wt, wchunk, flags, chunks, overflowed,
         tx, ty, tw, b1, b2, src_sorted,
@@ -1249,12 +1257,13 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
     The TPU-native indirect draw: the grid iterates a scalar-prefetched
     work list of exactly the chunks each tile walks (consecutive steps
     share the tile, so scratch state stays resident).  Each chunk block
-    arrives coefficient-major (16, TC) with the affine fields already
+    arrives coefficient-major (8, 3TC) with the affine fields already
     constructed in per-TRIANGLE local frames; the kernel translates the
-    constant terms to this tile's origin (two FMAs per field on (1, TC)
+    constant terms to this tile's origin (two FMAs per field on (1, 3TC)
     rows) and evaluates all (pixel, slot) pairs with ONE
-    (P, 4) x (4, 3*TC) matmul on the MXU — the VPU broadcast-FMA form
-    this replaces measured ~2.8 us/step vs ~1 us for the matmul form.
+    (P, 2) x (2, 3*TC) matmul on the MXU plus a broadcast constant add —
+    the VPU broadcast-FMA form this replaces measured ~2.8 us/step vs
+    ~1 us for the matmul form.
     Per-LANE best (z, slot id) accumulate in (P, TC) scratch across the
     tile's steps (one compare + two selects per step); the cross-lane
     winner reduction runs once per tile on its last step.  Ties resolve
@@ -1275,32 +1284,25 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
 
     @pl.when((fl & 4) != 0)                     # live work item
     def _():
-        rows = chunks_ref[0]                    # (16, TC) coef-major
+        rows = chunks_ref[0]                    # (8, 3TC) template
         tile = wt_ref[i]
         fx0 = ((tile % num_tx) * tile_w).astype(jnp.float32)
         fy0 = ((tile // num_tx) * tile_h).astype(jnp.float32)
-        dx = fx0 - rows[9:10]                   # (1, TC) origin deltas
-        dy = fy0 - rows[10:11]
-        kc1 = rows[0:1] * dx + rows[1:2] * dy + rows[2:3]
-        kc2 = rows[3:4] * dx + rows[4:5] * dy + rows[5:6]
-        kcz = rows[6:7] * dx + rows[7:8] * dy + rows[8:9]
-        d = jnp.concatenate([
-            jnp.concatenate([rows[0:1], rows[3:4], rows[6:7]], axis=1),
-            jnp.concatenate([rows[1:2], rows[4:5], rows[7:8]], axis=1),
-            jnp.concatenate([kc1, kc2, kcz], axis=1),
-            # row 3 multiplies pixmat's zero column; its first TC columns
-            # carry the slot ids for the in-kernel winner pick
-            jnp.concatenate([rows[11:12],
-                             jnp.zeros((1, 2 * tc), jnp.float32)], axis=1),
-        ], axis=0)                              # (4, 3*TC)
+        # translate the local-frame constants to this tile's origin:
+        # elementwise FMAs on (1, 3TC) row slices (Mosaic relayouts the
+        # sublane offsets for elementwise ops; offset-mismatched
+        # CONCATENATION is the unimplemented pattern, so the (2, 3TC)
+        # MXU operand ships pre-packed from XLA and the constant row is
+        # added AFTER the matmul instead of riding a third operand row)
+        dx = fx0 - rows[3:4]                    # (1, 3TC) origin deltas
+        dy = fy0 - rows[4:5]
+        ct = rows[0:1] * dx + rows[1:2] * dy + rows[2:3]
 
         pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         py = 0.5 + (pix // tile_w).astype(jnp.float32)
         px = 0.5 + (pix % tile_w).astype(jnp.float32)
-        pixmat = jnp.concatenate(
-            [px, py, jnp.ones((p, 1), jnp.float32),
-             jnp.zeros((p, 1), jnp.float32)], axis=1)     # (P, 4)
-        out = jnp.dot(pixmat, d, preferred_element_type=jnp.float32)
+        pixmat = jnp.concatenate([px, py], axis=1)        # (P, 2)
+        out = _dot_2pass(pixmat, rows[0:2]) + ct
         l1 = out[:, 0:tc]
         l2 = out[:, tc:2 * tc]
         z = out[:, 2 * tc:3 * tc]
@@ -1309,7 +1311,7 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
         zm = jnp.where(ok, z, 2.0)
         prev = best_ref[:, :]
         upd = zm < prev                   # ties keep the earlier chunk
-        sid = jnp.broadcast_to(d[3:4, 0:tc], (p, tc))
+        sid = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
         best_ref[:, :] = jnp.where(upd, zm, prev)
         # sid_ref is deliberately NOT initialized: a lane is only read
         # back when it won the cross-lane min, which implies this step
@@ -1350,7 +1352,7 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
 
     row_spec = pl.BlockSpec((1, 1, p), lambda i, wt_r, wc_r, fl_r:
                             (wt_r[i], 0, 0), memory_space=pltpu.VMEM)
-    chunk_spec = pl.BlockSpec((1, 16, tc), lambda i, wt_r, wc_r, fl_r:
+    chunk_spec = pl.BlockSpec((1, 8, 3 * tc), lambda i, wt_r, wc_r, fl_r:
                               (wc_r[i], 0, 0), memory_space=pltpu.VMEM)
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -84,7 +84,10 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
     kw = {}
     if variant == "ranged":
         fn = raster_mod.rasterize
-    elif f <= (1 << 16):
+    elif f <= (1 << 14):
+        # measured crossover (1080p, v5e): binned 22.7 ms vs sorted
+        # 27.1 ms at 3k tris; at 49k binned overflows its group lists
+        # (398 tiles) where sorted's exact emission runs 35% faster
         fn = raster_mod.rasterize_binned
         kw = {"caps_scale": caps_scale}
     else:
