@@ -98,7 +98,7 @@ def _gi_ms() -> dict:
     key = jax.random.PRNGKey(0)
 
     def bench(h, band, iters=10):
-        st0 = frame_mod.init_temporal(h, WIDTH)
+        st0 = frame_mod.init_temporal(h, WIDTH, 2)
 
         @jax.jit
         def loop(st):

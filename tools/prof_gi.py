@@ -20,7 +20,7 @@ fp = frame_mod.FrameParams.from_camera(r.camera, 1080)
 key = jax.random.PRNGKey(0)
 
 def bench(h, band, label, iters=10):
-    st0 = frame_mod.init_temporal(h, W)
+    st0 = frame_mod.init_temporal(h, W, 2)
     def one(st, k):
         aovs, st2 = frame_mod.render_frame_gi_temporal(
             scene, fp, cascades, k, st, height=h, width=W,

@@ -199,6 +199,10 @@ def trace_packet(bvh: BVH, origins: jnp.ndarray, dirs: jnp.ndarray,
             jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((256,), jnp.int32)],
+        # the resident node+triangle tables exceed Mosaic's default 16 MB
+        # scoped-VMEM budget at 64k triangles
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*planes, nodes, tris)
     return t.reshape(-1)[:n], tri.reshape(-1)[:n]

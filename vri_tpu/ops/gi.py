@@ -217,26 +217,33 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
         b = jnp.maximum(rec.brick, 0)
         # ONE row gather for the whole per-brick shading payload (albedo,
         # normal, cached irradiance, emissive) — four separate per-index
-        # gathers at 2M GI rays measured ~15 ms/frame
+        # gathers at 2M GI rays measured ~15 ms/frame — block-transposed
+        # for the field extraction (naive column slices of the
+        # lane-padded rows cost a full pass each, ops/rowgather.py)
+        from vri_tpu.ops.rowgather import gather_rows
+
         shade_tab = jnp.concatenate(
             [cascades.brick_albedo, cascades.brick_normal,
-             cascades.brick_irradiance, cascades.brick_emissive], axis=1)
-        sh = shade_tab[b]                                  # (N, 12)
-        alb_hit = sh[:, 0:3]
-        n_hit = sh[:, 3:6]
+             cascades.brick_irradiance, cascades.brick_emissive,
+             jnp.zeros((cascades.brick_albedo.shape[0], 4),
+                       cascades.brick_albedo.dtype)], axis=1)
+        sh = gather_rows(shade_tab.astype(jnp.float32), b)
+        alb_hit = jnp.stack([sh(0), sh(1), sh(2)], axis=-1)
+        n_hit = jnp.stack([sh(3), sh(4), sh(5)], axis=-1)
         # two-sided surface cache: face the incoming ray
         n_hit = jnp.where(jnp.sum(n_hit * wi, axis=-1, keepdims=True) > 0,
                           -n_hit, n_hit)
         if use_cache:
             # radiance cache: irradiance baked per brick at build time
-            l_hit = sh[:, 6:9]
+            l_hit = jnp.stack([sh(6), sh(7), sh(8)], axis=-1)
         else:
             hit_bias = surface_bias(hit_p, cascades, config)[:, None]
             l_hit = direct_radiance(hit_p + n_hit * hit_bias, n_hit, scene,
                                     cascades, config,
                                     shadow_steps=shadow_steps)
         # emissive surfaces (area lights) contribute directly at the hit
-        bounce = jnp.minimum(alb_hit * l_hit + sh[:, 9:12], gi_clamp)
+        emis_hit = jnp.stack([sh(9), sh(10), sh(11)], axis=-1)
+        bounce = jnp.minimum(alb_hit * l_hit + emis_hit, gi_clamp)
         sky = scene.sky_color   # DomeLight ambient (default SKY constant)
         contrib = jnp.where(rec.hit[:, None], bounce, sky)
         indirect = indirect + contrib

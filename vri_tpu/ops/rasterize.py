@@ -913,17 +913,17 @@ def _resolve_frame(z, slot, tx, ty, tw, b1, b2, src_sorted, overflowed,
     hit_mask = slot >= 0
     slot = jnp.maximum(slot, 0)
 
-    # one contiguous row gather per pixel: XLA's per-index gather overhead
-    # dominated when this was 15 separate gathers.  The (N, 16) result is
-    # transposed ONCE before per-field extraction: minor-dim slices of an
-    # (N, 16) array relayout the whole (128-lane-padded) buffer per field
-    # (measured 3.1 ms for one slice at 1080p), while major-dim rows of
-    # the (16, N) transpose are free.
+    # one contiguous row gather per pixel (15 separate per-index gathers
+    # measured ~10x worse), block-transposed for free field extraction —
+    # naive column slices of the lane-padded result cost 1.41 ms EACH at
+    # 1080p (see ops/rowgather.py)
+    from vri_tpu.ops.rowgather import gather_rows
+
     table = jnp.concatenate(
         [tx, ty, tw, b1, b2, src_sorted.astype(jnp.float32)[:, None]],
         axis=1)                                           # (Fp, 16)
-    attrs_t = table[slot.reshape(-1)].T                   # (16, H*W)
-    fld = lambda k: attrs_t[k].reshape(slot.shape)
+    raw = gather_rows(table, slot.reshape(-1))
+    fld = lambda k: raw(k).reshape(slot.shape)
     ax, bx, cx = fld(0), fld(1), fld(2)
     ay, by, cy = fld(3), fld(4), fld(5)
     w0, w1, w2 = fld(6), fld(7), fld(8)

@@ -122,26 +122,36 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
          fcut[:, None]],
         axis=1)                                        # (F, 29)
 
-    attrs = table[tri]                                 # (N, 29)
-    p = attrs[:, 0:9].reshape(-1, 3, 3)
-    w = 1.0 - hit.u - hit.v
-    bary = jnp.stack([w, hit.u, hit.v], axis=-1)            # (N, 3)
-    pos = jnp.einsum("nk,nkc->nc", bary, p)
+    # block-transposed field extraction: naive column slices of the
+    # lane-padded (N, 29) gather cost ~1.4 ms EACH at 1080p (see
+    # ops/rowgather.py); table padded to 32 columns for tile-exact
+    # transposes
+    from vri_tpu.ops.rowgather import gather_rows
 
-    n = attrs[:, 15:18]
+    table = jnp.concatenate(
+        [table, jnp.zeros((table.shape[0], 3), jnp.float32)], axis=1)
+    fld = gather_rows(table, tri)
+    w = 1.0 - hit.u - hit.v
+    u, v = hit.u, hit.v
+    # rows 0:9 = p0 p1 p2 corner positions
+    pc = [w * fld(c) + u * fld(3 + c) + v * fld(6 + c) for c in range(3)]
+    pos = jnp.stack(pc, axis=-1)
+
+    n = jnp.stack([fld(15), fld(16), fld(17)], axis=-1)
     # two-sided: flip toward the viewer
     n = jnp.where(jnp.sum(n * dirs, axis=-1, keepdims=True) > 0, -n, n)
 
-    uvs = attrs[:, 9:15].reshape(-1, 3, 2)
-    uv = jnp.einsum("nk,nkc->nc", bary, uvs)
+    # rows 9:15 = (u, v) per corner
+    uv = jnp.stack([w * fld(9 + c) + u * fld(11 + c) + v * fld(13 + c)
+                    for c in range(2)], axis=-1)
 
-    inst = attrs[:, 24].astype(jnp.int32)
-    mat = attrs[:, 25].astype(jnp.int32)
-    prim_tbl = attrs[:, 26].astype(jnp.int32)
-    albedo = attrs[:, 18:21]
-    emissive_tbl = attrs[:, 21:24]
-    tex_slot = attrs[:, 27].astype(jnp.int32)
-    cutoff = attrs[:, 28]
+    inst = fld(24).astype(jnp.int32)
+    mat = fld(25).astype(jnp.int32)
+    prim_tbl = fld(26).astype(jnp.int32)
+    albedo = jnp.stack([fld(18), fld(19), fld(20)], axis=-1)
+    emissive_tbl = jnp.stack([fld(21), fld(22), fld(23)], axis=-1)
+    tex_slot = fld(27).astype(jnp.int32)
+    cutoff = fld(28)
     if scene.textures.shape[0] == 0:
         pass   # untextured scene (static shape): skip sampling entirely —
                # the 8 trilinear taps/pixel otherwise dominate the resolve
@@ -159,8 +169,13 @@ def resolve_gbuffer(scene: SceneBuffers, world_verts: jnp.ndarray,
                 atlas = texture_mod.build_mip_atlas(scene.textures)
             t_hit = jnp.linalg.norm(pos - origins, axis=-1)
             cos_inc = jnp.abs(jnp.sum(n * dirs, axis=-1))
+            corner_p = [jnp.stack([fld(3 * k + c) for c in range(3)], -1)
+                        for k in range(3)]
+            corner_uv = [jnp.stack([fld(9 + 2 * k), fld(10 + 2 * k)], -1)
+                         for k in range(3)]
             density = texture_mod.triangle_texel_density(
-                p[:, 0], p[:, 1], p[:, 2], uvs[:, 0], uvs[:, 1], uvs[:, 2],
+                corner_p[0], corner_p[1], corner_p[2],
+                corner_uv[0], corner_uv[1], corner_uv[2],
                 scene.textures.shape[1])
             lod = texture_mod.ray_cone_lod(t_hit, cos_inc, density,
                                            pixel_spread)

@@ -343,8 +343,14 @@ class TemporalState:
     eye: jnp.ndarray        # (3,)
 
 
-def init_temporal(height: int, width: int) -> TemporalState:
-    n = height * width
+def init_temporal(height: int, width: int,
+                  gi_scale: int = 1) -> TemporalState:
+    """History buffer for :func:`render_frame_gi_temporal`.  Pass the
+    SAME ``gi_scale`` the frame uses: the history lives at GI resolution
+    (the indirect term never carries more than gi-res information, and a
+    full-res history made the 4 reprojection row gathers gi_scale^2 x
+    more expensive for zero added signal)."""
+    n = (height // gi_scale) * (width // gi_scale)
     return TemporalState(data=jnp.zeros((n, 8), jnp.float32),
                          view_proj=jnp.eye(4, dtype=jnp.float32),
                          eye=jnp.zeros((3,), jnp.float32))
@@ -396,6 +402,8 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
 
     t_prev = jnp.linalg.norm(position - state.eye[None, :], axis=-1)
 
+    from vri_tpu.ops.rowgather import gather_rows
+
     def tap(dy, dx):
         xi = x0 + dx
         yi = y0i + dy
@@ -403,18 +411,25 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
                   & (yi >= 0) & (yi < height))
         idx = (jnp.clip(yi, 0, height - 1) * width
                + jnp.clip(xi, 0, width - 1))
-        h = state.data[idx]                   # one row gather per tap
-        depth_ok = jnp.abs(h[:, 3] - t_prev) <= tol * t_prev + 1e-3
-        normal_ok = jnp.sum(h[:, 4:7] * normal, axis=-1) > 0.5
-        ok = inside & depth_ok & normal_ok & (h[:, 7] > 0.0)
+        # one row gather per tap, block-transposed: naive column slices
+        # of the lane-padded (N, 8) rows cost a full pass each
+        # (ops/rowgather.py).  The taps run at GI resolution (the
+        # indirect term never has more than gi-res information), so the
+        # 4 gathers touch N/gi_scale^2 rows, not N.
+        h = gather_rows(state.data, idx)
+        depth_ok = jnp.abs(h(3) - t_prev) <= tol * t_prev + 1e-3
+        normal_ok = (h(4) * normal[:, 0] + h(5) * normal[:, 1]
+                     + h(6) * normal[:, 2]) > 0.5
+        ok = inside & depth_ok & normal_ok & (h(7) > 0.0)
         wgt = ((fy if dy else 1.0 - fy) * (fx if dx else 1.0 - fx))[:, 0]
-        return h, jnp.where(ok, wgt, 0.0)
+        ind = jnp.stack([h(0), h(1), h(2)], axis=-1)
+        return ind, h(7), jnp.where(ok, wgt, 0.0)
 
     taps = [tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)]
-    wsum = sum(t[1] for t in taps)
+    wsum = sum(t[2] for t in taps)
     scale = 1.0 / jnp.maximum(wsum, 1e-6)
-    h_ind = sum(t[0][:, 0:3] * t[1][:, None] for t in taps) * scale[:, None]
-    h_count = sum(t[0][:, 7] * t[1] for t in taps) * scale
+    h_ind = sum(t[0] * t[2][:, None] for t in taps) * scale[:, None]
+    h_count = sum(t[1] * t[2] for t in taps) * scale
     ok = valid & (wsum > 0.05)
     return jnp.where(ok[:, None], h_ind, 0.0), jnp.where(ok, h_count, 0.0)
 
@@ -469,20 +484,43 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
         ind = gi_mod.indirect_radiance(gb, scene, cascades, key,
                                        config=config, samples=samples,
                                        use_cache=use_cache)
+        h_ind, h_count = _reproject(state, gb.position, gb.normal,
+                                    gb.valid, height, width, y0=y0,
+                                    proj_height=proj_h)
+        count = jnp.minimum(h_count, history_cap) + 1.0
+        ind_blend = h_ind + (ind - h_ind) / count[:, None]
+        t_s, n_s = t, gb.normal
+        count_full = count
     else:
+        # The ENTIRE temporal pipeline runs at GI resolution: the
+        # indirect term never carries more than gi-res information, so a
+        # full-res history only multiplied the reprojection row gathers
+        # by gi_scale^2 (4 taps x 10.2 ms at 1080p, measured) for zero
+        # added signal.  History state, reprojection, validation and the
+        # blend all live at (H/s, W/s); the blended term upsamples once.
+        assert height % gi_scale == 0 and width % gi_scale == 0, \
+            "gi_scale must divide the frame (use an even band height)"
         sub = _subsample_pn(gb, height, width, gi_scale)
         ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
                                        config=config, samples=samples,
                                        use_cache=use_cache)
         hs, ws = height // gi_scale, width // gi_scale
-        ind = jnp.repeat(jnp.repeat(ind.reshape(hs, ws, 3), gi_scale, 0),
-                         gi_scale, 1).reshape(-1, 3)
-
-    h_ind, h_count = _reproject(state, gb.position, gb.normal, gb.valid,
-                                height, width, y0=y0, proj_height=proj_h)
-    count = jnp.minimum(h_count, history_cap) + 1.0
-    ind_blend = h_ind + (ind - h_ind) / count[:, None]
-    new_state = pack_temporal(ind_blend, t, gb.normal, count,
+        valid_s = gb.valid.reshape(height, width)[
+            ::gi_scale, ::gi_scale].reshape(-1)
+        h_ind, h_count = _reproject(
+            state, sub.position, sub.normal, valid_s, hs, ws,
+            y0=y0 // gi_scale,
+            proj_height=None if proj_h is None else proj_h // gi_scale)
+        count = jnp.minimum(h_count, history_cap) + 1.0
+        ind_blend_s = h_ind + (ind - h_ind) / count[:, None]
+        t_s = jnp.linalg.norm(sub.position - frame.eye[None, :], axis=-1)
+        n_s = sub.normal
+        ind_blend = _upsample(ind_blend_s, hs, ws, gi_scale)
+        count_full = _upsample(count, hs, ws, gi_scale)
+        ind_blend_state = ind_blend_s
+    new_state = pack_temporal(ind_blend if gi_scale <= 1
+                              else ind_blend_state,
+                              t_s, n_s, count,
                               frame.view_proj, frame.eye)
 
     color = gb.emissive + gb.albedo * (direct + ind_blend)
@@ -493,7 +531,7 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
         "instance_id": gb.instance.reshape(height, width),
         "normal": gb.normal.reshape(height, width, 3),
         "albedo": gb.albedo.reshape(height, width, 3),
-        "gi_history": count.reshape(height, width),
+        "gi_history": count_full.reshape(height, width),
     }
     if hit.overflow is not None:
         aovs["raster_overflow_tiles"] = hit.overflow

@@ -268,7 +268,7 @@ class Renderer:
         aspect = self.config.width / self.config.height
         h, w = self.config.height, self.config.width
         frames = []
-        state = frame_mod.init_temporal(h, w) if temporal else None
+        state = frame_mod.init_temporal(h, w, gi_scale) if temporal else None
         for i in range(n_frames):
             cam = free_cam.at_time(i * dt, aspect)
             if not (temporal and gi):
