@@ -227,6 +227,6 @@ void vri_arena_stats(int64_t* used, int64_t* peak, int64_t* reserved) {
     *reserved = (int64_t)g_arena.buf.size();
 }
 
-int32_t vri_abi_version() { return 2; }
+int32_t vri_abi_version() { return 3; }
 
 }  // extern "C"

@@ -51,6 +51,12 @@ def parse_args(argv=None):
                    help="shard the framebuffer over all local devices "
                         "(shard_map row tiling; 1-device mesh degenerates "
                         "to single-chip)")
+    p.add_argument("--lod", type=int, default=0, metavar="LEVELS",
+                   help="pack N decimated LOD levels per mesh; each "
+                        "instance renders the coarsest level within "
+                        "--lod-tau pixels of geometric error (0 = off)")
+    p.add_argument("--lod-tau", type=float, default=0.75,
+                   help="LOD screen-space error budget in pixels")
     p.add_argument("--trace", help="write a jax profiler trace to this dir")
     p.add_argument("-v", "--verbose", action="store_true")
     return p.parse_args(argv)
@@ -74,7 +80,8 @@ def main(argv=None) -> int:
 
     mode = getattr(DebugMode, args.mode.upper())
     cfg = RenderConfig(width=args.width, height=args.height,
-                       sdf=SDFConfig.preset(args.sdf))
+                       sdf=SDFConfig.preset(args.sdf),
+                       lod_levels=args.lod, lod_tau=args.lod_tau)
     renderer = Renderer(cfg)
 
     if args.cache and os.path.exists(args.cache):

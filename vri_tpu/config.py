@@ -178,6 +178,19 @@ class RenderConfig:
     # threads scale; registry mutation stays serial and deterministic.
     # 0 = auto (min(8, cpu_count)); 1 = fully serial.
     sync_workers: int = 0
+    # Discrete LOD chains (ops/lod.py + native QEM simplifier): each mesh
+    # packs `lod_levels` decimated levels (triangle budget ratio
+    # `lod_ratio` per level) alongside its full geometry; per frame, each
+    # instance renders the coarsest level whose geometric deviation
+    # projects below `lod_tau` pixels.  The honest fix for sub-pixel
+    # triangle storms at scale (the reference rasterizes full-rate
+    # geometry always and would need the same, RenderPass.cpp:642-664).
+    # 0 = off.  Only primary visibility consumes LOD; the SDF build, BVH
+    # and brute reference paths always see the full-rate geometry.
+    lod_levels: int = 0
+    lod_ratio: float = 0.25
+    lod_min_faces: int = 256          # meshes below this stay single-level
+    lod_tau: float = 0.75             # screen-space error budget, pixels
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     sdf: SDFConfig = dataclasses.field(default_factory=SDFConfig)
 

@@ -86,7 +86,8 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
                            tri_vertices: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,
                            height: int, width: int, w_eps: float = 1e-4,
-                           y_offset=None, extra_cap: int | None = None):
+                           y_offset=None, extra_cap: int | None = None,
+                           face_mask=None):
     """``y_offset`` (traced ok) shifts pixel-space y after projection:
     band rendering for the row-sharded multi-chip path projects with the
     *full* framebuffer height, then rasterizes rows [y0, y0+band)."""
@@ -159,6 +160,9 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
     valid2 = (n_in == 2)
 
     in_range = jnp.arange(f) < num_faces
+    if face_mask is not None:
+        # LOD: only the selected level's faces rasterize (ops/lod.py)
+        in_range &= face_mask
     clip_overflow = jnp.int32(0)
     if extra_cap is None:
         # static 2x expansion: every source triangle owns a second slot
@@ -417,8 +421,8 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
               num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
               height: int, width: int, tile_h: int = 8, tile_w: int = 128,
               tri_chunk: int = 128, interpret: bool | None = None,
-              proj_height: int | None = None, y_offset=None
-              ) -> Tuple[HitRecord, jnp.ndarray]:
+              proj_height: int | None = None, y_offset=None,
+              face_mask=None) -> Tuple[HitRecord, jnp.ndarray]:
     """Full-frame visibility raster.
 
     Returns (HitRecord flattened to (H*W,) with z stored in ``t`` as NDC
@@ -433,7 +437,8 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     tx, ty, tz, tw, b1, b2, src_id, valid, _ = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
-        proj_height or height, width, y_offset=y_offset)
+        proj_height or height, width, y_offset=y_offset,
+        face_mask=face_mask)
     order, n_large = _screen_morton_order(tx, ty, valid, height, width)
     tx, ty, tz, tw, b1, b2, valid = (
         a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
@@ -662,8 +667,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      cap_groups: int = 64, kernel_slots: int = 512,
                      caps_scale: int = 1,
                      interpret: bool | None = None,
-                     proj_height: int | None = None, y_offset=None
-                     ) -> Tuple[HitRecord, jnp.ndarray]:
+                     proj_height: int | None = None, y_offset=None,
+                     face_mask=None) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with exact per-tile triangle lists.
 
     XLA builds, per Pallas tile, the capacity-bounded list of 8-triangle
@@ -699,7 +704,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     tx, ty, tz, tw, b1, b2, src_id, valid, _ = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
-        proj_height or height, width, y_offset=y_offset)
+        proj_height or height, width, y_offset=y_offset,
+        face_mask=face_mask)
     order, _ = _screen_morton_order(tx, ty, valid, height, width,
                                     partition_large=False)
     tx, ty, tz, tw, b1, b2, valid = (
@@ -990,8 +996,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      cap: int = 2048, cap_glob: int = 512,
                      pairs_cap: int | None = None, caps_scale: int = 1,
                      interpret: bool | None = None,
-                     proj_height: int | None = None, y_offset=None
-                     ) -> Tuple[HitRecord, jnp.ndarray]:
+                     proj_height: int | None = None, y_offset=None,
+                     face_mask=None) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
 
@@ -1030,7 +1036,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         triangle_setup_clipped(
             world_verts, tri_vertices, num_faces, view_proj,
             proj_height or height, width, y_offset=y_offset,
-            extra_cap=extra)
+            extra_cap=extra, face_mask=face_mask)
     src_sorted = src_id
 
     f2 = tx.shape[0]

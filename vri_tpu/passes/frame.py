@@ -69,7 +69,7 @@ def _raster_variant(backend: str) -> tuple:
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto", y0: int = 0,
                        proj_height: int | None = None,
-                       caps_scale: int = 1):
+                       caps_scale: int = 1, lod_tau: float = 0.75):
     """Raster dispatch: group-binned lists for ordinary scenes (big
     triangles dominate; the global tier would overflow), the sort-binned
     kernel beyond ~64k triangles (tessellated scenes: per-triangle exact
@@ -77,11 +77,24 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
     ``variant='ranged'`` forces the chunk-range kernel — the exact,
     capacity-free fallback when a list kernel reports overflow
     (HitRecord.overflow > 0); ``caps_scale`` multiplies the list
-    capacities (the renderer's intermediate overflow response)."""
+    capacities (the renderer's intermediate overflow response).
+
+    When the scene carries LOD chains (registry lod_levels > 0), each
+    instance rasterizes the coarsest level whose geometric deviation
+    projects below ``lod_tau`` pixels (ops/lod.py); ``lod_tau=0`` forces
+    full-rate geometry."""
     from vri_tpu.ops import rasterize as raster_mod
 
-    f = scene.tri_vertices.shape[0]
+    num_faces = scene.num_faces
     kw = {}
+    if scene.tri_lod is not None and lod_tau > 0:
+        from vri_tpu.ops import lod as lod_mod
+
+        focal_px = 1.0 / jnp.maximum(frame.pixel_spread, 1e-8)
+        mask, _ = lod_mod.face_mask(scene, frame.eye, focal_px, lod_tau)
+        num_faces = scene.num_faces_total
+        kw["face_mask"] = mask
+    f = scene.tri_vertices.shape[0]
     if variant == "ranged":
         fn = raster_mod.rasterize
     elif f <= (1 << 14):
@@ -89,11 +102,11 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
         # 27.1 ms at 3k tris; at 49k binned overflows its group lists
         # (398 tiles) where sorted's exact emission runs 35% faster
         fn = raster_mod.rasterize_binned
-        kw = {"caps_scale": caps_scale}
+        kw["caps_scale"] = caps_scale
     else:
         fn = raster_mod.rasterize_sorted
-        kw = {"caps_scale": caps_scale}
-    hit, _ = fn(world_verts, scene.tri_vertices, scene.num_faces,
+        kw["caps_scale"] = caps_scale
+    hit, _ = fn(world_verts, scene.tri_vertices, num_faces,
                 frame.view_proj, height=height, width=width,
                 proj_height=proj_height,
                 y_offset=jnp.float32(y0) if y0 else None, **kw)
@@ -106,11 +119,12 @@ def _visibility_brute(scene: SceneBuffers, world_verts, origins, dirs):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "mode",
-                                             "shadows", "backend"))
+                                             "shadows", "backend",
+                                             "lod_tau"))
 def render_frame(scene: SceneBuffers, frame: FrameParams, *,
                  height: int, width: int, mode: int = DebugMode.NONE,
-                 shadows: bool = True, backend: str = "brute"
-                 ) -> Dict[str, jnp.ndarray]:
+                 shadows: bool = True, backend: str = "brute",
+                 lod_tau: float = 0.75) -> Dict[str, jnp.ndarray]:
     """Render one frame; returns AOVs reshaped to (H, W, ...).
 
     Pass order mirrors the reference frame (RenderPass.cpp:890-1077):
@@ -133,7 +147,7 @@ def render_frame(scene: SceneBuffers, frame: FrameParams, *,
         variant, caps_scale = _raster_variant(backend)
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
-            variant=variant, caps_scale=caps_scale)
+            variant=variant, caps_scale=caps_scale, lod_tau=lod_tau)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -235,13 +249,14 @@ def _direct_lighting(gb, scene, cascades, config, height, width):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "mode",
                                              "config", "backend", "samples",
-                                             "use_cache", "gi_scale"))
+                                             "use_cache", "gi_scale",
+                                             "lod_tau"))
 def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
                     cascades, key, *, height: int, width: int,
                     config, mode: int = DebugMode.NONE,
                     backend: str = "raster", samples: int = 1,
-                    use_cache: bool = False, gi_scale: int = 1
-                    ) -> Dict[str, jnp.ndarray]:
+                    use_cache: bool = False, gi_scale: int = 1,
+                    lod_tau: float = 0.75) -> Dict[str, jnp.ndarray]:
     """Full frame with the SDF-driven lightloop (BASELINE config 4):
     visibility -> G-buffer resolve -> direct + 1-bounce GI, or the
     Brixelizer-style SDF debug resolve (reference debug visualization,
@@ -266,7 +281,7 @@ def render_frame_gi(scene: SceneBuffers, frame: FrameParams,
         variant, caps_scale = _raster_variant(backend)
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
-            variant=variant, caps_scale=caps_scale)
+            variant=variant, caps_scale=caps_scale, lod_tau=lod_tau)
     elif backend == "bvh":
         from vri_tpu.ops import trace as trace_mod
 
@@ -437,13 +452,15 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
 @functools.partial(jax.jit, static_argnames=("height", "width", "config",
                                              "backend", "samples",
                                              "use_cache", "gi_scale",
-                                             "history_cap", "band"))
+                                             "history_cap", "band",
+                                             "lod_tau"))
 def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
                              cascades, key, state: TemporalState, *,
                              height: int, width: int, config,
                              backend: str = "raster", samples: int = 1,
                              use_cache: bool = False, gi_scale: int = 1,
-                             history_cap: float = 16.0, band=None):
+                             history_cap: float = 16.0, band=None,
+                             lod_tau: float = 0.75):
     """GI frame with temporally reprojected indirect accumulation.
 
     Under camera motion every pixel reuses up to ``history_cap`` frames of
@@ -471,7 +488,7 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
         hit = _visibility_raster(
             scene, world_verts, frame, height, width,
             variant=variant, caps_scale=caps_scale,
-            y0=y0, proj_height=proj_h)
+            y0=y0, proj_height=proj_h, lod_tau=lod_tau)
     else:
         hit = _visibility_brute(scene, world_verts, o, d)
     gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,

@@ -91,6 +91,19 @@ class SceneBuffers:
     vertex_proto: Optional[jnp.ndarray] = None
     #: (F,) i32 expanded-face -> prototype-face (None = flat layout)
     tri_proto: Optional[jnp.ndarray] = None
+    # Discrete LOD chains (None = no LOD packed).  The face pools hold
+    # [base faces of all instances | LOD faces of all instances | pad];
+    # ``num_faces`` stays the BASE count so the SDF build / BVH / brute
+    # paths see full-rate geometry untouched, while primary visibility
+    # passes ``num_faces_total`` plus a per-face mask from
+    # ops/lod.select_lod.  LOD triangles reference a SUBSET of the base
+    # vertex pool (QEM subset placement) so no vertex grows.
+    #: (F,) i32 LOD level of each face (0 = full geometry)
+    tri_lod: Optional[jnp.ndarray] = None
+    #: (I, L+1) f32 object-space geometric deviation per level (inf = absent)
+    instance_lod_error: Optional[jnp.ndarray] = None
+    #: () i32 face count including LOD levels
+    num_faces_total: Optional[jnp.ndarray] = None
 
 
 def bake_world(scene: SceneBuffers) -> jnp.ndarray:
@@ -156,6 +169,8 @@ class ResourceRegistry:
         # amounted to ("full" | "transforms" | "lights" | "none")
         self._dirty_paths: set = set()
         self.last_update: Dict = {"kind": "none"}
+        # LOD chain cache: geometry content hash -> [(tri_ids, vmap, err)]
+        self._lod_cache: Dict[bytes, list] = {}
 
     # -- push API (mirrors PushDrawItemRequest / PushMaterialRequest) -------
 
@@ -321,15 +336,86 @@ class ResourceRegistry:
             lt[i] = rec.kind
         return lp, lc, li, lt, n, sky
 
+    def _lod_chain(self, rec: MeshRecord) -> list:
+        """Discrete LOD chain for one mesh: [(src_tri_ids, vmap, err), ...]
+        for levels 1..lod_levels.  Levels chain off the previous level's
+        output (composed vertex maps keep everything in the ORIGINAL
+        index space — QEM subset placement, native/src/vri_lod.cpp) so
+        the cost stays linear in the mesh size; the deviation estimate is
+        always measured against the original surface.  Cached by
+        geometry content hash across commits."""
+        import hashlib
+
+        from vri_tpu.runtime import native as native_rt
+
+        cfg = self.config
+        nt = len(rec.tris)
+        key = hashlib.blake2b(
+            rec.points.tobytes() + rec.tris.tobytes()
+            + bytes([cfg.lod_levels]) + str(cfg.lod_ratio).encode(),
+            digest_size=16).digest()
+        hit = self._lod_cache.get(key)
+        if hit is not None:
+            return hit
+        chain = []
+        tris_cur = np.ascontiguousarray(rec.tris, np.int32)
+        ids_cur = np.arange(nt, dtype=np.int32)
+        vmap_c = np.arange(len(rec.points), dtype=np.int32)
+        for lvl in range(1, cfg.lod_levels + 1):
+            target = max(int(round(nt * cfg.lod_ratio ** lvl)), 16)
+            if len(ids_cur) <= max(target, 24):
+                break
+            ids_rel, vmap_l, _ = native_rt.simplify_qem(
+                rec.points, tris_cur, target)
+            if len(ids_rel) >= 0.9 * len(ids_cur):
+                break                      # lock-bound: no real progress
+            ids_cur = ids_cur[ids_rel]
+            vmap_c = vmap_l[vmap_c]
+            tris_cur = vmap_l[tris_cur][ids_rel]
+            err = native_rt._deviation(
+                np.ascontiguousarray(rec.points, np.float32),
+                np.ascontiguousarray(rec.tris, np.int32), vmap_c)
+            chain.append((ids_cur.copy(), vmap_c.copy(), float(err)))
+        self._lod_cache[key] = chain
+        return chain
+
     def _full_pack(self) -> SceneBuffers:
         lim = self.limits
         slots = self._material_slots()
 
         total_v = sum(len(m.points) for m in (self._meshes[p] for p in self._order))
         total_f = sum(len(m.tris) for m in (self._meshes[p] for p in self._order))
+
+        # LOD chains per unique geometry (cached across commits); the whole
+        # feature degrades to off when the chains would blow the face cap
+        n_levels = self.config.lod_levels
+        lod_chains: Dict[str, list] = {}
+        lod_f_expanded = 0
+        if n_levels > 0:
+            proto_of0 = {p: (self._meshes[p].proto or p) for p in self._order}
+            for p in self._order:
+                k = proto_of0[p]
+                if k not in lod_chains:
+                    rec = self._meshes[p]
+                    lod_chains[k] = (
+                        self._lod_chain(rec)
+                        if len(rec.tris) >= self.config.lod_min_faces else [])
+                lod_f_expanded += sum(len(ids) for ids, _, _ in lod_chains[k])
+            if total_f + lod_f_expanded > lim.max_faces:
+                log.warning(
+                    "LOD chains (%d faces) would exceed the face cap %d; "
+                    "packing without LOD", total_f + lod_f_expanded,
+                    lim.max_faces)
+                lod_chains = {}
+                lod_f_expanded = 0
+                n_levels = 0
+            elif lod_f_expanded == 0:     # every mesh below lod_min_faces
+                lod_chains = {}
+                n_levels = 0
+
         V = lim.padded_vertices(total_v)
-        F = lim.padded_faces(total_f)
-        if total_v > V or total_f > F:
+        F = lim.padded_faces(total_f + lod_f_expanded)
+        if total_v > V or total_f + lod_f_expanded > F:
             raise ValueError(
                 f"scene exceeds limits: {total_v} verts (cap {V}), "
                 f"{total_f} faces (cap {F})")
@@ -350,6 +436,12 @@ class ResourceRegistry:
         proto_keys = list(dict.fromkeys(proto_of.values()))
         shared = len(proto_keys) < n_inst
 
+        tri_lod = np.zeros((F,), np.int32) if n_levels else None
+        lod_err = (np.full((icap, n_levels + 1), np.inf, np.float32)
+                   if n_levels else None)
+        if lod_err is not None:
+            lod_err[:, 0] = 0.0
+
         if not shared:
             positions = np.zeros((V, 3), np.float32)
             vertex_instance = np.zeros((V,), np.int32)
@@ -360,6 +452,7 @@ class ResourceRegistry:
             vertex_proto = tri_proto = None
 
             voff = foff = 0
+            inst_voff = np.zeros((icap,), np.int64)
             for i, path in enumerate(self._order):
                 rec = self._meshes[path]
                 nv, nf = len(rec.points), len(rec.tris)
@@ -372,15 +465,35 @@ class ResourceRegistry:
                 inst_material[i] = slots.get(rec.material_path, 0)
                 inst_face_offset[i] = foff
                 inst_face_count[i] = nf
+                inst_voff[i] = voff
                 voff += nv
                 foff += nf
             # padding faces are degenerate (all-zero verts of instance 0)
+
+            # LOD tail: decimated levels appended AFTER every base face so
+            # num_faces (= total_f) keeps the SDF/BVH/brute paths on base
+            # geometry; LOD faces reference base vertices (subset placement)
+            for i, path in enumerate(self._order):
+                rec = self._meshes[path]
+                for lvl, (ids, vmap, err) in enumerate(
+                        lod_chains.get(proto_of[path], []), start=1):
+                    nfl = len(ids)
+                    tri_vertices[foff:foff + nfl] = \
+                        vmap[rec.tris[ids]] + inst_voff[i]
+                    tri_uv[foff:foff + nfl] = rec.uvs[ids]
+                    tri_face[foff:foff + nfl] = rec.tri_face[ids]
+                    tri_instance[foff:foff + nfl] = i
+                    tri_lod[foff:foff + nfl] = lvl
+                    lod_err[i, lvl] = err
+                    foff += nfl
         else:
-            # prototype pools (packed once per unique proto)
+            # prototype pools (packed once per unique proto); LOD levels of
+            # each proto are appended to the proto-level face pools and
+            # expanded per instance exactly like base faces
             first = {}
             for p in self._order:
                 first.setdefault(proto_of[p], self._meshes[p])
-            pv_off, pf_off = {}, {}
+            pv_off, pf_off, pf_lod_off = {}, {}, {}
             vp = fp_ = 0
             for k in proto_keys:
                 rec = first[k]
@@ -388,6 +501,12 @@ class ResourceRegistry:
                 pf_off[k] = fp_
                 vp += len(rec.points)
                 fp_ += len(rec.tris)
+            for k in proto_keys:           # LOD proto faces after all base
+                offs = []
+                for ids, _, _ in lod_chains.get(k, []):
+                    offs.append(fp_)
+                    fp_ += len(ids)
+                pf_lod_off[k] = offs
             Vp = max(_round_up(vp, lim.pad), lim.pad)
             Fp = max(_round_up(fp_, lim.pad), lim.pad)
             positions = np.zeros((Vp, 3), np.float32)
@@ -401,6 +520,11 @@ class ResourceRegistry:
                 tri_uv[fo:fo + len(rec.tris)] = rec.uvs
                 tri_face[fo:fo + len(rec.tris)] = rec.tri_face
                 proto_tris[fo:fo + len(rec.tris)] = rec.tris
+                for off, (ids, vmap, _err) in zip(
+                        pf_lod_off[k], lod_chains.get(k, [])):
+                    tri_uv[off:off + len(ids)] = rec.uvs[ids]
+                    tri_face[off:off + len(ids)] = rec.tri_face[ids]
+                    proto_tris[off:off + len(ids)] = vmap[rec.tris[ids]]
 
             vertex_instance = np.zeros((V,), np.int32)
             vertex_proto = np.zeros((V,), np.int32)
@@ -408,6 +532,7 @@ class ResourceRegistry:
             tri_instance = np.zeros((F,), np.int32)
             tri_proto = np.zeros((F,), np.int32)
             voff = foff = 0
+            inst_voff = np.zeros((icap,), np.int64)
             for i, path in enumerate(self._order):
                 rec = self._meshes[path]
                 k = proto_of[path]
@@ -423,8 +548,22 @@ class ResourceRegistry:
                 inst_material[i] = slots.get(rec.material_path, 0)
                 inst_face_offset[i] = foff
                 inst_face_count[i] = nf
+                inst_voff[i] = voff
                 voff += nv
                 foff += nf
+            for i, path in enumerate(self._order):   # expanded LOD tail
+                k = proto_of[path]
+                for lvl, (off, (ids, vmap, err)) in enumerate(
+                        zip(pf_lod_off[k], lod_chains.get(k, [])), start=1):
+                    nfl = len(ids)
+                    tri_vertices[foff:foff + nfl] = \
+                        proto_tris[off:off + nfl] + inst_voff[i]
+                    tri_instance[foff:foff + nfl] = i
+                    tri_proto[foff:foff + nfl] = np.arange(
+                        off, off + nfl, dtype=np.int32)
+                    tri_lod[foff:foff + nfl] = lvl
+                    lod_err[i, lvl] = err
+                    foff += nfl
             log.info("proto pack: %d instances share %d prototypes "
                      "(%d proto verts for %d expanded)",
                      n_inst, len(proto_keys), vp, total_v)
@@ -497,6 +636,11 @@ class ResourceRegistry:
                           else jnp.asarray(vertex_proto)),
             tri_proto=(None if tri_proto is None
                        else jnp.asarray(tri_proto)),
+            tri_lod=(None if tri_lod is None else jnp.asarray(tri_lod)),
+            instance_lod_error=(None if lod_err is None
+                                else jnp.asarray(lod_err)),
+            num_faces_total=(None if tri_lod is None else jnp.asarray(
+                total_f + lod_f_expanded, jnp.int32)),
         )
         log.info("registry commit: %d instances, %d verts (cap %d), "
                  "%d tris (cap %d), %d materials, %d textures, %d lights",

@@ -217,11 +217,13 @@ class Renderer:
             aovs = frame_mod.render_frame_gi(
                 self.scene, fp, cascades, key, height=h, width=w,
                 config=self.config.sdf, mode=mode, backend=backend,
-                samples=samples, use_cache=True, gi_scale=gi_scale)
+                samples=samples, use_cache=True, gi_scale=gi_scale,
+                lod_tau=self.config.lod_tau)
         else:
             aovs = frame_mod.render_frame(self.scene, fp, height=h, width=w,
                                           mode=mode, shadows=True,
-                                          backend=backend)
+                                          backend=backend,
+                                          lod_tau=self.config.lod_tau)
         self.frame_index += 1
         over = aovs.get("raster_overflow_tiles")
         # only inspect the overflow scalar when a readback happens anyway
@@ -282,6 +284,7 @@ class Renderer:
             aovs, state = frame_mod.render_frame_gi_temporal(
                 self.scene, fp, cascades, key, state, height=h, width=w,
                 config=self.config.sdf, backend=backend, samples=samples,
-                use_cache=True, gi_scale=gi_scale)
+                use_cache=True, gi_scale=gi_scale,
+                lod_tau=self.config.lod_tau)
             frames.append({k: np.asarray(v) for k, v in aovs.items()})
         return frames

