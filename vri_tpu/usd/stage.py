@@ -52,7 +52,10 @@ class Stage:
         """
         if _depth > 8:
             raise usda.UsdaError(f"composition arc depth > 8 at {path!r}")
-        from vri_tpu.usd import usdc
+        from vri_tpu.usd import usdc, usdz
+        if usdz.is_usdz(path):
+            # package: extract once, then open the root layer file-anchored
+            return cls.open(usdz.extract(path), _depth=_depth)
         if usdc.is_crate(path):
             stage = usdc.open_crate(path)   # crate value decode (usd/crate)
             stage._compose(_depth)
@@ -190,10 +193,14 @@ class Stage:
 
     def save(self, path: str) -> None:
         """Write this stage to disk — .usdc gets the binary crate writer
-        (usd/crate.py), anything else USDA text."""
+        (usd/crate.py), .usdz the aligned zip packager (usd/usdz.py),
+        anything else USDA text."""
         if path.endswith(".usdc"):
             from vri_tpu.usd import usdc
             usdc.write_crate(self, path)
+        elif path.endswith(".usdz"):
+            from vri_tpu.usd import usdz
+            usdz.write(self, path)
         else:
             with open(path, "w") as f:
                 f.write(self.export())
