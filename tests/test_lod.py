@@ -154,6 +154,44 @@ def test_sdf_build_sees_base_geometry_only(lod_scene):
 
 
 # ---------------------------------------------------------------------------
+# raster mask contract
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fn_name", ["rasterize", "rasterize_binned",
+                                     "rasterize_sorted"])
+def test_raster_face_mask_culls(cornell, fn_name):
+    import jax.numpy as jnp
+
+    from vri_tpu.hydra import RenderDelegate
+    from vri_tpu.ops import rasterize
+    from vri_tpu.registry import bake_world
+
+    d = RenderDelegate(RenderConfig(width=48, height=48))
+    d.populate(cornell)
+    scene = d.sync()
+    world = bake_world(scene)
+    vp = jnp.asarray(d.camera.view_proj)
+    fn = getattr(rasterize, fn_name)
+    full, _ = fn(world, scene.tri_vertices, scene.num_faces, vp,
+                 height=48, width=48)
+    # mask out one instance entirely: its ids must vanish from the frame
+    kill = int(np.asarray(full.tri)[np.asarray(full.tri) >= 0][0])
+    kill_inst = int(scene.tri_instance[kill])
+    mask = jnp.asarray(np.asarray(scene.tri_instance) != kill_inst)
+    part, _ = fn(world, scene.tri_vertices, scene.num_faces, vp,
+                 height=48, width=48, face_mask=mask)
+    tri = np.asarray(part.tri)
+    shown = tri[tri >= 0]
+    inst = np.asarray(scene.tri_instance)[shown]
+    assert (inst != kill_inst).all()
+    # and with an all-true mask the frame is unchanged
+    all_on, _ = fn(world, scene.tri_vertices, scene.num_faces, vp,
+                   height=48, width=48,
+                   face_mask=jnp.ones_like(mask))
+    assert np.array_equal(np.asarray(all_on.tri), np.asarray(full.tri))
+
+
+# ---------------------------------------------------------------------------
 # selection + rendering
 # ---------------------------------------------------------------------------
 

@@ -288,7 +288,8 @@ class TestOverflowEscalation:
         seen = []
 
         def fake_render_frame(scene, fp, *, height, width, mode=0,
-                              shadows=True, backend="raster"):
+                              shadows=True, backend="raster",
+                              lod_tau=0.75):
             seen.append(backend)
             # report overflow until the ranged kernel takes over
             over = 0 if backend == "raster_ranged" else 1

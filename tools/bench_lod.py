@@ -11,6 +11,8 @@ Usage: python tools/bench_lod.py [tess ...]
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 
 if jax.default_backend() != "cpu":
