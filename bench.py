@@ -55,9 +55,9 @@ def _raster_ms(tess: int) -> float:
     scene = d.sync()
     world = bake_world(scene)
     vp = jnp.asarray(d.camera.view_proj)
-    fn = (rasterize.rasterize_binned
-          if scene.tri_vertices.shape[0] <= (1 << 14)
-          else rasterize.rasterize_sorted)
+    # the sorted work-list kernel owns every scale since fused singleton
+    # steps (the binned crossover flipped: 21.4 vs 23.7 ms at 3k)
+    fn = rasterize.rasterize_sorted
 
     hit0, _ = fn(world, scene.tri_vertices, scene.num_faces, vp,
                  height=HEIGHT, width=WIDTH)

@@ -1283,9 +1283,24 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
     fl = fl_ref[i]
     p = tile_h * tile_w
     tc = tri_chunk
+    lane_bits = (tc - 1).bit_length()
+    mask = jnp.int32(~((1 << lane_bits) - 1))
+    miss = jnp.int32(1073741824)                # f32 2.0 bit pattern
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
 
-    def compute():
-        """(zm, sid) of this step's chunk for this step's tile."""
+    # EVERY live step reduces its chunk to a (P, 1) packed depth|lane
+    # key plus a (P, 1) winner slot id — the binned kernel's int-key
+    # trick applied to the streaming walk.  Packing strips lane_bits
+    # (7 for TC=128) mantissa bits: <= 2^-16 relative depth quantization,
+    # far below geometric tolerance.  Versus the (P, TC) per-lane
+    # accumulator this replaces (init fill + accumulate RW + a heavy
+    # once-per-tile cross-lane finalize), scratch traffic drops ~500x
+    # and the finalize becomes a read: 11.74 -> 5.91 ms on a 2048-step
+    # walk (tools/micro_steps.py run_packed).  Ties: equal quantized
+    # depth resolves to the lowest lane within a step, then the earliest
+    # step — deterministic under the fixed emission order.
+    @pl.when((fl & 4) != 0)
+    def _():
         rows = chunks_ref[0]                    # (8, 3TC) template
         tile = wt_ref[i]
         fx0 = ((tile % num_tx) * tile_w).astype(jnp.float32)
@@ -1311,51 +1326,29 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
         ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
               & (l1 + l2 <= 1.0) & (z <= 1.0))
         zm = jnp.where(ok, z, 2.0)
-        sid = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
-        return zm, sid
+        key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) | lane
+        row = jnp.min(key, axis=-1, keepdims=True)          # (P, 1)
+        # winner slot id via the lane carried in the key's low bits
+        sel = lane == (row & ~mask)
+        sid_row = jnp.sum(jnp.where(
+            sel, jnp.broadcast_to(rows[5:6, 0:tc], (p, tc)), 0.0),
+            axis=-1, keepdims=True)
+        # first step of a tile initializes inline (no separate init pass)
+        prev = jnp.where((fl & 1) != 0, jnp.full((p, 1), miss, jnp.int32),
+                         best_ref[:, :])
+        upd = row < prev
+        best = jnp.where(upd, row, prev)
+        best_ref[:, :] = best
+        sid_ref[:, :] = jnp.where(
+            upd, sid_row, jnp.where((fl & 1) != 0, 0.0, sid_ref[:, :]))
 
-    def reduce_write(bk, sid_all):
-        """Cross-lane winner -> this tile's output rows."""
-        z = jnp.min(bk, axis=-1, keepdims=True)             # (P, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
-        k = jnp.min(jnp.where(bk == z, lane, jnp.int32(2 ** 30)),
-                    axis=-1, keepdims=True)
-        sid = jnp.sum(jnp.where(lane == k, sid_all, 0.0),
-                      axis=-1, keepdims=True)
-        hit = z <= 1.0
-        z_row[...] = jnp.where(hit, z, _BIG).reshape(1, 1, p)
-        slot_row[...] = jnp.where(hit, sid.astype(jnp.int32), -1) \
-            .reshape(1, 1, p)
-
-    # SINGLETON fast path (first & last & live = the whole tile in one
-    # step — the common case: most tiles' lists fit one chunk): compute
-    # and reduce inline, touching NO (P, TC) scratch.  The scratch
-    # round-trips this skips (init fill + accumulate RW + finalize read,
-    # ~2 MB VMEM traffic) measured 11.74 -> 9.37 ms on a 2048-step walk
-    # with only 36% singleton steps (tools/micro_steps.py).
-    @pl.when(fl == 7)
-    def _():
-        zm, sid = compute()
-        reduce_write(zm, sid)
-
-    @pl.when(((fl & 1) != 0) & (fl != 7))       # first step of this tile
-    def _():
-        best_ref[:, :] = jnp.full((p, tc), 2.0, jnp.float32)
-
-    @pl.when(((fl & 4) != 0) & (fl != 7))       # live work item
-    def _():
-        zm, sid = compute()
-        prev = best_ref[:, :]
-        upd = zm < prev                   # ties keep the earlier chunk
-        best_ref[:, :] = jnp.where(upd, zm, prev)
-        # sid_ref is deliberately NOT initialized: a lane is only read
-        # back when it won the cross-lane min, which implies this step
-        # wrote it; no-hit pixels are masked by z <= 1 before use
-        sid_ref[:, :] = jnp.where(upd, sid, sid_ref[:, :])
-
-    @pl.when(((fl & 2) != 0) & (fl != 7))       # last step -> finalize
-    def _():
-        reduce_write(best_ref[:, :], sid_ref[:, :])
+        @pl.when((fl & 2) != 0)                 # last step -> write rows
+        def _():
+            z1 = jax.lax.bitcast_convert_type(best & mask, jnp.float32)
+            hit = z1 <= 1.0
+            z_row[...] = jnp.where(hit, z1, _BIG).reshape(1, 1, p)
+            slot_row[...] = jnp.where(
+                hit, sid_ref[:, :].astype(jnp.int32), -1).reshape(1, 1, p)
 
 
 def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
@@ -1384,8 +1377,8 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
         grid=(n_work,),
         in_specs=[chunk_spec],
         out_specs=[row_spec] * 2,
-        scratch_shapes=[pltpu.VMEM((p, tc), jnp.float32),
-                        pltpu.VMEM((p, tc), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32),
+                        pltpu.VMEM((p, 1), jnp.float32)],
     )
     kernel1 = functools.partial(
         _pass1_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tc,

@@ -97,13 +97,20 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
     f = scene.tri_vertices.shape[0]
     if variant == "ranged":
         fn = raster_mod.rasterize
-    elif f <= (1 << 14):
-        # measured crossover (1080p, v5e): binned 22.7 ms vs sorted
-        # 27.1 ms at 3k tris; at 49k binned overflows its group lists
-        # (398 tiles) where sorted's exact emission runs 35% faster
+    elif f <= (1 << 14) and height <= 512:
+        # small pool AND a small framebuffer (row-sharded multi-chip
+        # bands): the sorted path's per-FRAME prep (emission over the
+        # pool, the >= 128k-key sort, the stream/template build) doesn't
+        # amortize over a few hundred tiles — the 135-row GI band
+        # measured 13.6 ms via binned vs ~21 ms via sorted
         fn = raster_mod.rasterize_binned
         kw["caps_scale"] = caps_scale
     else:
+        # full frames: the sorted work-list kernel owns every scale since
+        # its fused singleton steps landed: 21.4 vs binned 23.7 ms at 3k
+        # (the old crossover favored binned 22.7 vs 27.1), and beyond
+        # ~16k the binned (tiles x groups) matrix stops scaling anyway
+        # (tools/bench_sorted3k.py)
         fn = raster_mod.rasterize_sorted
         kw["caps_scale"] = caps_scale
     hit, _ = fn(world_verts, scene.tri_vertices, num_faces,
