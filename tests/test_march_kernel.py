@@ -59,8 +59,9 @@ class TestMarchKernelParity:
                 axis=(1, 3, 5))
             for cz, cy, cx in [(0, 0, 0), (8, 8, 8), (15, 3, 7), (4, 12, 9)]:
                 cflat = n * 4096 + (cz * 16 + cy) * 16 + cx
-                word = mc[cflat >> 9, (cflat >> 2) & 127]
-                cd = (word >> ((cflat & 3) * 8)) & 255
+                # u4 packing: 8 cells per i32 word (1024 cells per row)
+                word = mc[cflat >> 10, (cflat >> 3) & 127]
+                cd = (word >> ((cflat & 7) * 4)) & 15
                 if cell_occ[cz, cy, cx]:
                     # surface cells may be cd==0 or >0 when no *surface*
                     # voxel (occupied-but-far bricks in the apron)

@@ -56,18 +56,22 @@ def supports(config: SDFConfig) -> bool:
     return r % 16 == 0 and r // 16 in (1, 2, 4)
 
 
-def _gather_u8(tab, flat):
-    """flat (8,128) i32 in [0, rows*512) -> u8 value per lane."""
+def _gather_u4(tab, flat):
+    """flat (8,128) i32 in [0, rows*1024) -> u4 value per lane.
+
+    4-bit packing (8 cells per i32 word) halves the masked-row loop vs
+    the u8 layout — this gather runs EVERY march step, so its row count
+    is the kernel's dominant per-step memory cost."""
     rows = tab.shape[0]
-    row = flat >> 9
-    col = (flat >> 2) & 127
-    byte = flat & 3
+    row = flat >> 10
+    col = (flat >> 3) & 127
+    nib = flat & 7
     val = jnp.zeros(_SHAPE, jnp.int32)
     for rr in range(rows):
         g = jnp.take_along_axis(jnp.broadcast_to(tab[rr:rr + 1], _SHAPE),
                                 col, axis=1)
         val = jnp.where(row == rr, g, val)
-    return (val >> (byte * 8)) & 255
+    return (val >> (nib * 4)) & 15
 
 
 def _gather_i32(tab, flat):
@@ -140,7 +144,7 @@ def _march_block_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
         ccy = vy >> log2s
         ccz = vz >> log2s
         cflat = cas_c * 4096 + (ccz * 16 + ccy) * 16 + ccx
-        cd = _gather_u8(coarse, cflat)
+        cd = _gather_u4(coarse, cflat)
         near = inside & (cd == 0)
 
         # fine-bit words: fetched once per cell entry, block-gated

@@ -78,7 +78,7 @@ class SDFCascades:
     # words (bit = ((vz%s)*s + vy%s)*s + vx%s).  These stay small enough to
     # sit whole in VMEM, which is what makes the kernel's one-gather-per-
     # step march possible.  Zeros-shaped when R is not a multiple of 16.
-    march_coarse: jnp.ndarray  # (N*8, 128) i32 — 4096 u8 cells per cascade
+    march_coarse: jnp.ndarray  # (N*4, 128) i32 — 4096 u4 cells per cascade
     march_fine0: jnp.ndarray   # (N*32, 128) i32 — occupancy bits 0..31
     march_fine1: jnp.ndarray   # (N*32, 128) i32 — occupancy bits 32..63
     # () i32 — near candidates beyond max_triangles_per_brick dropped at
@@ -338,7 +338,7 @@ def build_march_tables(brick_map: jnp.ndarray, atlas: jnp.ndarray, *,
     bsz = config.brick_size
     if r % 16 != 0 or r // 16 not in (1, 2, 4):
         # unsupported resolution: zero tables; march() falls back to XLA
-        return (jnp.zeros((n * 8, 128), jnp.int32),
+        return (jnp.zeros((n * 4, 128), jnp.int32),
                 jnp.zeros((n * 32, 128), jnp.int32),
                 jnp.zeros((n * 32, 128), jnp.int32))
     s = r // 16
@@ -362,11 +362,15 @@ def build_march_tables(brick_map: jnp.ndarray, atlas: jnp.ndarray, *,
             -d, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME")
         d = jnp.minimum(d, pooled + 1.0)
     cdist = jnp.clip(d, 0, cap).astype(jnp.int32).reshape(n, 4096)
-    # pack 4 consecutive u8 cells per i32 word (cell flat = (cz*16+cy)*16+cx)
-    cd4 = cdist.reshape(n, 1024, 4)
-    words = (cd4[..., 0] | (cd4[..., 1] << 8) | (cd4[..., 2] << 16)
-             | (cd4[..., 3] << 24))
-    coarse = words.reshape(n * 8, 128).astype(jnp.int32)
+    # pack 8 consecutive u4 cells per i32 word (cap 15 fits 4 bits;
+    # cell flat = (cz*16+cy)*16+cx).  Halving the word count halves the
+    # kernel's EVERY-STEP masked-row gather loop (64 -> 32 rows for 8
+    # cascades) — the march's dominant per-step memory cost.
+    cd8 = cdist.reshape(n, 512, 8)
+    words = jnp.zeros(cd8.shape[:2], jnp.int32)
+    for k in range(8):
+        words = words | (cd8[..., k] << (4 * k))
+    coarse = words.reshape(n * 4, 128).astype(jnp.int32)
 
     # per-cell voxel bits: bit = ((vz%s)*s + vy%s)*s + vx%s
     bits = cz.transpose(0, 1, 3, 5, 2, 4, 6).reshape(n, 4096, s3)
