@@ -250,6 +250,78 @@ class TestSortedRaster:
         assert int(hit.overflow) > 0
 
 
+class TestGroupedTier:
+    """Grouped-singleton tier: tiles whose whole list fits in W lanes
+    run G = 128/W per kernel step (ops/rasterize.py _GROUP_CLASSES).
+    A grouped tile walks exactly its own emitted list while the dense
+    walk's chunk-aligned stream can include foreign DUPLICATE copies of
+    the same slots (emitted for the neighboring tile), so quantized-z
+    TIES between different triangles may resolve differently — but the
+    hit MASK must agree exactly (bbox emission covers all coverage in
+    both paths), ids must agree away from ties, and depths must agree
+    to the shared 2^-16 key quantization."""
+
+    def _ab(self, stage, res_h, res_w):
+        d = RenderDelegate(RenderConfig(width=res_w, height=res_h))
+        d.populate(stage)
+        scene, cam = d.sync(), d.camera
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        outs = []
+        for grouped in (True, False):
+            hit, z = rasterize.rasterize_sorted(
+                world, scene.tri_vertices, scene.num_faces, vp,
+                height=res_h, width=res_w, grouped=grouped)
+            assert int(hit.overflow) == 0
+            outs.append((hit, z))
+        return outs
+
+    def _assert_parity(self, hg, zg, hd, zd):
+        tg, td = np.asarray(hg.tri), np.asarray(hd.tri)
+        np.testing.assert_array_equal(tg >= 0, td >= 0)   # exact mask
+        assert (tg == td).mean() > 0.999                  # ties only
+        hitm = (tg >= 0).reshape(np.asarray(zg).shape)
+        np.testing.assert_allclose(np.asarray(zg)[hitm],
+                                   np.asarray(zd)[hitm], atol=2e-4)
+        same = tg == td
+        np.testing.assert_array_equal(np.asarray(hg.u)[same],
+                                      np.asarray(hd.u)[same])
+
+    def test_parity_cornell(self, cornell):
+        # 64x256 -> 8x2 tiles; cornell walls give a mix of sparse and
+        # mid-density tiles covering several classes
+        (hg, zg), (hd, zd) = self._ab(cornell, 64, 256)
+        self._assert_parity(hg, zg, hd, zd)
+
+    def test_parity_kitchen(self):
+        # denser scene: exercises class boundaries and the dense tier
+        # side by side (tiles above 64 pairs next to tiles below 8)
+        (hg, zg), (hd, zd) = self._ab(
+            scenes.kitchen_stress(num_objects=48), 96, 384)
+        self._assert_parity(hg, zg, hd, zd)
+
+    def test_empty_tiles_miss(self, cornell):
+        # camera panned so part of the framebuffer sees nothing: empty
+        # tiles flow through the W=8 class and must write clean misses
+        d = RenderDelegate(RenderConfig(width=256, height=64))
+        d.populate(cornell)
+        scene, cam = d.sync(), d.camera
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        from vri_tpu.utils import math3d as m3
+        eye = np.asarray(cam.eye) + np.array([6.0, 0.0, 0.0])
+        view = m3.look_at(eye, eye + np.array([1.0, 0.0, 0.0]))
+        vp = jnp.asarray((np.asarray(cam.proj) @ view).astype(np.float32))
+        hit, z = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=64, width=256)
+        ho, zo = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=64, width=256, grouped=False)
+        np.testing.assert_array_equal(np.asarray(hit.tri),
+                                      np.asarray(ho.tri))
+
+
 class TestOverflowEscalation:
     """Renderer caps ladder: overflow -> 2x -> 4x lists -> ranged kernel
     (the graceful middle path before the ~20x capacity-free cliff)."""

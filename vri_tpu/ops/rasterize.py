@@ -988,7 +988,8 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap",
-    "cap_glob", "pairs_cap", "caps_scale", "interpret", "proj_height"))
+    "cap_glob", "pairs_cap", "caps_scale", "interpret", "proj_height",
+    "grouped"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
@@ -997,7 +998,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      pairs_cap: int | None = None, caps_scale: int = 1,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None,
-                     face_mask=None) -> Tuple[HitRecord, jnp.ndarray]:
+                     face_mask=None, grouped: bool = True,
+                     ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
 
@@ -1220,17 +1222,29 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         [chunks, jnp.tile(zero3, (1, 2, 3))], axis=1)     # (C, 8, 3TC)
     num_chunks = pairs_cap // tc
 
+    # ---- grouped-singleton tier: tiles whose whole list fits in W
+    # lanes leave the dense walk entirely (G = 128/W share one step) ----
+    grouped_args = None
+    grouped_tile = jnp.zeros((num_tiles,), bool)
+    if grouped and tc == 128:
+        fl_g, chunks_g, src_row, grouped_tile, n_gsteps = _pack_grouped(
+            count, starts[:num_tiles].astype(jnp.int32), stream,
+            num_tiles=num_tiles, num_tx=grid[1], tile_h=tile_h,
+            tile_w=tile_w, tri_chunk=tc, pairs_cap=pairs_cap)
+        grouped_args = (fl_g, chunks_g, src_row, grouped_tile, n_gsteps)
+
     # ---- work list: one entry per (tile, chunk) walk step -------------
-    # EVERY tile contributes >= 1 step so its output rows get written
-    # (init + finalize); an empty tile's single step walks a foreign
-    # chunk, which is benign -- the kernel's half-plane/z tests are
-    # exact, so slots whose bbox excludes the tile cover no pixel here
+    # EVERY non-grouped tile contributes >= 1 step so its output rows get
+    # written (init + finalize); an empty tile's single step walks a
+    # foreign chunk, which is benign -- the kernel's half-plane/z tests
+    # are exact, so slots whose bbox excludes the tile cover no pixel here
     max_subs = cap // tc + 1            # +1: aligned-start slack
     start_chunk = jnp.minimum(starts[:num_tiles].astype(jnp.int32) // tc,
                               num_chunks - 1)
     end = starts[1:].astype(jnp.int32)
     span = end - start_chunk * tc
     nsub = jnp.clip((span + tc - 1) // tc, 1, max_subs)
+    nsub = jnp.where(grouped_tile, 0, nsub)
     cum = jnp.cumsum(nsub)
     total_work = cum[-1]
     offs = cum - nsub
@@ -1247,14 +1261,15 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     flags = (first.astype(jnp.int32) + 2 * last.astype(jnp.int32)
              + 4 * live.astype(jnp.int32))
 
-    overflowed = jnp.any(span > max_subs * tc) \
+    overflowed = jnp.any((span > max_subs * tc) & ~grouped_tile) \
         | (emit_over > 0) | (clip_over > 0)
     return _worklist_to_frame(
         wt, wchunk, flags, chunks, overflowed,
         tx, ty, tw, b1, b2, src_sorted,
-        total_work=jnp.minimum(total_work, wcap),
+        total_work=jnp.clip(total_work, 1, wcap),
         height=height, width=width, hp=hp, wp=wp, grid=grid,
-        tile_h=tile_h, tile_w=tile_w, tri_chunk=tc, interpret=interpret)
+        tile_h=tile_h, tile_w=tile_w, tri_chunk=tc, interpret=interpret,
+        grouped_args=grouped_args)
 def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
                   z_row, slot_row, best_ref, sid_ref, *,
                   tile_h: int, tile_w: int, tri_chunk: int, num_tx: int):
@@ -1351,10 +1366,198 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
                 hit, sid_ref[:, :].astype(jnp.int32), -1).reshape(1, 1, p)
 
 
+# Grouped-singleton classes: tiles whose ENTIRE list fits in W lanes are
+# packed G = 128/W per kernel step (origins baked per pair, so a step
+# needs no tile identity).  The per-step cost is nearly flat in G
+# (2.8-4.5 us measured, tools/micro_grouped.py), so sparse tiles cost
+# 0.17-2.3 us each instead of the dense walk's ~2.9 us step floor —
+# ~32% of tiles hold <= 8 pairs at every bench scale (tools/
+# hist_tiles.py), and at 3k tris the floor IS the kernel time.
+_GROUP_CLASSES = ((8, 16), (32, 4), (64, 2))     # (W, G); dense class = 3
+_GROUP_MAXG = max(g for _, g in _GROUP_CLASSES)
+
+
+def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
+                    tile_h: int, tile_w: int, tri_chunk: int):
+    """Grouped-singleton visibility step: one (8, 3TC) template chunk
+    holds G tiles' complete lists side by side (class flag = lanes per
+    tile W).  Constants arrive FULLY baked (ct already translated to
+    each pair's own tile origin), so the compute is one `_dot_2pass`
+    matmul + tests; the per-W-block winner is found with a masked-roll
+    suffix-min on a packed depth|lane key, broadcast back across the
+    block, and extracted per group with two one-hot Precision.HIGHEST
+    matmuls (exact select-and-sum).  Stateless: no scratch, no
+    first/last flags — every step is its tiles' whole walk."""
+    i = pl.program_id(0)
+    fl = fl_ref[i]
+    p = tile_h * tile_w
+    tc = tri_chunk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
+    mask = jnp.int32(~(tc - 1))
+    rows = chunks_ref[0]
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    py = 0.5 + (pix // tile_w).astype(jnp.float32)
+    px = 0.5 + (pix % tile_w).astype(jnp.float32)
+    pixmat = jnp.concatenate([px, py], axis=1)
+    out = _dot_2pass(pixmat, rows[0:2]) + rows[2:3]
+    l1 = out[:, 0:tc]
+    l2 = out[:, tc:2 * tc]
+    z = out[:, 2 * tc:3 * tc]
+    ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
+          & (l1 + l2 <= 1.0) & (z <= 1.0))
+    zm = jnp.where(ok, z, 2.0)
+    key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) | lane
+    sidb = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
+
+    for ci, (w, g) in enumerate(_GROUP_CLASSES):
+        @pl.when(fl == ci)
+        def _(w=w, g=g):
+            off = lane & (w - 1)
+            # suffix min within W-blocks (offset 0 ends with the block
+            # min; ties resolve to the lowest lane via the key's lane
+            # bits — same tie rule as the dense walk within one step)
+            x = key
+            s = 1
+            while s < w:
+                r = pltpu.roll(x, tc - s, axis=1)     # lane i <- x[i+s]
+                x = jnp.where(off < (w - s), jnp.minimum(x, r), x)
+                s *= 2
+            # broadcast the block min from offset 0 to all offsets
+            s = 1
+            while s < w:
+                r = pltpu.roll(x, s, axis=1)          # lane i <- x[i-s]
+                x = jnp.where((off >= s) & (off < 2 * s), r, x)
+                s *= 2
+            sel = key == x                 # one-hot winner per (pixel, block)
+            z_win = jnp.where(sel, zm, 0.0)
+            sid_win = jnp.where(sel, sidb, 0.0)
+            # one-hot block-indicator extraction on the MXU: HIGHEST is
+            # exact for select-and-sum (1.0 * f32 reconstructs all
+            # mantissa terms; 0 terms exact), (tc, G) x (P, tc) -> (G, P)
+            selg = (jax.lax.broadcasted_iota(jnp.int32, (tc, g), 0) // w
+                    == jax.lax.broadcasted_iota(jnp.int32, (tc, g), 1)
+                    ).astype(jnp.float32)
+            dg = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            zg = dg(selg, z_win)
+            sg = dg(selg, sid_win)
+            hit = zg <= 1.0
+            z_out[0, 0:g, :] = jnp.where(hit, zg, _BIG)
+            slot_out[0, 0:g, :] = jnp.where(hit, sg.astype(jnp.int32), -1)
+
+
+def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
+                  tile_h: int, tile_w: int, tri_chunk: int,
+                  pairs_cap: int):
+    """Build the grouped-singleton work: class-sort tiles, pack G per
+    step, and bake per-pair templates.  All heavy moves are row gathers
+    (per-element gathers only at (steps x G) <= ~16k granularity —
+    XLA's scalar-gather floor is ~10 cyc/elem, so lane-level (~130k)
+    index chains are built by class-static broadcast expansion instead).
+
+    Returns (fl (gcap,), chunks_g (gcap, 8, 3tc), src_row (T,),
+    grouped (T,), n_gsteps) where src_row maps each grouped tile to its
+    flat output row (step * MAXG + group)."""
+    tc = tri_chunk
+    n_cls = len(_GROUP_CLASSES)
+    t = num_tiles
+    ws = jnp.asarray([w for w, _ in _GROUP_CLASSES], jnp.int32)
+    gs_arr = jnp.asarray([g for _, g in _GROUP_CLASSES], jnp.int32)
+    cls = jnp.minimum(jnp.searchsorted(ws, count, side="left"), n_cls) \
+        .astype(jnp.int32)
+    order = jnp.argsort(cls, stable=True).astype(jnp.int32)
+    n_per = jnp.bincount(cls, length=n_cls + 1)[:n_cls].astype(jnp.int32)
+    offs_cls = jnp.cumsum(n_per) - n_per
+    steps_per = (n_per + gs_arr - 1) // gs_arr
+    stepoff = jnp.cumsum(steps_per) - steps_per
+    n_gsteps = jnp.sum(steps_per)
+    # sum ceil(n_c / G_c) <= T / min(G) outside the worst class = T/2 + 3
+    gcap = t // 2 + n_cls + 1
+
+    sidx = jnp.arange(gcap, dtype=jnp.int32)
+    c_of_s = jnp.minimum(
+        jnp.searchsorted(jnp.cumsum(steps_per), sidx, side="right"),
+        n_cls - 1).astype(jnp.int32)
+    fl = jnp.where(sidx < n_gsteps, c_of_s, -1)       # -1: no branch runs
+
+    # (step, group) -> tile (16k-granularity; the only per-element
+    # gathers in the grouped prep)
+    gidx16 = jnp.arange(_GROUP_MAXG, dtype=jnp.int32)
+    pos16 = (sidx - stepoff[c_of_s])[:, None] * gs_arr[c_of_s][:, None] \
+        + gidx16[None, :]
+    vt16 = (gidx16[None, :] < gs_arr[c_of_s][:, None]) \
+        & (pos16 < n_per[c_of_s][:, None])
+    tq16 = jnp.where(
+        vt16, order[jnp.clip(offs_cls[c_of_s][:, None] + pos16, 0, t - 1)],
+        0)                                             # (gcap, MAXG)
+    st16 = jnp.where(vt16, starts[tq16], pairs_cap - 1)
+    ct16 = jnp.where(vt16, count[tq16], 0)
+    fx16 = (tq16 % num_tx).astype(jnp.float32) * tile_w
+    fy16 = (tq16 // num_tx).astype(jnp.float32) * tile_h
+
+    def expand(a16, fill_val):
+        """(gcap, MAXG) group field -> (gcap, tc) lane field by class-
+        static broadcast (repeat each group W times), no gathers."""
+        outv = jnp.full((gcap, tc), fill_val, a16.dtype)
+        for ci, (w, g) in enumerate(_GROUP_CLASSES):
+            rep = jnp.broadcast_to(a16[:, :g, None], (gcap, g, w)) \
+                .reshape(gcap, g * w)
+            outv = jnp.where((c_of_s == ci)[:, None], rep, outv)
+        return outv
+
+    lane = jnp.arange(tc, dtype=jnp.int32)[None, :]
+    w_lane = expand(jnp.broadcast_to(ws[c_of_s][:, None],
+                                     (gcap, _GROUP_MAXG)), 1)
+    kq = lane % jnp.maximum(w_lane, 1)
+    live = kq < expand(ct16, 0)
+    pq = jnp.clip(expand(st16, pairs_cap - 1) + kq, 0, pairs_cap - 1)
+
+    from vri_tpu.ops.rowgather import gather_rows
+    raw = gather_rows(stream, pq.reshape(-1))
+    sgf = lambda k: raw(k).reshape(gcap, tc)
+    fx0q = expand(fx16, 0.0)
+    fy0q = expand(fy16, 0.0)
+    dxq = fx0q - sgf(9)
+    dyq = fy0q - sgf(10)
+    row_a = jnp.concatenate(
+        [jnp.where(live, sgf(0), 0.0), jnp.where(live, sgf(3), 0.0),
+         jnp.where(live, sgf(6), 0.0)], axis=-1)
+    row_b = jnp.concatenate(
+        [jnp.where(live, sgf(1), 0.0), jnp.where(live, sgf(4), 0.0),
+         jnp.where(live, sgf(7), 0.0)], axis=-1)
+    # ASSOCIATION matters: (a*dx + b*dy) + c matches the dense kernel's
+    # in-kernel translation bit-for-bit, so grouped/dense edge tests
+    # agree to the last ulp; dead lanes pin z = 10 (fails z <= 1)
+    ct1 = sgf(0) * dxq + sgf(1) * dyq + sgf(2)
+    ct2 = sgf(3) * dxq + sgf(4) * dyq + sgf(5)
+    ctz = sgf(6) * dxq + sgf(7) * dyq + sgf(8)
+    row_c = jnp.concatenate(
+        [jnp.where(live, ct1, 0.0), jnp.where(live, ct2, 0.0),
+         jnp.where(live, ctz, 10.0)], axis=-1)
+    row_s = jnp.tile(sgf(11), (1, 3))
+    zrow = jnp.zeros_like(row_a)
+    chunks_g = jnp.stack(
+        [row_a, row_b, row_c, zrow, zrow, row_s, zrow, zrow],
+        axis=1)                                        # (gcap, 8, 3tc)
+
+    # tile -> flat grouped output row (step * MAXG + group)
+    inv_pos = jnp.zeros((t,), jnp.int32).at[order].set(
+        jnp.arange(t, dtype=jnp.int32))
+    cc = jnp.minimum(cls, n_cls - 1)
+    r_in = inv_pos - offs_cls[cc]
+    src_row = (stepoff[cc] + r_in // gs_arr[cc]) * _GROUP_MAXG \
+        + r_in % gs_arr[cc]
+    return fl, chunks_g, src_row, cls < n_cls, n_gsteps
+
+
 def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
                        tx, ty, tw, b1, b2, src_sorted, *,
                        total_work, height, width, hp, wp, grid, tile_h,
-                       tile_w, tri_chunk, interpret):
+                       tile_w, tri_chunk, interpret,
+                       grouped_args=None):
     """Back half of the sorted path: the single work-list visibility
     walk, then the shared XLA attribute resolve (`_resolve_frame`).
 
@@ -1392,9 +1595,39 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
         ],
         interpret=interpret,
     )(wt, wchunk, flags, chunks)
+    z_rows, slot_rows = z_rows[:, 0], slot_rows[:, 0]   # (T, p)
+
+    if grouped_args is not None:
+        fl_g, chunks_g, src_row, grouped_tile, n_gsteps = grouped_args
+        gcap = chunks_g.shape[0]
+        ng = n_gsteps if not interpret else gcap
+        grow_spec = pl.BlockSpec((1, _GROUP_MAXG, p),
+                                 lambda i, fl_r: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        gchunk_spec = pl.BlockSpec((1, 8, 3 * tc),
+                                   lambda i, fl_r: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        gspec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(ng,),
+            in_specs=[gchunk_spec], out_specs=[grow_spec] * 2)
+        zg, sg = pl.pallas_call(
+            functools.partial(_grouped_kernel, tile_h=tile_h,
+                              tile_w=tile_w, tri_chunk=tc),
+            grid_spec=gspec,
+            out_shape=[
+                jax.ShapeDtypeStruct((gcap, _GROUP_MAXG, p), jnp.float32),
+                jax.ShapeDtypeStruct((gcap, _GROUP_MAXG, p), jnp.int32),
+            ],
+            interpret=interpret,
+        )(fl_g, chunks_g)
+        zg_rows = zg.reshape(gcap * _GROUP_MAXG, p)[src_row]
+        sg_rows = sg.reshape(gcap * _GROUP_MAXG, p)[src_row]
+        gt = grouped_tile[:, None]
+        z_rows = jnp.where(gt, zg_rows, z_rows)
+        slot_rows = jnp.where(gt, sg_rows, slot_rows)
 
     def to_plane(a):
-        return a[:, 0].reshape(grid[0], grid[1], tile_h, tile_w) \
+        return a.reshape(grid[0], grid[1], tile_h, tile_w) \
             .transpose(0, 2, 1, 3).reshape(hp, wp)
 
     return _resolve_frame(to_plane(z_rows), to_plane(slot_rows),
