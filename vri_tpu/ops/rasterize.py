@@ -1226,7 +1226,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     # lanes leave the dense walk entirely (G = 128/W share one step) ----
     grouped_args = None
     grouped_tile = jnp.zeros((num_tiles,), bool)
-    if grouped and tc == 128:
+    if grouped and tc in (128, 256):
         fl_g, chunks_g, src_row, grouped_tile, n_gsteps = _pack_grouped(
             count, starts[:num_tiles].astype(jnp.int32), stream,
             num_tiles=num_tiles, num_tx=grid[1], tile_h=tile_h,
@@ -1367,14 +1367,17 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
 
 
 # Grouped-singleton classes: tiles whose ENTIRE list fits in W lanes are
-# packed G = 128/W per kernel step (origins baked per pair, so a step
+# packed G = tc/W per kernel step (origins baked per pair, so a step
 # needs no tile identity).  The per-step cost is nearly flat in G
 # (2.8-4.5 us measured, tools/micro_grouped.py), so sparse tiles cost
 # 0.17-2.3 us each instead of the dense walk's ~2.9 us step floor —
 # ~32% of tiles hold <= 8 pairs at every bench scale (tools/
 # hist_tiles.py), and at 3k tris the floor IS the kernel time.
-_GROUP_CLASSES = ((8, 16), (32, 4), (64, 2))     # (W, G); dense class = 3
-_GROUP_MAXG = max(g for _, g in _GROUP_CLASSES)
+_GROUP_WIDTHS = (8, 32, 64)                      # dense class = 3
+
+
+def _group_classes(tc: int):
+    return tuple((w, tc // w) for w in _GROUP_WIDTHS)
 
 
 def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
@@ -1410,7 +1413,7 @@ def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
     key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) | lane
     sidb = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
 
-    for ci, (w, g) in enumerate(_GROUP_CLASSES):
+    for ci, (w, g) in enumerate(_group_classes(tc)):
         @pl.when(fl == ci)
         def _(w=w, g=g):
             off = lane & (w - 1)
@@ -1462,10 +1465,12 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
     grouped (T,), n_gsteps) where src_row maps each grouped tile to its
     flat output row (step * MAXG + group)."""
     tc = tri_chunk
-    n_cls = len(_GROUP_CLASSES)
+    classes = _group_classes(tc)
+    n_cls = len(classes)
+    maxg = classes[0][1]
     t = num_tiles
-    ws = jnp.asarray([w for w, _ in _GROUP_CLASSES], jnp.int32)
-    gs_arr = jnp.asarray([g for _, g in _GROUP_CLASSES], jnp.int32)
+    ws = jnp.asarray([w for w, _ in classes], jnp.int32)
+    gs_arr = jnp.asarray([g for _, g in classes], jnp.int32)
     cls = jnp.minimum(jnp.searchsorted(ws, count, side="left"), n_cls) \
         .astype(jnp.int32)
     order = jnp.argsort(cls, stable=True).astype(jnp.int32)
@@ -1474,8 +1479,8 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
     steps_per = (n_per + gs_arr - 1) // gs_arr
     stepoff = jnp.cumsum(steps_per) - steps_per
     n_gsteps = jnp.sum(steps_per)
-    # sum ceil(n_c / G_c) <= T / min(G) outside the worst class = T/2 + 3
-    gcap = t // 2 + n_cls + 1
+    # sum ceil(n_c / G_c) <= T / min(G) + one rounding slack per class
+    gcap = (t * _GROUP_WIDTHS[-1]) // tc + n_cls + 1
 
     sidx = jnp.arange(gcap, dtype=jnp.int32)
     c_of_s = jnp.minimum(
@@ -1485,7 +1490,7 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
 
     # (step, group) -> tile (16k-granularity; the only per-element
     # gathers in the grouped prep)
-    gidx16 = jnp.arange(_GROUP_MAXG, dtype=jnp.int32)
+    gidx16 = jnp.arange(maxg, dtype=jnp.int32)
     pos16 = (sidx - stepoff[c_of_s])[:, None] * gs_arr[c_of_s][:, None] \
         + gidx16[None, :]
     vt16 = (gidx16[None, :] < gs_arr[c_of_s][:, None]) \
@@ -1502,7 +1507,7 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
         """(gcap, MAXG) group field -> (gcap, tc) lane field by class-
         static broadcast (repeat each group W times), no gathers."""
         outv = jnp.full((gcap, tc), fill_val, a16.dtype)
-        for ci, (w, g) in enumerate(_GROUP_CLASSES):
+        for ci, (w, g) in enumerate(classes):
             rep = jnp.broadcast_to(a16[:, :g, None], (gcap, g, w)) \
                 .reshape(gcap, g * w)
             outv = jnp.where((c_of_s == ci)[:, None], rep, outv)
@@ -1510,7 +1515,7 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
 
     lane = jnp.arange(tc, dtype=jnp.int32)[None, :]
     w_lane = expand(jnp.broadcast_to(ws[c_of_s][:, None],
-                                     (gcap, _GROUP_MAXG)), 1)
+                                     (gcap, maxg)), 1)
     kq = lane % jnp.maximum(w_lane, 1)
     live = kq < expand(ct16, 0)
     pq = jnp.clip(expand(st16, pairs_cap - 1) + kq, 0, pairs_cap - 1)
@@ -1548,7 +1553,7 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
         jnp.arange(t, dtype=jnp.int32))
     cc = jnp.minimum(cls, n_cls - 1)
     r_in = inv_pos - offs_cls[cc]
-    src_row = (stepoff[cc] + r_in // gs_arr[cc]) * _GROUP_MAXG \
+    src_row = (stepoff[cc] + r_in // gs_arr[cc]) * maxg \
         + r_in % gs_arr[cc]
     return fl, chunks_g, src_row, cls < n_cls, n_gsteps
 
@@ -1600,8 +1605,9 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
     if grouped_args is not None:
         fl_g, chunks_g, src_row, grouped_tile, n_gsteps = grouped_args
         gcap = chunks_g.shape[0]
+        maxg = tc // _GROUP_WIDTHS[0]
         ng = n_gsteps if not interpret else gcap
-        grow_spec = pl.BlockSpec((1, _GROUP_MAXG, p),
+        grow_spec = pl.BlockSpec((1, maxg, p),
                                  lambda i, fl_r: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         gchunk_spec = pl.BlockSpec((1, 8, 3 * tc),
@@ -1615,13 +1621,13 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
                               tile_w=tile_w, tri_chunk=tc),
             grid_spec=gspec,
             out_shape=[
-                jax.ShapeDtypeStruct((gcap, _GROUP_MAXG, p), jnp.float32),
-                jax.ShapeDtypeStruct((gcap, _GROUP_MAXG, p), jnp.int32),
+                jax.ShapeDtypeStruct((gcap, maxg, p), jnp.float32),
+                jax.ShapeDtypeStruct((gcap, maxg, p), jnp.int32),
             ],
             interpret=interpret,
         )(fl_g, chunks_g)
-        zg_rows = zg.reshape(gcap * _GROUP_MAXG, p)[src_row]
-        sg_rows = sg.reshape(gcap * _GROUP_MAXG, p)[src_row]
+        zg_rows = zg.reshape(gcap * maxg, p)[src_row]
+        sg_rows = sg.reshape(gcap * maxg, p)[src_row]
         gt = grouped_tile[:, None]
         z_rows = jnp.where(gt, zg_rows, z_rows)
         slot_rows = jnp.where(gt, sg_rows, slot_rows)
