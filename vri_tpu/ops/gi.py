@@ -214,20 +214,27 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
                               approx=config.approx_occlusion,
                               compact=config.compact_march)
         hit_p = o + wi * jnp.minimum(rec.t, gi_range)[:, None]
-        b = jnp.maximum(rec.brick, 0)
-        # ONE row gather for the whole per-brick shading payload (albedo,
+        # ONE row gather for the whole per-hit shading payload (albedo,
         # normal, cached irradiance, emissive) — four separate per-index
         # gathers at 2M GI rays measured ~15 ms/frame — block-transposed
         # for the field extraction (naive column slices of the
-        # lane-padded rows cost a full pass each, ops/rowgather.py)
+        # lane-padded rows cost a full pass each, ops/rowgather.py).
+        # Keyed on the hit VOXEL when the bake precomputed voxel_shade:
+        # that removes the brick_map indirection (a second dependent
+        # random gather, ~6.5 ms/frame at 540p) from the frame.
         from vri_tpu.ops.rowgather import gather_rows
 
-        shade_tab = jnp.concatenate(
-            [cascades.brick_albedo, cascades.brick_normal,
-             cascades.brick_irradiance, cascades.brick_emissive,
-             jnp.zeros((cascades.brick_albedo.shape[0], 4),
-                       cascades.brick_albedo.dtype)], axis=1)
-        sh = gather_rows(shade_tab.astype(jnp.float32), b)
+        if cascades.voxel_shade is not None and rec.voxel is not None:
+            sh = gather_rows(cascades.voxel_shade,
+                             jnp.maximum(rec.voxel, 0))
+        else:
+            shade_tab = jnp.concatenate(
+                [cascades.brick_albedo, cascades.brick_normal,
+                 cascades.brick_irradiance, cascades.brick_emissive,
+                 jnp.zeros((cascades.brick_albedo.shape[0], 4),
+                           cascades.brick_albedo.dtype)], axis=1)
+            sh = gather_rows(shade_tab.astype(jnp.float32),
+                             jnp.maximum(rec.brick, 0))
         alb_hit = jnp.stack([sh(0), sh(1), sh(2)], axis=-1)
         n_hit = jnp.stack([sh(3), sh(4), sh(5)], axis=-1)
         # two-sided surface cache: face the incoming ray

@@ -327,23 +327,36 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
     hv_c = jnp.maximum(hv, 0)
     r3 = r * r * r
     cas = hv_c // r3
+    voxel = jnp.where(hit, hv_c, -1)
     if not payload:   # occlusion tier: no brick/uvw recovery gathers
         return SDFHit(t=jnp.where(hit, t, BIG), hit=hit, iterations=it,
                       cascade=jnp.where(hit, cas, -1),
                       brick=jnp.where(hit, 0, -1),
-                      uvw=jnp.zeros((m, 3), jnp.float32))
-    rem = hv_c % r3
-    vz = rem // (r * r)
-    vy = (rem // r) % r
-    vx = rem % r
-    brick = sdf.brick_map[cas, vz, vy, vx]
+                      uvw=jnp.zeros((m, 3), jnp.float32), voxel=voxel)
+    # brick id at the hit voxel: hv already IS the flat brick_map index
+    # (cas-major).  Either gather form (scalar or 8-wide row) sits at the
+    # same ~6.5 ms floor at 540p (hit voxels are random across the 2M-entry
+    # map); the production GI path therefore keys its shading fetch on
+    # ``voxel`` directly (SDFCascades.voxel_shade) and XLA dead-code-
+    # eliminates this gather — it survives for debug views and tests.
+    bm8 = sdf.brick_map.reshape(-1, 8)
+    brick = jnp.take_along_axis(bm8[hv_c >> 3], (hv_c & 7)[:, None],
+                                axis=1)[:, 0]
     brick = jnp.where(hit, brick, -1)
-    # uvw: fractional position within the hit voxel
+    # uvw: fractional position within the hit voxel.  Cascade-indexed
+    # smalls resolve by unrolled one-hot selects — n_cas wheres are
+    # vector ops; 518k-element gathers from (n_cas,) tables are not.
     p_hit = origins + dirs * t[:, None]
-    vs_hit = sdf.voxel_size[cas]
-    org_hit = cascade_origin(sdf.center, sdf.voxel_size, r)[cas]
+    orgs = cascade_origin(sdf.center, sdf.voxel_size, r)
+    vs_hit = jnp.full((m,), float(1.0), jnp.float32)
+    org_hit = jnp.zeros((m, 3), jnp.float32)
+    for i in range(n_cas):
+        sel = cas == i
+        vs_hit = jnp.where(sel, sdf.voxel_size[i], vs_hit)
+        org_hit = jnp.where(sel[:, None], orgs[i], org_hit)
     local = (p_hit - org_hit) / vs_hit[:, None]
     uvw = jnp.where(hit[:, None],
                     local - jnp.floor(local), 0.0)
     return SDFHit(t=jnp.where(hit, t, BIG), hit=hit, iterations=it,
-                  cascade=jnp.where(hit, cas, -1), brick=brick, uvw=uvw)
+                  cascade=jnp.where(hit, cas, -1), brick=brick, uvw=uvw,
+                  voxel=voxel)

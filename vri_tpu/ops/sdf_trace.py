@@ -40,6 +40,10 @@ class SDFHit:
     cascade: jnp.ndarray     # (M,) i32 — cascade sampled at the hit
     brick: jnp.ndarray       # (M,) i32 — atlas brick at the hit
     uvw: jnp.ndarray         # (M, 3) f32 — position within the voxel [0,1)
+    # flat hit-voxel id (cas * R^3 + voxel), -1 on miss — the key into
+    # voxel-indexed tables (SDFCascades.voxel_shade); the kernel march
+    # produces it for free, the XLA march leaves it None
+    voxel: jnp.ndarray | None = None
 
 
 def _sample(sdf: SDFCascades, p: jnp.ndarray, config: SDFConfig,
