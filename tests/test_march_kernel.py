@@ -105,6 +105,28 @@ class TestMarchKernelParity:
         # payload recovery: hit voxels carry a live brick
         assert (np.asarray(full.brick)[hit] >= 0).all()
 
+    def test_compact_is_exact(self, cornell_cascades):
+        """march_compact == march bit-exactly (resume-by-t is lossless),
+        including when the compacted buffer overflows (cleanup phase)."""
+        cas = cornell_cascades
+        rng = np.random.default_rng(7)
+        m = 4608  # >= 4096 so the compacted path actually engages
+        o = jnp.asarray(rng.uniform(-0.9, 0.9, (m, 3)).astype(np.float32))
+        d = rng.normal(size=(m, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        ref = march_kernel.march(cas, o, d, t_max=10.0, config=CFG,
+                                 max_steps=96, interpret=True)
+        for div in (4, 64):  # 64: tail overflows the buffer -> cleanup
+            cmp_ = march_kernel.march_compact(
+                cas, o, d, t_max=10.0, config=CFG, max_steps=96,
+                interpret=True, phase1_steps=8, compact_div=div)
+            np.testing.assert_array_equal(np.asarray(ref.hit),
+                                          np.asarray(cmp_.hit))
+            np.testing.assert_allclose(np.asarray(ref.t),
+                                       np.asarray(cmp_.t), rtol=0, atol=0)
+            np.testing.assert_array_equal(np.asarray(ref.voxel),
+                                          np.asarray(cmp_.voxel))
+
     def test_grace_prevents_self_occlusion(self, cornell_cascades):
         """Rays starting ~1 voxel off a wall, leaving it, must not hit it."""
         cas = cornell_cascades

@@ -88,8 +88,8 @@ def _gather_i32(tab, flat):
 
 
 def _march_block_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
-                        t_out, hv_out, it_out, *, n_cas: int, r: int,
-                        s: int, max_steps: int):
+                        t_out, hv_out, it_out, act_out, *, n_cas: int,
+                        r: int, s: int, max_steps: int):
     fld = lambda i: ray_ref[0, i]
     ox, oy, oz = fld(0), fld(1), fld(2)
     dx, dy, dz = fld(3), fld(4), fld(5)
@@ -219,6 +219,7 @@ def _march_block_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
     t_out[0] = c["t"]
     hv_out[0] = c["hv"]
     it_out[0] = c["it"]
+    act_out[0] = c["act"]   # budget-exhausted rays: resumable (march_compact)
 
 
 def finest_voxel_size(sdf: SDFCascades, points: jnp.ndarray,
@@ -234,34 +235,14 @@ def finest_voxel_size(sdf: SDFCascades, points: jnp.ndarray,
     return jnp.where(jnp.isfinite(vs), vs, sdf.voxel_size[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_steps",
-                                             "interpret", "payload",
-                                             "grace_voxels"))
-def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
-          t_max, *, config: SDFConfig, max_steps: int | None = None,
-          interpret: bool | None = None, payload: bool = True,
-          grace_voxels: float = 1.75) -> SDFHit:
-    """Kernel-accelerated sphere march (voxel-precision hits).
-
-    Drop-in for :func:`sdf_trace.march` on the approximate tier: same SDFHit
-    payload, hits land on the surface voxel rather than the trilinear
-    zero-crossing (error <= ~1 voxel of the sampled cascade).  Hits within
-    ``grace_voxels`` local voxels of the ray start are ignored (the ray's
-    own surface voxel band).  ``payload=False`` skips the brick/uvw
-    recovery gathers — occlusion rays only need hit/t.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n_cas = config.num_cascades
+def _entry(sdf: SDFCascades, origins, dirs, t_max, config: SDFConfig,
+           grace_voxels: float):
+    """Clipmap-entry setup shared by all phases: (t_init, t_enter,
+    t_grace) per ray, with misses encoded as t_init > t_max."""
     r = config.cascade_resolution
-    s = r // 16
-    max_steps = max_steps or config.march_max_steps
-
     m = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
     t_grace = grace_voxels * finest_voxel_size(sdf, origins, config)
-
-    # clipmap entry (same as sdf_trace.march)
     vs_c = sdf.voxel_size[-1]
     lo = cascade_origin(sdf.center[-1], vs_c, r)
     hi = lo + r * vs_c
@@ -273,7 +254,19 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
     t_init = jnp.clip(jnp.maximum(t_enter + 1e-4, 1e-3), None, t_max)
     never = t_exit < jnp.maximum(t_enter, 0.0)
     t_init = jnp.where(never, t_max + 1.0, t_init)  # never-active encoding
+    return t_init, t_max, t_enter, t_grace
 
+
+def _run(sdf: SDFCascades, origins, dirs, t_init, t_max, t_enter, t_grace,
+         *, config: SDFConfig, max_steps: int, interpret: bool):
+    """One kernel dispatch over all rays; resumable: pass the previous
+    phase's ``t`` as ``t_init`` to continue a march exactly (the per-cell
+    word cache re-fetches on entry; everything else is a pure function of
+    t).  Returns flat (t, hv, it, act)."""
+    n_cas = config.num_cascades
+    r = config.cascade_resolution
+    s = r // 16
+    m = origins.shape[0]
     mp = ((m + 1023) // 1024) * 1024
     pad = mp - m
 
@@ -299,7 +292,7 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
 
     kernel = functools.partial(_march_block_kernel, n_cas=n_cas, r=r, s=s,
                                max_steps=max_steps)
-    t, hv, it = pl.pallas_call(
+    t, hv, it, act = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
@@ -311,18 +304,54 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)] * 3,
+                                memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((nblk, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((nblk, 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(meta, sdf.march_coarse, sdf.march_fine0, sdf.march_fine1, rays)
 
-    t = t.reshape(-1)[:m]
-    hv = hv.reshape(-1)[:m]
-    it = it.reshape(-1)[:m]
+    flat = lambda a: a.reshape(-1)[:m]
+    return flat(t), flat(hv), flat(it), flat(act) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_steps",
+                                             "interpret", "payload",
+                                             "grace_voxels"))
+def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
+          t_max, *, config: SDFConfig, max_steps: int | None = None,
+          interpret: bool | None = None, payload: bool = True,
+          grace_voxels: float = 1.75) -> SDFHit:
+    """Kernel-accelerated sphere march (voxel-precision hits).
+
+    Drop-in for :func:`sdf_trace.march` on the approximate tier: same SDFHit
+    payload, hits land on the surface voxel rather than the trilinear
+    zero-crossing (error <= ~1 voxel of the sampled cascade).  Hits within
+    ``grace_voxels`` local voxels of the ray start are ignored (the ray's
+    own surface voxel band).  ``payload=False`` skips the brick/uvw
+    recovery gathers — occlusion rays only need hit/t.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    max_steps = max_steps or config.march_max_steps
+    m = origins.shape[0]
+    r = config.cascade_resolution
+    t_init, t_max, t_enter, t_grace = _entry(sdf, origins, dirs, t_max,
+                                             config, grace_voxels)
+    t, hv, it, _ = _run(sdf, origins, dirs, t_init, t_max, t_enter, t_grace,
+                        config=config, max_steps=max_steps,
+                        interpret=interpret)
+    return _payload(sdf, config, origins, dirs, t, hv, it, payload)
+
+
+def _payload(sdf: SDFCascades, config: SDFConfig, origins, dirs, t, hv, it,
+             payload: bool) -> SDFHit:
+    m = origins.shape[0]
+    r = config.cascade_resolution
+    n_cas = config.num_cascades
     hit = hv >= 0
     hv_c = jnp.maximum(hv, 0)
     r3 = r * r * r
@@ -360,3 +389,69 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
     return SDFHit(t=jnp.where(hit, t, BIG), hit=hit, iterations=it,
                   cascade=jnp.where(hit, cas, -1), brick=brick, uvw=uvw,
                   voxel=voxel)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_steps",
+                                             "interpret", "payload",
+                                             "grace_voxels", "phase1_steps",
+                                             "compact_div"))
+def march_compact(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
+                  t_max, *, config: SDFConfig, max_steps: int | None = None,
+                  interpret: bool | None = None, payload: bool = True,
+                  grace_voxels: float = 1.75, phase1_steps: int = 24,
+                  compact_div: int = 4) -> SDFHit:
+    """Wavefront-compacted kernel march — exact, ~40% fewer block steps.
+
+    The lock-step (8,128) block pays its SLOWEST lane every step: GI
+    gather rays average ~16 steps but per-block maxima average ~59
+    (measured at 540p on the kitchen scene) — 3.7x paid-for-idle.  The
+    standard wavefront fix: march everyone ``phase1_steps``, gather the
+    still-active tail (budget-exhausted rays, ~the slowest eighth) into
+    an m/``compact_div`` buffer and finish it there, then run a full-width
+    cleanup phase that is a no-op unless the tail overflowed the buffer —
+    so the result is EXACTLY the single-phase march for any input.
+    Resume is exact because a ray's march state is a pure function of t
+    (the per-cell word cache re-fetches on entry).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    max_steps = max_steps or config.march_max_steps
+    m = origins.shape[0]
+    if m < 4096 or max_steps <= phase1_steps:
+        return march(sdf, origins, dirs, t_max, config=config,
+                     max_steps=max_steps, interpret=interpret,
+                     payload=payload, grace_voxels=grace_voxels)
+    t_init, t_max, t_enter, t_grace = _entry(sdf, origins, dirs, t_max,
+                                             config, grace_voxels)
+    t, hv, it, act = _run(sdf, origins, dirs, t_init, t_max, t_enter,
+                          t_grace, config=config, max_steps=phase1_steps,
+                          interpret=interpret)
+
+    cap = ((m // compact_div) + 1023) // 1024 * 1024
+    idx = jnp.argsort(~act)[:cap]          # active rays first, stable
+    sel = lambda a: a[idx]
+    t2, hv2, it2, act2 = _run(
+        sdf, sel(origins), sel(dirs),
+        # inactive padding lanes resume past t_max -> never active
+        jnp.where(sel(act), sel(t), sel(t_max) + 1.0),
+        sel(t_max), sel(t_enter), sel(t_grace), config=config,
+        max_steps=max_steps - phase1_steps, interpret=interpret)
+    upd = sel(act)
+    # actives that did NOT fit the compacted buffer (only when > cap rays
+    # survived phase 1) — the cleanup phase finishes exactly these
+    act_over = act.at[idx].set(False)
+    t = t.at[idx].set(jnp.where(upd, t2, sel(t)))
+    hv = hv.at[idx].set(jnp.where(upd, hv2, sel(hv)))
+    it = it.at[idx].set(jnp.where(upd, it2 + phase1_steps, sel(it)))
+
+    # exactness cleanup: with no overflow every block's while_loop exits
+    # on its first check (all lanes start past t_max)
+    t3, hv3, it3, _ = _run(
+        sdf, origins, dirs,
+        jnp.where(act_over, t, t_max + 1.0),
+        t_max, t_enter, t_grace, config=config,
+        max_steps=max_steps - phase1_steps, interpret=interpret)
+    t = jnp.where(act_over, t3, t)
+    hv = jnp.where(act_over, hv3, hv)
+    it = jnp.where(act_over, it3 + it, it)
+    return _payload(sdf, config, origins, dirs, t, hv, it, payload)

@@ -222,8 +222,10 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
             # kernel steps are voxel-granular (a 4-voxel cell costs up to
             # ~6 iterations): scale the budget, its per-step cost is tiny
             ks = (max_steps or config.march_max_steps) * 2 + 16
-            return march_kernel.march(sdf, origins, dirs, t_max,
-                                      config=config, max_steps=ks)
+            fn = march_kernel.march_compact if compact \
+                else march_kernel.march
+            return fn(sdf, origins, dirs, t_max, config=config,
+                      max_steps=ks)
     m = origins.shape[0]
     max_steps = max_steps or config.march_max_steps
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (m,))
@@ -310,9 +312,10 @@ def occlusion(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
 
         if march_kernel.supports(config):
             ks = (max_steps or config.march_max_steps) * 2 + 16
-            rec = march_kernel.march(sdf, origins, dirs, t_max,
-                                     config=config, max_steps=ks,
-                                     payload=False)
+            fn = (march_kernel.march_compact if config.compact_march
+                  else march_kernel.march)
+            rec = fn(sdf, origins, dirs, t_max, config=config,
+                     max_steps=ks, payload=False)
             return 1.0 - rec.hit.astype(jnp.float32)
     rec = march(sdf, origins, dirs, t_max, config=config,
                 max_steps=max_steps, approx=config.approx_occlusion,
