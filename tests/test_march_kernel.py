@@ -127,6 +127,46 @@ class TestMarchKernelParity:
             np.testing.assert_array_equal(np.asarray(ref.voxel),
                                           np.asarray(cmp_.voxel))
 
+    def test_stream_is_exact(self, cornell_cascades):
+        """march_stream == march bit-exactly: _march_step is shared, a
+        ray's trajectory depends only on its own fields, and the per-ray
+        step budget is enforced identically at service points."""
+        cas = cornell_cascades
+        rng = np.random.default_rng(11)
+        m = 4096
+        o = jnp.asarray(rng.uniform(-0.9, 0.9, (m, 3)).astype(np.float32))
+        d = rng.normal(size=(m, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        ref = march_kernel.march(cas, o, d, t_max=10.0, config=CFG,
+                                 max_steps=96, interpret=True)
+        for q, srv in ((2, 3), (4, 2)):  # small queues so blocks engage
+            st = march_kernel.march_stream(
+                cas, o, d, t_max=10.0, config=CFG, max_steps=96,
+                interpret=True, queue=q, service_every=srv)
+            np.testing.assert_array_equal(np.asarray(ref.hit),
+                                          np.asarray(st.hit))
+            np.testing.assert_allclose(np.asarray(ref.t),
+                                       np.asarray(st.t), rtol=0, atol=0)
+            np.testing.assert_array_equal(np.asarray(ref.voxel),
+                                          np.asarray(st.voxel))
+            np.testing.assert_array_equal(np.asarray(ref.iterations),
+                                          np.asarray(st.iterations))
+
+    def test_stream_small_fallback(self, cornell_cascades):
+        """Below 1024*queue rays march_stream must take the block path
+        (queues cannot fill) and still return the exact result."""
+        cas = cornell_cascades
+        o, d = _rays(cas, m=256, seed=3)
+        ref = march_kernel.march(cas, o, d, t_max=10.0, config=CFG,
+                                 max_steps=96, interpret=True)
+        st = march_kernel.march_stream(cas, o, d, t_max=10.0, config=CFG,
+                                       max_steps=96, interpret=True,
+                                       queue=32)
+        np.testing.assert_array_equal(np.asarray(ref.hit),
+                                      np.asarray(st.hit))
+        np.testing.assert_allclose(np.asarray(ref.t), np.asarray(st.t),
+                                   rtol=0, atol=0)
+
     def test_grace_prevents_self_occlusion(self, cornell_cascades):
         """Rays starting ~1 voxel off a wall, leaving it, must not hit it."""
         cas = cornell_cascades

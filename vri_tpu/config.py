@@ -87,6 +87,13 @@ class SDFConfig:
     # two-stage ray compaction in the march (survivors continue in a
     # quarter-width buffer; exactness-preserving cleanup loop)
     compact_march: bool = False
+    # persistent-lane streaming march kernel: each (8,128) lane owns a
+    # queue of rays and refills itself in-kernel when its ray finishes,
+    # so a block never pays idle lock-step for its slowest lane.
+    # Bit-exact vs the block kernel; 3.7x faster on the production GI
+    # ray set (28.7 -> 7.8 ms at 540p, tools/micro_stream.py).  Falls
+    # back to the block kernel below ~32k rays.
+    stream_march: bool = True
     # march direct-light shadow rays on a subsampled pixel grid and
     # upsample the visibility factors (N.L + falloff stay full-rate);
     # shadow edges quantize by the factor.  1 = full-rate.

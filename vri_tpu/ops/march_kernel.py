@@ -87,129 +87,163 @@ def _gather_i32(tab, flat):
     return val
 
 
+_RAYF = ("ox", "oy", "oz", "dx", "dy", "dz", "t0", "tmax", "tent", "tgrace")
+
+
+def _load_consts(meta_ref, n_cas):
+    """Per-cascade scalars from SMEM: voxel size + grid origin."""
+    vs = [meta_ref[0, i] for i in range(n_cas)]
+    return dict(
+        vs=vs,
+        ogx=[meta_ref[0, 16 + i] for i in range(n_cas)],
+        ogy=[meta_ref[0, 32 + i] for i in range(n_cas)],
+        ogz=[meta_ref[0, 48 + i] for i in range(n_cas)],
+        inv_vs=[1.0 / v for v in vs],
+        vs_coarse=vs[-1],
+    )
+
+
+def _march_step(rays, c, marched, coarse, f0, f1, k, *, n_cas: int, r: int,
+                s: int):
+    """One lock-step march step over (8,128) lanes.
+
+    ``rays``: dict of the 10 per-ray fields (_RAYF).  ``c``: march state
+    dict (t, act, hv, w0, w1, cell, it).  ``marched``: bool mask of lanes
+    taking a step (callers apply budget/activity policy).  Pure function —
+    shared verbatim by the block kernel and the streaming kernel so their
+    per-ray trajectories are bit-identical.
+    """
+    ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
+    dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
+    tmax, tent, tgrace = rays["tmax"], rays["tent"], rays["tgrace"]
+    vs, inv_vs = k["vs"], k["inv_vs"]
+    ogx, ogy, ogz = k["ogx"], k["ogy"], k["ogz"]
+    vs_coarse = k["vs_coarse"]
+    log2s = {1: 0, 2: 1, 4: 2}[s]
+    rf = jnp.float32(r)
+
+    act_in = marched
+    t = c["t"]
+    px = ox + dx * t
+    py = oy + dy * t
+    pz = oz + dz * t
+    # finest containing cascade (unrolled; finest checked last -> wins)
+    cas = jnp.full(_SHAPE, n_cas, jnp.int32)
+    lx = jnp.zeros(_SHAPE, jnp.float32)
+    ly = jnp.zeros(_SHAPE, jnp.float32)
+    lz = jnp.zeros(_SHAPE, jnp.float32)
+    vsl = jnp.full(_SHAPE, vs_coarse, jnp.float32)
+    for i in reversed(range(n_cas)):
+        lxi = (px - ogx[i]) * inv_vs[i]
+        lyi = (py - ogy[i]) * inv_vs[i]
+        lzi = (pz - ogz[i]) * inv_vs[i]
+        ins = ((lxi >= 0) & (lxi < rf) & (lyi >= 0) & (lyi < rf)
+               & (lzi >= 0) & (lzi < rf))
+        cas = jnp.where(ins, i, cas)
+        lx = jnp.where(ins, lxi, lx)
+        ly = jnp.where(ins, lyi, ly)
+        lz = jnp.where(ins, lzi, lz)
+        vsl = jnp.where(ins, vs[i], vsl)
+    inside = cas < n_cas
+    cas_c = jnp.minimum(cas, n_cas - 1)
+    vx = jnp.clip(lx.astype(jnp.int32), 0, r - 1)
+    vy = jnp.clip(ly.astype(jnp.int32), 0, r - 1)
+    vz = jnp.clip(lz.astype(jnp.int32), 0, r - 1)
+    ccx = vx >> log2s
+    ccy = vy >> log2s
+    ccz = vz >> log2s
+    cflat = cas_c * 4096 + (ccz * 16 + ccy) * 16 + ccx
+    cd = _gather_u4(coarse, cflat)
+    near = inside & (cd == 0)
+
+    # fine-bit words: fetched once per cell entry, block-gated
+    need = act_in & near & (cflat != c["cell"])
+    any_need = jnp.any(need)
+
+    def fetch(args):
+        w0, w1, cell = args
+        nw0 = _gather_i32(f0, cflat)
+        nw1 = _gather_i32(f1, cflat) if s ** 3 > 32 else nw0
+        return (jnp.where(need, nw0, w0), jnp.where(need, nw1, w1),
+                jnp.where(need, cflat, cell))
+
+    w0, w1, cell = jax.lax.cond(
+        any_need, fetch, lambda a: a, (c["w0"], c["w1"], c["cell"]))
+
+    bx = vx & (s - 1)
+    by = vy & (s - 1)
+    bz = vz & (s - 1)
+    bit = (bz * s + by) * s + bx
+    word = jnp.where(bit < 32, w0, w1) if s ** 3 > 32 else w0
+    occ_bit = (word >> (bit & 31)) & 1
+    # tgrace: self-intersection grace — voxel-precision hits within a
+    # couple of voxels of the ray start would be the ray's own surface
+    hit_now = act_in & near & (occ_bit > 0) & (t >= tgrace)
+
+    # distances (world units along the ray) to the voxel / cell exits
+    def exit_t(lo_x, lo_y, lo_z, width):
+        out = jnp.full(_SHAPE, BIG, jnp.float32)
+        for d_ax, l_ax, lo_ax in ((dx, lx, lo_x), (dy, ly, lo_y),
+                                  (dz, lz, lo_z)):
+            tgt = jnp.where(d_ax > 0, lo_ax + width, lo_ax)
+            safe = jnp.where(jnp.abs(d_ax) < 1e-9, 1e-9,
+                             jnp.abs(d_ax))
+            t_ax = jnp.abs(tgt - l_ax) * vsl / safe
+            t_ax = jnp.where(jnp.abs(d_ax) < 1e-9, BIG, t_ax)
+            out = jnp.minimum(out, t_ax)
+        return jnp.maximum(out, 0.0)
+
+    vox_exit = exit_t(vx.astype(jnp.float32), vy.astype(jnp.float32),
+                      vz.astype(jnp.float32), 1.0)
+    sw = jnp.float32(s)
+    cell_exit = exit_t((ccx << log2s).astype(jnp.float32),
+                       (ccy << log2s).astype(jnp.float32),
+                       (ccz << log2s).astype(jnp.float32), sw)
+    cell_w = vsl * sw
+    # chebyshev skip: no surface cell within (cd-1) cells of this cell
+    skip = jnp.maximum(cell_exit, (cd.astype(jnp.float32) - 1.0)
+                       * cell_w) + 0.05 * vsl
+    adv = jnp.where(near, vox_exit + 0.01 * vsl, skip)
+    adv = jnp.where(inside, adv, vs_coarse)
+    escaped = act_in & ~inside & (t > tent + 1e-3)
+
+    new_t = t + adv
+    over = new_t >= tmax
+    act = (c["act"] > 0) & ~(act_in & (hit_now | over | escaped))
+    hv = jnp.where(hit_now, cas_c * (r * r * r) + (vz * r + vy) * r + vx,
+                   c["hv"])
+    t_next = jnp.where(act_in & ~hit_now, new_t, t)
+    return dict(t=t_next, act=act.astype(jnp.int32), hv=hv, w0=w0,
+                w1=w1, cell=cell,
+                it=c["it"] + act_in.astype(jnp.int32))
+
+
 def _march_block_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
                         t_out, hv_out, it_out, act_out, *, n_cas: int,
                         r: int, s: int, max_steps: int):
+    """Lock-step block kernel: one (8,128) ray block per grid step, all
+    lanes in a single while_loop — pays the block's SLOWEST lane every
+    step (see _march_stream_kernel for the divergence-immune variant)."""
     fld = lambda i: ray_ref[0, i]
-    ox, oy, oz = fld(0), fld(1), fld(2)
-    dx, dy, dz = fld(3), fld(4), fld(5)
-    t0, tmax, tent = fld(6), fld(7), fld(8)
-    tgrace = fld(9)
-
+    rays = {name: fld(i) for i, name in enumerate(_RAYF)}
     coarse = coarse_ref[:]
     f0 = f0_ref[:]
     f1 = f1_ref[:]
-    # per-cascade scalars from SMEM: voxel size + grid origin
-    vs = [meta_ref[0, i] for i in range(n_cas)]
-    ogx = [meta_ref[0, 16 + i] for i in range(n_cas)]
-    ogy = [meta_ref[0, 32 + i] for i in range(n_cas)]
-    ogz = [meta_ref[0, 48 + i] for i in range(n_cas)]
-    inv_vs = [1.0 / v for v in vs]
-    vs_coarse = vs[-1]
-    log2s = {1: 0, 2: 1, 4: 2}[s]
-    rf = jnp.float32(r)
+    k = _load_consts(meta_ref, n_cas)
 
     def cond(c):
         return jnp.any(c["act"] > 0) & (c["step"] < max_steps)
 
     def body(c):
-        act_in = c["act"] > 0
-        t = c["t"]
-        px = ox + dx * t
-        py = oy + dy * t
-        pz = oz + dz * t
-        # finest containing cascade (unrolled; finest checked last -> wins)
-        cas = jnp.full(_SHAPE, n_cas, jnp.int32)
-        lx = jnp.zeros(_SHAPE, jnp.float32)
-        ly = jnp.zeros(_SHAPE, jnp.float32)
-        lz = jnp.zeros(_SHAPE, jnp.float32)
-        vsl = jnp.full(_SHAPE, vs_coarse, jnp.float32)
-        for i in reversed(range(n_cas)):
-            lxi = (px - ogx[i]) * inv_vs[i]
-            lyi = (py - ogy[i]) * inv_vs[i]
-            lzi = (pz - ogz[i]) * inv_vs[i]
-            ins = ((lxi >= 0) & (lxi < rf) & (lyi >= 0) & (lyi < rf)
-                   & (lzi >= 0) & (lzi < rf))
-            cas = jnp.where(ins, i, cas)
-            lx = jnp.where(ins, lxi, lx)
-            ly = jnp.where(ins, lyi, ly)
-            lz = jnp.where(ins, lzi, lz)
-            vsl = jnp.where(ins, vs[i], vsl)
-        inside = cas < n_cas
-        cas_c = jnp.minimum(cas, n_cas - 1)
-        vx = jnp.clip(lx.astype(jnp.int32), 0, r - 1)
-        vy = jnp.clip(ly.astype(jnp.int32), 0, r - 1)
-        vz = jnp.clip(lz.astype(jnp.int32), 0, r - 1)
-        ccx = vx >> log2s
-        ccy = vy >> log2s
-        ccz = vz >> log2s
-        cflat = cas_c * 4096 + (ccz * 16 + ccy) * 16 + ccx
-        cd = _gather_u4(coarse, cflat)
-        near = inside & (cd == 0)
+        st = {kk: c[kk] for kk in ("t", "act", "hv", "w0", "w1", "cell",
+                                   "it")}
+        st = _march_step(rays, st, c["act"] > 0, coarse, f0, f1, k,
+                         n_cas=n_cas, r=r, s=s)
+        st["step"] = c["step"] + 1
+        return st
 
-        # fine-bit words: fetched once per cell entry, block-gated
-        need = act_in & near & (cflat != c["cell"])
-        any_need = jnp.any(need)
-
-        def fetch(args):
-            w0, w1, cell = args
-            nw0 = _gather_i32(f0, cflat)
-            nw1 = _gather_i32(f1, cflat) if s ** 3 > 32 else nw0
-            return (jnp.where(need, nw0, w0), jnp.where(need, nw1, w1),
-                    jnp.where(need, cflat, cell))
-
-        w0, w1, cell = jax.lax.cond(
-            any_need, fetch, lambda a: a, (c["w0"], c["w1"], c["cell"]))
-
-        bx = vx & (s - 1)
-        by = vy & (s - 1)
-        bz = vz & (s - 1)
-        bit = (bz * s + by) * s + bx
-        word = jnp.where(bit < 32, w0, w1) if s ** 3 > 32 else w0
-        occ_bit = (word >> (bit & 31)) & 1
-        # tgrace: self-intersection grace — voxel-precision hits within a
-        # couple of voxels of the ray start would be the ray's own surface
-        hit_now = act_in & near & (occ_bit > 0) & (t >= tgrace)
-
-        # distances (world units along the ray) to the voxel / cell exits
-        def exit_t(lo_x, lo_y, lo_z, width):
-            out = jnp.full(_SHAPE, BIG, jnp.float32)
-            for d_ax, l_ax, lo_ax in ((dx, lx, lo_x), (dy, ly, lo_y),
-                                      (dz, lz, lo_z)):
-                tgt = jnp.where(d_ax > 0, lo_ax + width, lo_ax)
-                safe = jnp.where(jnp.abs(d_ax) < 1e-9, 1e-9,
-                                 jnp.abs(d_ax))
-                t_ax = jnp.abs(tgt - l_ax) * vsl / safe
-                t_ax = jnp.where(jnp.abs(d_ax) < 1e-9, BIG, t_ax)
-                out = jnp.minimum(out, t_ax)
-            return jnp.maximum(out, 0.0)
-
-        vox_exit = exit_t(vx.astype(jnp.float32), vy.astype(jnp.float32),
-                          vz.astype(jnp.float32), 1.0)
-        sw = jnp.float32(s)
-        cell_exit = exit_t((ccx << log2s).astype(jnp.float32),
-                           (ccy << log2s).astype(jnp.float32),
-                           (ccz << log2s).astype(jnp.float32), sw)
-        cell_w = vsl * sw
-        # chebyshev skip: no surface cell within (cd-1) cells of this cell
-        skip = jnp.maximum(cell_exit, (cd.astype(jnp.float32) - 1.0)
-                           * cell_w) + 0.05 * vsl
-        adv = jnp.where(near, vox_exit + 0.01 * vsl, skip)
-        adv = jnp.where(inside, adv, vs_coarse)
-        escaped = act_in & ~inside & (t > tent + 1e-3)
-
-        new_t = t + adv
-        over = new_t >= tmax
-        act = act_in & ~hit_now & ~over & ~escaped
-        hv = jnp.where(hit_now, cas_c * (r * r * r) + (vz * r + vy) * r + vx,
-                       c["hv"])
-        t_next = jnp.where(act_in & ~hit_now, new_t, t)
-        return dict(t=t_next, act=act.astype(jnp.int32), hv=hv, w0=w0,
-                    w1=w1, cell=cell,
-                    it=c["it"] + act_in.astype(jnp.int32),
-                    step=c["step"] + 1)
-
-    init = dict(t=t0, act=(t0 < tmax).astype(jnp.int32),
+    init = dict(t=rays["t0"],
+                act=(rays["t0"] < rays["tmax"]).astype(jnp.int32),
                 hv=jnp.full(_SHAPE, -1, jnp.int32),
                 w0=jnp.zeros(_SHAPE, jnp.int32),
                 w1=jnp.zeros(_SHAPE, jnp.int32),
@@ -220,6 +254,115 @@ def _march_block_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
     hv_out[0] = c["hv"]
     it_out[0] = c["it"]
     act_out[0] = c["act"]   # budget-exhausted rays: resumable (march_compact)
+
+
+def _march_stream_kernel(meta_ref, coarse_ref, f0_ref, f1_ref, ray_ref,
+                         t_out, hv_out, it_out, act_out, *, n_cas: int,
+                         r: int, s: int, max_steps: int, q: int,
+                         srv: int):
+    """Persistent-lane streaming march — divergence-immune wavefront.
+
+    The lock-step block kernel pays each (8,128) block's SLOWEST lane
+    every step: on the production GI ray set the per-block max averages
+    ~3.5x the mean iteration count, and reordering rays cannot fix it
+    (direction-octant sort recovers 8%; only the unknowable per-ray step
+    count sorts well — tools/probe_march_order.py).  This kernel makes
+    each lane a persistent worker with its own queue of ``q`` rays
+    (ray i of slot j lives at flat index j*1024 + lane): every ``srv``
+    steps a SERVICE point retires finished lanes (recording their
+    outputs through a q-masked select) and refills them from their queue
+    in-register — no extra pallas dispatches, no host-side compaction.
+    Total block-steps approach sum(it)/1024 (the reordering oracle)
+    instead of sum-of-block-maxima.
+
+    Bit-exact vs the block kernel: _march_step is shared, a ray's
+    trajectory depends only on its own fields, the per-ray step budget
+    is enforced identically, and the cell-word cache resets on refill.
+    Equivalent of the reference's indirect-dispatch ray continuation
+    (ffx_brixelizer wavefront passes) re-shaped for lock-step vectors.
+    """
+    rays0 = {name: ray_ref[0, i] for i, name in enumerate(_RAYF)}
+    coarse = coarse_ref[:]
+    f0 = f0_ref[:]
+    f1 = f1_ref[:]
+    k = _load_consts(meta_ref, n_cas)
+    qshape = (q, 8, 128)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, qshape, 0)
+
+    def service(c):
+        """Retire finished lanes into the (q,8,128) outputs; refill from
+        each lane's queue.  A lane is 'finished' when its ray stopped
+        (act==0) or exhausted the per-ray budget (it >= max_steps)."""
+        fin = ((c["act"] == 0) | (c["it"] >= max_steps)) & (c["done"] == 0)
+        # --- record: one q-masked select per output -------------------
+        selq = (q_iota == c["qi"][None]) & fin[None]
+        bcast = lambda a: jnp.broadcast_to(a[None], qshape)
+        out_t = jnp.where(selq, bcast(c["t"]), c["out_t"])
+        out_hv = jnp.where(selq, bcast(c["hv"]), c["out_hv"])
+        out_it = jnp.where(selq, bcast(c["it"]), c["out_it"])
+        out_act = jnp.where(selq, bcast(c["act"]), c["out_act"])
+        # --- advance + refill -----------------------------------------
+        qi = jnp.where(fin, c["qi"] + 1, c["qi"])
+        refill = fin & (qi < q)
+        done = jnp.where(fin & (qi >= q), 1, c["done"])
+        new = {name: c[name] for name in _RAYF}
+        for j in range(1, q):   # slot 0 is loaded at init
+            sel = refill & (qi == j)
+            for i, name in enumerate(_RAYF):
+                new[name] = jnp.where(sel, ray_ref[0, j * 10 + i],
+                                      new[name])
+        out = dict(new)
+        out.update(
+            t=jnp.where(refill, new["t0"], c["t"]),
+            act=jnp.where(refill,
+                          (new["t0"] < new["tmax"]).astype(jnp.int32),
+                          c["act"]),
+            hv=jnp.where(refill, -1, c["hv"]),
+            w0=c["w0"], w1=c["w1"],
+            cell=jnp.where(refill, -1, c["cell"]),
+            it=jnp.where(refill, 0, c["it"]),
+            qi=qi, done=done, out_t=out_t, out_hv=out_hv,
+            out_it=out_it, out_act=out_act, step=c["step"])
+        return out
+
+    def cond(c):
+        live = jnp.any((c["done"] == 0))
+        return live & (c["step"] < q * (max_steps + srv) + srv)
+
+    def body(c):
+        rays = {name: c[name] for name in _RAYF}
+        st = {kk: c[kk] for kk in ("t", "act", "hv", "w0", "w1", "cell",
+                                   "it")}
+        for _ in range(srv):
+            marched = (st["act"] > 0) & (st["it"] < max_steps)
+            st = _march_step(rays, st, marched, coarse, f0, f1, k,
+                             n_cas=n_cas, r=r, s=s)
+        c2 = dict(c)
+        c2.update(st)
+        c2["step"] = c["step"] + srv
+        return service(c2)
+
+    init = dict(rays0)
+    init.update(
+        t=rays0["t0"],
+        act=(rays0["t0"] < rays0["tmax"]).astype(jnp.int32),
+        hv=jnp.full(_SHAPE, -1, jnp.int32),
+        w0=jnp.zeros(_SHAPE, jnp.int32),
+        w1=jnp.zeros(_SHAPE, jnp.int32),
+        cell=jnp.full(_SHAPE, -1, jnp.int32),
+        it=jnp.zeros(_SHAPE, jnp.int32),
+        qi=jnp.zeros(_SHAPE, jnp.int32),
+        done=jnp.zeros(_SHAPE, jnp.int32),
+        out_t=jnp.zeros(qshape, jnp.float32),
+        out_hv=jnp.full(qshape, -1, jnp.int32),
+        out_it=jnp.zeros(qshape, jnp.int32),
+        out_act=jnp.zeros(qshape, jnp.int32),
+        step=jnp.int32(0))
+    c = jax.lax.while_loop(cond, body, init)
+    t_out[0] = c["out_t"]
+    hv_out[0] = c["out_hv"]
+    it_out[0] = c["out_it"]
+    act_out[0] = c["out_act"]
 
 
 def finest_voxel_size(sdf: SDFCascades, points: jnp.ndarray,
@@ -318,6 +461,69 @@ def _run(sdf: SDFCascades, origins, dirs, t_init, t_max, t_enter, t_grace,
     return flat(t), flat(hv), flat(it), flat(act) > 0
 
 
+def _run_stream(sdf: SDFCascades, origins, dirs, t_init, t_max, t_enter,
+                t_grace, *, config: SDFConfig, max_steps: int,
+                interpret: bool, q: int, srv: int):
+    """One streaming-kernel dispatch (persistent lanes, per-lane ray
+    queues of depth ``q``, service every ``srv`` steps).  Returns flat
+    (t, hv, it, act) — bit-identical to :func:`_run`."""
+    n_cas = config.num_cascades
+    r = config.cascade_resolution
+    s = r // 16
+    m = origins.shape[0]
+    blk = 1024 * q
+    mp = ((m + blk - 1) // blk) * blk
+    pad = mp - m
+
+    def field(a, fill=0.0):
+        a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad \
+            else a
+        return a.reshape(-1, q, 8, 128)
+
+    fields = [
+        field(origins[:, 0]), field(origins[:, 1]), field(origins[:, 2]),
+        field(dirs[:, 0]), field(dirs[:, 1]), field(dirs[:, 2]),
+        field(t_init, fill=1.0), field(t_max, fill=0.0),
+        field(t_enter, fill=0.0), field(t_grace, fill=0.0)]
+    # slot-major interleave: ray_ref[0, j*10 + i] = field i of queue slot j
+    rays = jnp.stack(fields, axis=2).reshape(-1, q * 10, 8, 128)
+    nblk = rays.shape[0]
+
+    origins_c = cascade_origin(sdf.center, sdf.voxel_size, r)
+    meta = jnp.zeros((1, 128), jnp.float32)
+    meta = meta.at[0, 0:n_cas].set(sdf.voxel_size)
+    meta = meta.at[0, 16:16 + n_cas].set(origins_c[:, 0])
+    meta = meta.at[0, 32:32 + n_cas].set(origins_c[:, 1])
+    meta = meta.at[0, 48:48 + n_cas].set(origins_c[:, 2])
+
+    kernel = functools.partial(_march_stream_kernel, n_cas=n_cas, r=r, s=s,
+                               max_steps=max_steps, q=q, srv=srv)
+    t, hv, it, act = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q * 10, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, q, 8, 128), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, q, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, q, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblk, q, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblk, q, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, sdf.march_coarse, sdf.march_fine0, sdf.march_fine1, rays)
+
+    flat = lambda a: a.reshape(-1)[:m]
+    return flat(t), flat(hv), flat(it), flat(act) > 0
+
+
 @functools.partial(jax.jit, static_argnames=("config", "max_steps",
                                              "interpret", "payload",
                                              "grace_voxels"))
@@ -389,6 +595,39 @@ def _payload(sdf: SDFCascades, config: SDFConfig, origins, dirs, t, hv, it,
     return SDFHit(t=jnp.where(hit, t, BIG), hit=hit, iterations=it,
                   cascade=jnp.where(hit, cas, -1), brick=brick, uvw=uvw,
                   voxel=voxel)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_steps",
+                                             "interpret", "payload",
+                                             "grace_voxels", "queue",
+                                             "service_every"))
+def march_stream(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
+                 t_max, *, config: SDFConfig, max_steps: int | None = None,
+                 interpret: bool | None = None, payload: bool = True,
+                 grace_voxels: float = 1.75, queue: int = 32,
+                 service_every: int = 2) -> SDFHit:
+    """Streaming persistent-lane march — bit-exact, divergence-immune.
+
+    Same contract as :func:`march`; dispatches _march_stream_kernel (each
+    lane owns a ``queue``-deep ray queue and refills itself in-kernel at
+    ``service_every``-step service points).  Falls back to the block
+    kernel when the ray count is too small to fill the lane queues.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    max_steps = max_steps or config.march_max_steps
+    m = origins.shape[0]
+    if m < 1024 * queue:
+        return march(sdf, origins, dirs, t_max, config=config,
+                     max_steps=max_steps, interpret=interpret,
+                     payload=payload, grace_voxels=grace_voxels)
+    t_init, t_max, t_enter, t_grace = _entry(sdf, origins, dirs, t_max,
+                                             config, grace_voxels)
+    t, hv, it, _ = _run_stream(sdf, origins, dirs, t_init, t_max, t_enter,
+                               t_grace, config=config, max_steps=max_steps,
+                               interpret=interpret, q=queue,
+                               srv=service_every)
+    return _payload(sdf, config, origins, dirs, t, hv, it, payload)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "max_steps",

@@ -222,8 +222,9 @@ def march(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
             # kernel steps are voxel-granular (a 4-voxel cell costs up to
             # ~6 iterations): scale the budget, its per-step cost is tiny
             ks = (max_steps or config.march_max_steps) * 2 + 16
-            fn = march_kernel.march_compact if compact \
-                else march_kernel.march
+            fn = (march_kernel.march_compact if compact
+                  else march_kernel.march_stream if config.stream_march
+                  else march_kernel.march)
             return fn(sdf, origins, dirs, t_max, config=config,
                       max_steps=ks)
     m = origins.shape[0]
@@ -313,6 +314,7 @@ def occlusion(sdf: SDFCascades, origins: jnp.ndarray, dirs: jnp.ndarray,
         if march_kernel.supports(config):
             ks = (max_steps or config.march_max_steps) * 2 + 16
             fn = (march_kernel.march_compact if config.compact_march
+                  else march_kernel.march_stream if config.stream_march
                   else march_kernel.march)
             rec = fn(sdf, origins, dirs, t_max, config=config,
                      max_steps=ks, payload=False)
