@@ -108,10 +108,6 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
     v = world_verts
     clip = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=1) @ view_proj.T
     c = clip[tri_vertices]                     # (F, 3, 4) clip-space corners
-    # source barycentrics of the 3 corners: (l1, l2) = (0,0), (1,0), (0,1)
-    base_b = jnp.broadcast_to(
-        jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], jnp.float32),
-        (f, 3, 2))
 
     w = c[..., 3]
     inside = w > w_eps
@@ -123,10 +119,21 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
     idx_out = jnp.argmax(~inside, axis=1)                # first outside
     rot = jnp.where(n_in == 1, idx_in,
                     jnp.where(n_in == 2, (idx_out + 1) % 3, 0))
-    corner_ids = (rot[:, None] + jnp.arange(3)[None, :]) % 3   # (F, 3)
-    gather = lambda a: jnp.take_along_axis(a, corner_ids[..., None], axis=1)
-    cr = gather(c)                                        # rotated corners
-    br = gather(base_b)
+    # roll-select rotation: rot has only 3 values, so the rotation is a
+    # 3-way select over rolled corner arrays (pure vector ops) — the
+    # take_along_axis form lowered to a per-element gather chain measured
+    # at 3.7 ms/frame vs 0.7 for this (tools/micro_setup.py, 49k tris)
+    sel = rot[:, None, None]
+    cr = jnp.where(sel == 1, jnp.roll(c, -1, axis=1),
+                   jnp.where(sel == 2, jnp.roll(c, -2, axis=1), c))
+    # source barycentrics of the rotated corners: the 3 rotations of the
+    # canonical (l1, l2) = (0,0), (1,0), (0,1) corner table
+    bt = jnp.asarray([[[0., 0.], [1., 0.], [0., 1.]],
+                      [[1., 0.], [0., 1.], [0., 0.]],
+                      [[0., 1.], [0., 0.], [1., 0.]]], jnp.float32)
+    br = jnp.broadcast_to(
+        jnp.where(sel == 1, bt[1], jnp.where(sel == 2, bt[2], bt[0])),
+        (f, 3, 2))
     wr = cr[..., 3]
 
     def lerp_to_plane(pa, pb, wa, wb):
@@ -1126,7 +1133,14 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     cols_s = jnp.maximum(b & ((1 << cb) - 1), 1)
     j = jnp.arange(pairs_cap, dtype=jnp.int32)
     k_local = j - k_start
-    dy = k_local // cols_s
+    # i32 division by a vector lowers to a long software sequence on the
+    # VPU; the f32 form is exact here: for live pairs k_local < num_tiles
+    # (<= 2^15 at any sane framebuffer) and (k_local + 0.5) / cols lands
+    # strictly inside (dy, dy+1) with margin 0.5/cols >> the f32 rounding
+    # error, so floor() cannot misround.  (Dead tail pairs may misround;
+    # their keys are overwritten below.)
+    dy = jnp.floor((k_local.astype(jnp.float32) + 0.5)
+                   / cols_s.astype(jnp.float32)).astype(jnp.int32)
     dx = k_local - dy * cols_s
     tile_of = (((a >> sx) & ((1 << sy) - 1)) + dy) * grid[1] \
         + (a & ((1 << sx) - 1)) + dx
