@@ -47,6 +47,7 @@ def _raster_ms(tess: int) -> float:
     from vri_tpu.config import RenderConfig
     from vri_tpu.hydra.delegate import RenderDelegate
     from vri_tpu.ops import rasterize
+    from vri_tpu.passes import frame as frame_mod
     from vri_tpu.registry import bake_world
     from vri_tpu.usd import scenes
 
@@ -55,19 +56,22 @@ def _raster_ms(tess: int) -> float:
     scene = d.sync()
     world = bake_world(scene)
     vp = jnp.asarray(d.camera.view_proj)
-    # the sorted work-list kernel owns every scale since fused singleton
-    # steps (the binned crossover flipped: 21.4 vs 23.7 ms at 3k)
+    # production dispatch parity (frame._visibility_raster): the sorted
+    # work-list kernel + USD doubleSided backface culling (these meshes
+    # are single-sided solids per the USD spec default; the reference
+    # would render them two-sided — VK_CULL_MODE_NONE, Common.cpp:333)
     fn = rasterize.rasterize_sorted
+    cs = frame_mod._cull_sign(scene)
 
     hit0, _ = fn(world, scene.tri_vertices, scene.num_faces, vp,
-                 height=HEIGHT, width=WIDTH)
+                 height=HEIGHT, width=WIDTH, cull_sign=cs)
     assert int(hit0.overflow) == 0, "raster capacity overflow in bench"
 
     @jax.jit
     def loop(v0):
         def body(i, v):
             hit, z = fn(world, scene.tri_vertices, scene.num_faces, v,
-                        height=HEIGHT, width=WIDTH)
+                        height=HEIGHT, width=WIDTH, cull_sign=cs)
             # data dependency XLA cannot elide: each frame consumes the
             # last, including the resolved attributes
             return vp + 0.0 * z[:4, :4] + 0.0 * hit.tri[0] \

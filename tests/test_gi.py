@@ -226,12 +226,12 @@ class TestDistantLight:
 def Xform "W" {
     def Mesh "Floor" {
         int[] faceVertexCounts = [4]
-        int[] faceVertexIndices = [0, 1, 2, 3]
+        int[] faceVertexIndices = [3, 2, 1, 0]
         point3f[] points = [(-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)]
     }
     def Mesh "Blocker" {
         int[] faceVertexCounts = [4]
-        int[] faceVertexIndices = [0, 1, 2, 3]
+        int[] faceVertexIndices = [3, 2, 1, 0]
         point3f[] points = [(-0.5, 1, -0.5), (0.5, 1, -0.5), (0.5, 1, 0.5), (-0.5, 1, 0.5)]
     }
     def DistantLight "Sun" {
@@ -271,7 +271,7 @@ class TestEmissiveGI:
 def Xform "W" {
     def Mesh "Floor" {
         int[] faceVertexCounts = [4]
-        int[] faceVertexIndices = [0, 1, 2, 3]
+        int[] faceVertexIndices = [3, 2, 1, 0]
         point3f[] points = [(-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)]
     }
     def Mesh "Glow" {

@@ -17,12 +17,14 @@ def Xform "World" {
         quatf[] orientations = [(1, 0, 0, 0), (1, 0, 0, 0), (0.7071, 0, 0.7071, 0)]
         def Scope "Protos" {
             def Mesh "Cube" {
+                bool doubleSided = true
                 int[] faceVertexCounts = [4]
                 int[] faceVertexIndices = [0, 1, 2, 3]
                 point3f[] points = [(-0.5, -0.5, 0), (0.5, -0.5, 0), (0.5, 0.5, 0), (-0.5, 0.5, 0)]
                 rel material:binding = </World/Red>
             }
             def Mesh "Tri" {
+                bool doubleSided = true
                 int[] faceVertexCounts = [3]
                 int[] faceVertexIndices = [0, 1, 2]
                 point3f[] points = [(-0.5, -0.5, 0), (0.5, -0.5, 0), (0, 0.5, 0)]

@@ -347,7 +347,9 @@ class TestOverflowEscalation:
             height=res, width=res)
         assert int(h4.overflow) == 0
         same = np.asarray(h4.tri) == np.asarray(ho.tri)
-        assert same.mean() > 0.99       # depth ties may flip winners
+        # depth ties may flip winners (the interior-wound Cornell corners
+        # put coincident wall edges on shared pixels at 48^2 / 1-px tiles)
+        assert same.mean() > 0.98
 
     def test_renderer_escalates_on_overflow(self, cornell, monkeypatch):
         from vri_tpu.config import RenderConfig

@@ -11,20 +11,25 @@ import jax.numpy as jnp
 from vri_tpu.config import RenderConfig
 from vri_tpu.hydra.delegate import RenderDelegate
 from vri_tpu.ops import rasterize as R
+from vri_tpu.passes import frame as frame_mod
 from vri_tpu.registry import bake_world
 from vri_tpu.usd import scenes
 
+CULL = "--nocull" not in sys.argv
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
 H, W = 1080, 1920
-for tess in [int(t) for t in (sys.argv[1:] or ["1", "4", "6"])]:
+for tess in [int(t) for t in (args or ["1", "4", "6"])]:
     d = RenderDelegate(RenderConfig(width=W, height=H))
     d.populate(scenes.kitchen_stress(num_objects=256, tess=tess))
     scene = d.sync()
     world = bake_world(scene)
     vp = jnp.asarray(d.camera.view_proj)
+    cs = frame_mod._cull_sign(scene) if CULL else None
 
     def full(v):
         h, zz = R.rasterize_sorted(world, scene.tri_vertices,
-                                   scene.num_faces, v, height=H, width=W)
+                                   scene.num_faces, v, height=H, width=W,
+                                   cull_sign=cs)
         return zz[:4, :4], h.tri[0], h.u[0], h.overflow
 
     jfn = jax.jit(full)

@@ -17,10 +17,13 @@ from jax.experimental.pallas import tpu as pltpu
 from vri_tpu.config import RenderConfig
 from vri_tpu.hydra.delegate import RenderDelegate
 from vri_tpu.ops import rasterize as R
+from vri_tpu.passes import frame as frame_mod
 from vri_tpu.registry import bake_world
 from vri_tpu.usd import scenes
 
 H, W = 1080, 1920
+CULL = "--nocull" not in sys.argv
+sys.argv = [a for a in sys.argv if not a.startswith("--")]
 TESS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 d = RenderDelegate(RenderConfig(width=W, height=H))
 d.populate(scenes.kitchen_stress(num_objects=256, tess=TESS))
@@ -42,9 +45,10 @@ def spy(*args, **kw):
 
 
 R._worklist_to_frame = spy
+cs = frame_mod._cull_sign(scene) if CULL else None
 raw = getattr(R.rasterize_sorted, "__wrapped__", R.rasterize_sorted)
 hit, z = raw(world, scene.tri_vertices, scene.num_faces, vp,
-             height=H, width=W)
+             height=H, width=W, cull_sign=cs)
 R._worklist_to_frame = orig
 assert int(hit.overflow) == 0
 args = captured["args"]
@@ -86,7 +90,7 @@ def bench(label, fn, iters=20):
 # ---- full frame (reference point) -----------------------------------------
 def full(i):
     h, zz = R.rasterize_sorted(world, scene.tri_vertices, scene.num_faces,
-                               vp + 0.0 * i, height=H, width=W)
+                               vp + 0.0 * i, height=H, width=W, cull_sign=cs)
     return zz[:4, :4], h.tri[0], h.u[0]
 
 

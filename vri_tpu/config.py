@@ -198,6 +198,11 @@ class RenderConfig:
     lod_ratio: float = 0.25
     lod_min_faces: int = 256          # meshes below this stay single-level
     lod_tau: float = 0.75             # screen-space error budget, pixels
+    # Treat every mesh as two-sided, ignoring authored doubleSided — the
+    # reference's behavior (VK_CULL_MODE_NONE, Common.cpp:333).  Default
+    # follows the USD spec instead: meshes are single-sided unless they
+    # author doubleSided=true, and single-sided backfaces cull.
+    force_double_sided: bool = False
     limits: SceneLimits = dataclasses.field(default_factory=SceneLimits)
     sdf: SDFConfig = dataclasses.field(default_factory=SDFConfig)
 

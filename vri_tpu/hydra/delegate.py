@@ -269,13 +269,25 @@ class RenderDelegate:
         extent = prim.get("extent")
         extent = (np.asarray(extent, np.float32) if extent is not None
                   else meshutil.compute_extent(points))
+        # USD orientation: leftHanded meshes author CW-front winding;
+        # flipping corner order restores the CCW-front convention every
+        # downstream consumer assumes (geometric normals, backface cull).
+        # Hydra does the same normalization via HdMeshUtil.
+        if str(prim.get("orientation", "rightHanded")) == "leftHanded":
+            tris = np.ascontiguousarray(tris[:, ::-1])
+            uvs = np.ascontiguousarray(uvs[:, ::-1])
+        # doubleSided: USD spec default is single-sided (backface-culled);
+        # the reference ignores it (VK_CULL_MODE_NONE, Common.cpp:333) —
+        # config.force_double_sided restores that behavior for bad content
+        ds = bool(prim.get("doubleSided", False)) \
+            or self.config.force_double_sided
         mat = stage.bound_material(prim)
         return MeshRecord(
             path=prim.path, points=points, tris=tris, tri_face=tri_face,
             uvs=uvs.astype(np.float32),
             transform=stage.world_transform(prim),
             material_path=mat.path if mat is not None else None,
-            extent=extent)
+            extent=extent, double_sided=ds)
 
     def _instancer_prototypes(self, prim: Prim):
         """Resolve the ``prototypes`` rel targets to Mesh prims (descends
@@ -340,13 +352,19 @@ class RenderDelegate:
             extent = proto.get("extent")
             extent = (np.asarray(extent, np.float32) if extent is not None
                       else meshutil.compute_extent(points))
+            if str(proto.get("orientation", "rightHanded")) == "leftHanded":
+                tris = np.ascontiguousarray(tris[:, ::-1])
+                uvs = np.ascontiguousarray(uvs[:, ::-1])
+            ds = bool(proto.get("doubleSided", False)) \
+                or self.config.force_double_sided
             mat = stage.bound_material(proto)
             if mat is not None and mat.path not in self.registry._materials:
                 self._sync_material(mat)
             local = stage.local_transform(proto)
             proto_data.append((points, tris, tri_face,
                                uvs.astype(np.float32), extent,
-                               mat.path if mat is not None else None, local))
+                               mat.path if mat is not None else None, local,
+                               ds))
 
         # each instance is (prototype key, transform, material): the packed
         # pools store one copy of each prototype's geometry (registry proto
@@ -356,7 +374,8 @@ class RenderDelegate:
         for i in range(len(positions)):
             k = int(proto_idx[i]) if len(proto_idx) else 0
             k = min(k, len(proto_data) - 1)
-            pts, tris, tri_face, uvs, extent, mat_path, local = proto_data[k]
+            (pts, tris, tri_face, uvs, extent, mat_path, local,
+             ds) = proto_data[k]
             trs = math3d.compose_trs(
                 positions[i],
                 None if orientations is None else orientations[i],
@@ -366,7 +385,7 @@ class RenderDelegate:
                 tri_face=tri_face, uvs=uvs,
                 transform=(pi_world @ trs @ local).astype(np.float32),
                 material_path=mat_path, extent=extent,
-                proto=f"{prim.path}.proto{k}"))
+                proto=f"{prim.path}.proto{k}", double_sided=ds))
 
     def _sync_material(self, prim: Prim) -> None:
         desc = material_mod.sync_material(

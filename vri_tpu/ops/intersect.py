@@ -2,10 +2,12 @@
 tracer.
 
 This is the exactness reference for every accelerated visibility path
-(BVH-traversal Pallas kernel, tiled rasterizer): same math, no culling
-(two-sided, like the reference's raster pipeline with default dynamic state —
-Source/Common.cpp:287-335 sets no cull mode).  Brute force scans triangle
-chunks with ``lax.scan`` so memory stays bounded and shapes stay static.
+(BVH-traversal Pallas kernel, tiled rasterizer): same math, two-sided by
+default with optional per-face backface culling (``cull_sign``) carrying
+USD doubleSided semantics — the reference sets VK_CULL_MODE_NONE
+(Source/Common.cpp:333) and ignores doubleSided; we follow the USD spec.
+Brute force scans triangle chunks with ``lax.scan`` so memory stays
+bounded and shapes stay static.
 """
 
 from __future__ import annotations
@@ -64,11 +66,15 @@ def moller_trumbore(o, d, v0, e1, e2, t_min=1e-4, t_max=INF):
 def trace_brute(origins: jnp.ndarray, dirs: jnp.ndarray,
                 v0: jnp.ndarray, e1: jnp.ndarray, e2: jnp.ndarray,
                 num_faces: jnp.ndarray, chunk: int = 512,
-                t_max=INF) -> HitRecord:
+                t_max=INF, cull_sign=None) -> HitRecord:
     """Nearest-hit over all triangles, chunked.
 
     origins, dirs: (N, 3); triangle arrays (F, 3) padded — faces at index >=
     ``num_faces`` are ignored.  ``t_max`` may be scalar or per-ray (N,).
+    ``cull_sign`` ((F,) f32, optional) applies USD doubleSided semantics:
+    0 = two-sided, ±1 = keep only faces whose winding orientation (sign of
+    the Möller–Trumbore determinant) matches — the same per-face signs the
+    raster paths consume, so brute/raster agree exactly on culled scenes.
     """
     n = origins.shape[0]
     t_max = jnp.asarray(t_max, jnp.float32)
@@ -92,12 +98,24 @@ def trace_brute(origins: jnp.ndarray, dirs: jnp.ndarray,
     v0c = v0.reshape(num_chunks, chunk, 3)
     e1c = e1.reshape(num_chunks, chunk, 3)
     e2c = e2.reshape(num_chunks, chunk, 3)
+    if cull_sign is not None:
+        cs = cull_sign
+        if pad:
+            cs = jnp.concatenate([cs, jnp.zeros((pad,), cs.dtype)])
+        csc = cs.reshape(num_chunks, chunk)
+    else:
+        csc = jnp.zeros((num_chunks, 1), jnp.float32)
 
     def body(best, inputs):
-        ci, cv0, ce1, ce2 = inputs
+        ci, cv0, ce1, ce2, ccs = inputs
         t, u, v, hit = moller_trumbore(o, d, cv0, ce1, ce2, t_max=t_max_row)
         tri_ids = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
         valid = hit & (tri_ids[None, :] < num_faces)
+        if cull_sign is not None:
+            # MT det = dot(cross(d, e2), e1) = -dot(d, n), n = cross(e1, e2):
+            # det > 0 iff the CCW front side faces the ray
+            det = jnp.sum(jnp.cross(d, ce2) * ce1, axis=-1)
+            valid &= (ccs[None, :] == 0.0) | (det * ccs[None, :] > 0.0)
         t = jnp.where(valid, t, INF)
         k = jnp.argmin(t, axis=-1)
         tk = jnp.take_along_axis(t, k[:, None], axis=-1)[:, 0]
@@ -110,7 +128,7 @@ def trace_brute(origins: jnp.ndarray, dirs: jnp.ndarray,
             v=jnp.where(closer, take(v), best.v))
         return best, None
 
-    xs = (jnp.arange(num_chunks, dtype=jnp.int32), v0c, e1c, e2c)
+    xs = (jnp.arange(num_chunks, dtype=jnp.int32), v0c, e1c, e2c, csc)
     best, _ = jax.lax.scan(body, init, xs)
     return best
 

@@ -87,7 +87,7 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,
                            height: int, width: int, w_eps: float = 1e-4,
                            y_offset=None, extra_cap: int | None = None,
-                           face_mask=None):
+                           face_mask=None, cull_sign=None):
     """``y_offset`` (traced ok) shifts pixel-space y after projection:
     band rendering for the row-sharded multi-chip path projects with the
     *full* framebuffer height, then rasterizes rows [y0, y0+band)."""
@@ -170,6 +170,21 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
     if face_mask is not None:
         # LOD: only the selected level's faces rasterize (ops/lod.py)
         in_range &= face_mask
+    if cull_sign is not None:
+        # Backface culling per USD doubleSided semantics (cull_sign: (F,)
+        # f32, 0 = two-sided, ±1 = keep faces whose clip-space orientation
+        # matches).  The homogeneous det [x y w] is the orientation as SEEN
+        # (valid on both sides of the near plane, unlike post-divide screen
+        # area); clipping preserves winding, so culling at the SOURCE level
+        # removes both clipped children before emission.  The reference
+        # sets VK_CULL_MODE_NONE (Common.cpp:333) and ignores doubleSided;
+        # we follow the USD spec instead (meshes default single-sided).
+        cw = c[..., 3]
+        cx, cy = c[..., 0], c[..., 1]
+        dhom = (cx[:, 0] * (cy[:, 1] * cw[:, 2] - cy[:, 2] * cw[:, 1])
+                - cy[:, 0] * (cx[:, 1] * cw[:, 2] - cx[:, 2] * cw[:, 1])
+                + cw[:, 0] * (cx[:, 1] * cy[:, 2] - cx[:, 2] * cy[:, 1]))
+        in_range &= (cull_sign == 0.0) | (dhom * cull_sign > 0.0)
     clip_overflow = jnp.int32(0)
     if extra_cap is None:
         # static 2x expansion: every source triangle owns a second slot
@@ -429,7 +444,7 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
               height: int, width: int, tile_h: int = 8, tile_w: int = 128,
               tri_chunk: int = 128, interpret: bool | None = None,
               proj_height: int | None = None, y_offset=None,
-              face_mask=None) -> Tuple[HitRecord, jnp.ndarray]:
+              face_mask=None, cull_sign=None) -> Tuple[HitRecord, jnp.ndarray]:
     """Full-frame visibility raster.
 
     Returns (HitRecord flattened to (H*W,) with z stored in ``t`` as NDC
@@ -445,7 +460,7 @@ def rasterize(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     tx, ty, tz, tw, b1, b2, src_id, valid, _ = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
         proj_height or height, width, y_offset=y_offset,
-        face_mask=face_mask)
+        face_mask=face_mask, cull_sign=cull_sign)
     order, n_large = _screen_morton_order(tx, ty, valid, height, width)
     tx, ty, tz, tw, b1, b2, valid = (
         a[order] for a in (tx, ty, tz, tw, b1, b2, valid))
@@ -675,7 +690,8 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      caps_scale: int = 1,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None,
-                     face_mask=None) -> Tuple[HitRecord, jnp.ndarray]:
+                     face_mask=None, cull_sign=None,
+                     ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with exact per-tile triangle lists.
 
     XLA builds, per Pallas tile, the capacity-bounded list of 8-triangle
@@ -712,7 +728,7 @@ def rasterize_binned(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     tx, ty, tz, tw, b1, b2, src_id, valid, _ = triangle_setup_clipped(
         world_verts, tri_vertices, num_faces, view_proj,
         proj_height or height, width, y_offset=y_offset,
-        face_mask=face_mask)
+        face_mask=face_mask, cull_sign=cull_sign)
     order, _ = _screen_morton_order(tx, ty, valid, height, width,
                                     partition_large=False)
     tx, ty, tz, tw, b1, b2, valid = (
@@ -1005,7 +1021,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      pairs_cap: int | None = None, caps_scale: int = 1,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None,
-                     face_mask=None, grouped: bool = True,
+                     face_mask=None, cull_sign=None, grouped: bool = True,
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
@@ -1045,7 +1061,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         triangle_setup_clipped(
             world_verts, tri_vertices, num_faces, view_proj,
             proj_height or height, width, y_offset=y_offset,
-            extra_cap=extra, face_mask=face_mask)
+            extra_cap=extra, face_mask=face_mask, cull_sign=cull_sign)
     src_sorted = src_id
 
     f2 = tx.shape[0]

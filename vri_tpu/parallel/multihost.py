@@ -35,6 +35,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vri_tpu.config import SDFConfig
+from vri_tpu.passes import frame as frame_mod
 from vri_tpu.passes.frame import FrameParams
 from vri_tpu.registry import SceneBuffers
 
@@ -171,10 +172,12 @@ def render_frame_tiled_2d(scene: SceneBuffers, frame: FrameParams, cascades,
             hit, _ = raster_mod.rasterize_binned(
                 world, scene.tri_vertices, scene.num_faces, frame.view_proj,
                 height=band_h, width=width, proj_height=height,
-                y_offset=(dev * band_h).astype(jnp.float32))
+                y_offset=(dev * band_h).astype(jnp.float32),
+                cull_sign=frame_mod._cull_sign(scene))
         else:
             v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
-            hit = trace_brute(o, d, v0, e1, e2, scene.num_faces)
+            hit = trace_brute(o, d, v0, e1, e2, scene.num_faces,
+                              cull_sign=frame_mod._cull_sign(scene))
         gb = shading.resolve_gbuffer(scene, world, hit, o, d)
         if backend == "raster":
             t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)

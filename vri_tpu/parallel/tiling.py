@@ -27,6 +27,7 @@ from vri_tpu.config import SDFConfig
 from vri_tpu.ops import gi as gi_mod
 from vri_tpu.ops import raygen, shading
 from vri_tpu.ops.intersect import gather_triangles, trace_brute
+from vri_tpu.passes import frame as frame_mod
 from vri_tpu.passes.frame import FrameParams
 from vri_tpu.registry import SceneBuffers, bake_world
 
@@ -89,10 +90,12 @@ def render_frame_tiled(scene: SceneBuffers, frame: FrameParams, cascades,
             hit, _ = raster_mod.rasterize_binned(
                 world, scene.tri_vertices, scene.num_faces,
                 frame.view_proj, height=band_h, width=width,
-                proj_height=height, y_offset=y0)
+                proj_height=height, y_offset=y0,
+                cull_sign=frame_mod._cull_sign(scene))
         else:
             v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
-            hit = trace_brute(o, d, v0, e1, e2, scene.num_faces)
+            hit = trace_brute(o, d, v0, e1, e2, scene.num_faces,
+                              cull_sign=frame_mod._cull_sign(scene))
         gb = shading.resolve_gbuffer(scene, world, hit, o, d)
         if backend == "raster":
             # raster depth is NDC; report world-space ray t like the

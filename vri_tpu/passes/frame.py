@@ -66,6 +66,28 @@ def _raster_variant(backend: str) -> tuple:
     return "auto", 1
 
 
+
+def _cull_sign(scene: SceneBuffers):
+    """Per-face backface-cull signs from USD doubleSided semantics:
+    0 = two-sided, +1 = keep CCW-front (right-handed), -1 under a
+    mirroring (negative-determinant) instance transform, which flips the
+    projected winding.  Returns None when every instance is two-sided
+    (legacy SceneBuffers or force_double_sided) so the raster setup skips
+    the test entirely.  The reference renders everything two-sided
+    (VK_CULL_MODE_NONE, Common.cpp:333) and ignores doubleSided; we
+    follow the USD spec — kitchen-scale scenes emit ~2x fewer
+    (tile, triangle) pairs with the spec behavior."""
+    ds = scene.instance_double_sided
+    if ds is None:
+        return None
+    m = scene.instance_transform
+    det = (m[:, 0, 0] * (m[:, 1, 1] * m[:, 2, 2] - m[:, 1, 2] * m[:, 2, 1])
+           - m[:, 0, 1] * (m[:, 1, 0] * m[:, 2, 2] - m[:, 1, 2] * m[:, 2, 0])
+           + m[:, 0, 2] * (m[:, 1, 0] * m[:, 2, 1] - m[:, 1, 1] * m[:, 2, 0]))
+    inst = jnp.where(ds, 0.0, jnp.sign(det))
+    return inst[scene.tri_instance]
+
+
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto", y0: int = 0,
                        proj_height: int | None = None,
@@ -115,14 +137,15 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
         kw["caps_scale"] = caps_scale
     hit, _ = fn(world_verts, scene.tri_vertices, num_faces,
                 frame.view_proj, height=height, width=width,
-                proj_height=proj_height,
+                proj_height=proj_height, cull_sign=_cull_sign(scene),
                 y_offset=jnp.float32(y0) if y0 else None, **kw)
     return hit
 
 
 def _visibility_brute(scene: SceneBuffers, world_verts, origins, dirs):
     v0, e1, e2 = intersect.gather_triangles(world_verts, scene.tri_vertices)
-    return intersect.trace_brute(origins, dirs, v0, e1, e2, scene.num_faces)
+    return intersect.trace_brute(origins, dirs, v0, e1, e2, scene.num_faces,
+                                 cull_sign=_cull_sign(scene))
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "mode",

@@ -91,6 +91,11 @@ class SceneBuffers:
     vertex_proto: Optional[jnp.ndarray] = None
     #: (F,) i32 expanded-face -> prototype-face (None = flat layout)
     tri_proto: Optional[jnp.ndarray] = None
+    #: (I,) bool — USD doubleSided per instance (None = all two-sided).
+    #: Single-sided instances backface-cull in every visibility path
+    #: (frame._cull_sign); the reference ignores doubleSided
+    #: (VK_CULL_MODE_NONE, Common.cpp:333) — we follow the USD spec.
+    instance_double_sided: Optional[jnp.ndarray] = None
     # Discrete LOD chains (None = no LOD packed).  The face pools hold
     # [base faces of all instances | LOD faces of all instances | pad];
     # ``num_faces`` stays the BASE count so the SDF build / BVH / brute
@@ -137,6 +142,11 @@ class MeshRecord:
     #: records sharing a prototype key share geometry in the packed pools
     #: (points/tris/uvs must be the same arrays); None = own geometry
     proto: Optional[str] = None
+    #: USD doubleSided semantics (spec default: single-sided).  Direct
+    #: (non-USD) constructions default to two-sided — the reference's
+    #: VK_CULL_MODE_NONE behavior (Common.cpp:333); the Hydra delegate
+    #: sets the authored value so single-sided meshes backface-cull.
+    double_sided: bool = True
 
 
 @dataclasses.dataclass
@@ -427,6 +437,7 @@ class ResourceRegistry:
         inst_material = np.zeros((icap,), np.int32)
         inst_face_offset = np.zeros((icap,), np.int32)
         inst_face_count = np.zeros((icap,), np.int32)
+        inst_double_sided = np.ones((icap,), np.bool_)
 
         # prototype dedup: records sharing a proto key pack geometry ONCE
         # (reference analog: per-item metadata over shared buffers,
@@ -463,6 +474,7 @@ class ResourceRegistry:
                 tri_instance[foff:foff + nf] = i
                 tri_face[foff:foff + nf] = rec.tri_face
                 inst_material[i] = slots.get(rec.material_path, 0)
+                inst_double_sided[i] = rec.double_sided
                 inst_face_offset[i] = foff
                 inst_face_count[i] = nf
                 inst_voff[i] = voff
@@ -546,6 +558,7 @@ class ResourceRegistry:
                 tri_proto[foff:foff + nf] = np.arange(
                     pf_off[k], pf_off[k] + nf, dtype=np.int32)
                 inst_material[i] = slots.get(rec.material_path, 0)
+                inst_double_sided[i] = rec.double_sided
                 inst_face_offset[i] = foff
                 inst_face_count[i] = nf
                 inst_voff[i] = voff
@@ -611,6 +624,7 @@ class ResourceRegistry:
             tri_face=jnp.asarray(tri_face),
             instance_transform=jnp.asarray(transforms),
             instance_material=jnp.asarray(inst_material),
+            instance_double_sided=jnp.asarray(inst_double_sided),
             instance_face_offset=jnp.asarray(inst_face_offset),
             instance_face_count=jnp.asarray(inst_face_count),
             instance_aabb_lo=jnp.asarray(aabb_lo),

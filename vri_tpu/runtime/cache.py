@@ -23,7 +23,7 @@ from vri_tpu.runtime import native
 
 log = logging.getLogger("vri_tpu")
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def save_scene_cache(registry: ResourceRegistry, path: str) -> None:
@@ -46,7 +46,8 @@ def save_scene_cache(registry: ResourceRegistry, path: str) -> None:
         arrays[f"m{i}_extent"] = rec.extent
         meta["meshes"].append({"path": mesh_path,
                                "material": rec.material_path,
-                               "proto": rec.proto, "geom": src})
+                               "proto": rec.proto, "geom": src,
+                               "double_sided": bool(rec.double_sided)})
     for j, mat_path in enumerate(sorted(registry._materials)):
         desc = registry._materials[mat_path]
         arrays[f"mat{j}_base"] = desc.base_color
@@ -101,7 +102,8 @@ def load_scene_cache(registry: ResourceRegistry, path: str) -> None:
             path=m["path"], points=points, tris=tris,
             tri_face=tri_face, uvs=uvs,
             transform=z[f"m{i}_transform"], material_path=m["material"],
-            extent=z[f"m{i}_extent"], proto=m.get("proto")))
+            extent=z[f"m{i}_extent"], proto=m.get("proto"),
+            double_sided=m.get("double_sided", True)))
     for k, l in enumerate(meta["lights"]):
         v = z[f"l{k}"]
         kind = int(v[7]) if len(v) > 7 else 0

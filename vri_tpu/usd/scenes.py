@@ -191,13 +191,15 @@ def cornell_box() -> Stage:
                      emissive=(17.0, 12.0, 4.0))
 
     s = 1.0
-    # floor (+y normal), ceiling (-y), back wall (+z normal faces camera)
+    # interior-facing CCW winding (normals point INTO the box): correct
+    # single-sided authoring for a room seen from inside — USD meshes
+    # default to doubleSided=false, so backfaces cull
     walls = {
-        "Floor": ((-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)),
-        "Ceiling": ((-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)),
-        "BackWall": ((-s, -s, -s), (-s, s, -s), (s, s, -s), (s, -s, -s)),
-        "LeftWall": ((-s, -s, s), (-s, s, s), (-s, s, -s), (-s, -s, -s)),
-        "RightWall": ((s, -s, -s), (s, s, -s), (s, s, s), (s, -s, s)),
+        "Floor": ((-s, -s, s), (s, -s, s), (s, -s, -s), (-s, -s, -s)),
+        "Ceiling": ((-s, s, -s), (s, s, -s), (s, s, s), (-s, s, s)),
+        "BackWall": ((s, -s, -s), (s, s, -s), (-s, s, -s), (-s, -s, -s)),
+        "LeftWall": ((-s, -s, -s), (-s, s, -s), (-s, s, s), (-s, -s, s)),
+        "RightWall": ((s, -s, s), (s, s, s), (s, s, -s), (s, -s, -s)),
     }
     mats = {"LeftWall": "Red", "RightWall": "Green"}
     for name, quad in walls.items():
@@ -205,10 +207,10 @@ def cornell_box() -> Stage:
         _author_mesh(stage, f"/World/{name}", pts, counts, idx, st,
                      material=f"/World/Materials/{mats.get(name, 'White')}")
 
-    # area light quad just below ceiling
+    # area light quad just below ceiling (faces down into the room)
     e = 0.25
-    pts, counts, idx, st = quad_mesh((-e, s - 0.01, e), (e, s - 0.01, e),
-                                     (e, s - 0.01, -e), (-e, s - 0.01, -e))
+    pts, counts, idx, st = quad_mesh((-e, s - 0.01, -e), (e, s - 0.01, -e),
+                                     (e, s - 0.01, e), (-e, s - 0.01, e))
     _author_mesh(stage, "/World/LightQuad", pts, counts, idx, st,
                  material="/World/Materials/Light")
 
