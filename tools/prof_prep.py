@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from vri_tpu.config import RenderConfig
 from vri_tpu.hydra.delegate import RenderDelegate
 from vri_tpu.ops import rasterize as R
+from vri_tpu.passes import frame as frame_mod
 from vri_tpu.registry import bake_world
 from vri_tpu.usd import scenes
 
@@ -32,12 +33,15 @@ num_tiles = grid[0] * grid[1]
 cap = R._round_up(2048, tc)
 
 
+CS = frame_mod._cull_sign(scene)
+
+
 def front(vp, stage):
     extra = max(scene.tri_vertices.shape[0] // 16, 256)
     tx, ty, tz, tw, b1, b2, src_id, valid, clip_over = \
         R.triangle_setup_clipped(world, scene.tri_vertices,
                                  scene.num_faces, vp, H, W,
-                                 extra_cap=extra)
+                                 extra_cap=extra, cull_sign=CS)
     acc = tx.sum() + tz.sum() + tw.sum() + b1.sum() + b2.sum()
     if stage == 0:
         return acc
@@ -99,7 +103,8 @@ def front(vp, stage):
     cols_s = jnp.maximum(b & ((1 << cb) - 1), 1)
     j = jnp.arange(pairs_cap, dtype=jnp.int32)
     k_local = j - k_start
-    dy = k_local // cols_s
+    dy = jnp.floor((k_local.astype(jnp.float32) + 0.5)
+                   / cols_s.astype(jnp.float32)).astype(jnp.int32)
     dx = k_local - dy * cols_s
     tile_of = (((a >> sx) & ((1 << sy) - 1)) + dy) * grid[1] \
         + (a & ((1 << sx) - 1)) + dx

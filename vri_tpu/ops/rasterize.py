@@ -1099,7 +1099,13 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     # capacity pressure is never silent).
     tc = tri_chunk
     if pairs_cap is None:
-        pairs_cap = max(6 * fp, 128 * 1024) * caps_scale
+        # backface culling (cull_sign) roughly halves live pairs on solid
+        # scenes, so the sort / stream-gather / template arrays (all sized
+        # by pairs_cap, STATIC) shrink with it; an all-doubleSided stage
+        # that exceeds the culled budget overflows COUNTED and the
+        # renderer escalates caps_scale — never silent
+        mult = 6 if cull_sign is None else 4
+        pairs_cap = max(mult * fp, 128 * 1024) * caps_scale
     pairs_cap = _round_up(pairs_cap, tc)
 
     ry0 = jnp.clip(ty0, 0, grid[0] - 1)

@@ -90,6 +90,7 @@ def merge_scene_partitions(scene: SceneBuffers, host_instance: jnp.ndarray,
             "instance_transform": own_inst, "instance_material": own_inst,
             "instance_face_offset": own_inst,
             "instance_face_count": own_inst,
+            "instance_double_sided": own_inst,
             "instance_aabb_lo": own_inst, "instance_aabb_hi": own_inst,
         }
         if proto:
@@ -107,6 +108,10 @@ def merge_scene_partitions(scene: SceneBuffers, host_instance: jnp.ndarray,
             if own is None:
                 return a    # identical on every host: pass through as-is
             m = own.reshape(own.shape + (1,) * (a.ndim - own.ndim))
+            if a.dtype == jnp.bool_:    # psum has no pred reduction
+                s = jax.lax.psum(
+                    jnp.where(m, a, False).astype(jnp.int32), hosts_axis)
+                return s > 0
             return jax.lax.psum(jnp.where(m, a, jnp.zeros((), a.dtype)),
                                 hosts_axis)
 
