@@ -322,6 +322,66 @@ class TestGroupedTier:
                                       np.asarray(ho.tri))
 
 
+class TestResolveModes:
+    """FUSED in-kernel resolve vs XLA row-gather resolve (static switch
+    on slot count, ops/rasterize.py _FUSED_MAX_SLOTS).  Both modes share
+    the walk's key packing and tie rules, so winner ids and the hit mask
+    must agree EXACTLY; z to the shared 2^-16 key quantization; (u, v)
+    to f32 evaluation tolerance (rational-affine in-kernel vs
+    edge-function gather resolve — same math, different factoring)."""
+
+    def _ab(self, stage, res_h, res_w):
+        d = RenderDelegate(RenderConfig(width=res_w, height=res_h))
+        d.populate(stage)
+        scene, cam = d.sync(), d.camera
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        outs = []
+        for fused in (True, False):
+            hit, z = rasterize.rasterize_sorted(
+                world, scene.tri_vertices, scene.num_faces, vp,
+                height=res_h, width=res_w, pairs_cap=8192, fused=fused)
+            assert int(hit.overflow) == 0
+            outs.append((hit, z))
+        return outs
+
+    def _assert_parity(self, hf, zf, hg, zg):
+        tf_, tg_ = np.asarray(hf.tri), np.asarray(hg.tri)
+        np.testing.assert_array_equal(tf_, tg_)
+        np.testing.assert_allclose(np.asarray(zf), np.asarray(zg),
+                                   atol=2e-4)
+        # (u, v) cross-mode tolerance 2e-3: both paths are ~1e-3-level
+        # f32 evaluations (verified against an fp64 reference: equal
+        # mean error, neither systematically worse); their mutual
+        # difference is f32 factoring noise, not a defect
+        m = tf_ >= 0
+        np.testing.assert_allclose(np.asarray(hf.u)[m],
+                                   np.asarray(hg.u)[m], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(hf.v)[m],
+                                   np.asarray(hg.v)[m], atol=2e-3)
+
+    def test_parity_cornell(self, cornell):
+        res = 64
+        scene, cam = _setup(cornell, res)
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        outs = []
+        for fused in (True, False):
+            hit, z = rasterize.rasterize_sorted(
+                world, scene.tri_vertices, scene.num_faces, vp,
+                height=res, width=res, pairs_cap=8192, fused=fused)
+            assert int(hit.overflow) == 0
+            outs.append((hit, z))
+        self._assert_parity(*outs[0], *outs[1])
+
+    def test_parity_kitchen_grouped_mix(self):
+        # denser scene at a wide framebuffer: covers grouped classes and
+        # the dense tier in BOTH resolve modes side by side
+        (hf, zf), (hg, zg) = self._ab(
+            scenes.kitchen_stress(num_objects=48), 96, 384)
+        self._assert_parity(hf, zf, hg, zg)
+
+
 class TestOverflowEscalation:
     """Renderer caps ladder: overflow -> 2x -> 4x lists -> ranged kernel
     (the graceful middle path before the ~20x capacity-free cliff)."""

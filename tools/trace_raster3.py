@@ -7,6 +7,7 @@ import numpy as np, jax.numpy as jnp
 from vri_tpu.config import RenderConfig
 from vri_tpu.hydra.delegate import RenderDelegate
 from vri_tpu.ops import rasterize
+from vri_tpu.passes import frame as frame_mod
 from vri_tpu.registry import bake_world
 from vri_tpu.usd import scenes
 
@@ -17,11 +18,13 @@ d.populate(scenes.kitchen_stress(num_objects=256, tess=TESS))
 scene = d.sync()
 world = bake_world(scene)
 vp = jnp.asarray(d.camera.view_proj)
+CS = frame_mod._cull_sign(scene)
 
 @jax.jit
 def frame(v):
     hit, z = rasterize.rasterize_sorted(
-        world, scene.tri_vertices, scene.num_faces, v, height=H, width=W)
+        world, scene.tri_vertices, scene.num_faces, v, height=H, width=W,
+        cull_sign=CS)
     return z[:4, :4] + 0.0 * hit.tri[0] + 0.0 * hit.u[0]
 
 _ = np.asarray(frame(vp))

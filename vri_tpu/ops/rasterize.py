@@ -51,6 +51,14 @@ from vri_tpu.ops.intersect import HitRecord
 
 _BIG = 3.0e38
 
+# rasterize_sorted resolve-mode crossover: at or below this many padded
+# triangle slots the FUSED in-kernel resolve wins (the per-pixel XLA row
+# gather it deletes dominates the short walk: 10.2 -> 6.8 ms at 3k
+# slots, 1080p); above it the gather resolve wins (the 2x-wide template
+# taxes every walk step: 16.8 -> 17.6 ms at 52k slots).  Measured A/B in
+# BASELINE.md round-3 sixth pass.
+_FUSED_MAX_SLOTS = 16384
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -1012,7 +1020,7 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap",
     "cap_glob", "pairs_cap", "caps_scale", "interpret", "proj_height",
-    "grouped"))
+    "grouped", "fused"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
@@ -1022,6 +1030,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None,
                      face_mask=None, cull_sign=None, grouped: bool = True,
+                     fused: bool | None = None,
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
@@ -1031,8 +1040,10 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     TPU-native indirect-draw batching, per-draw loop analog
     RenderPass.cpp:642-664).  One ``sort_key_val`` + binary search
     builds front-packed per-tile lists; a scalar-prefetched WORK-LIST
-    kernel walks exactly the ceil(count/128) chunks each tile occupies,
-    and attributes resolve in one XLA row gather over the framebuffer.
+    kernel walks exactly the ceil(count/128) chunks each tile occupies
+    and resolves the winner's attributes IN-KERNEL (rational-affine
+    (u, v) + triangle id fields ride the template), so no per-pixel
+    gather runs after the walk.
     ``cap`` bounds one tile's list span, ``pairs_cap`` the emitted pair
     stream (default 6x the slot count).  Capacity overflow sets
     ``HitRecord.overflow`` (the renderer escalates ``caps_scale`` then
@@ -1074,6 +1085,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     src_sorted = jnp.concatenate([src_sorted, jnp.zeros((pad,), jnp.int32)])
     tz = jnp.where(valid[:, None], tz, 10.0)
     fill = fp - 1                        # padded -> invalid (tz = 10)
+    if fused is None:
+        fused = fp <= _FUSED_MAX_SLOTS
 
     # per-slot inclusive tile span from the screen bbox
     lox, hix = tx.min(axis=1), tx.max(axis=1)
@@ -1167,13 +1180,29 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     tile_of = (((a >> sx) & ((1 << sy) - 1)) + dy) * grid[1] \
         + (a & ((1 << sx) - 1)) + dx
     dead_pair = j >= total_pairs
-    keys = jnp.where(dead_pair, jnp.uint32(0x7FFFFFFF),
-                     tile_of.astype(jnp.uint32))
-    vals = jnp.where(dead_pair, fill, sid)
-    skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
-
-    starts = _binsearch_first_geq(
-        skeys, jnp.arange(num_tiles + 1, dtype=jnp.uint32))
+    # PACKED single-array sort when (tile, slot) fits one u32: sorting one
+    # word moves half the data of sort_key_val and yields the IDENTICAL
+    # order — the stable tile sort kept emission order within a tile,
+    # which is ascending slot id (starts_x ascends with slot), exactly
+    # the packed key's low-bit tiebreak.  Dead pairs pack
+    # (num_tiles, fill) which sorts after every live tile.
+    slot_bits = max(fp - 1, 1).bit_length()
+    tile_bits = num_tiles.bit_length()
+    if slot_bits + tile_bits <= 32:
+        pk = ((tile_of.astype(jnp.uint32) << slot_bits)
+              | sid.astype(jnp.uint32))
+        dead_key = jnp.uint32((num_tiles << slot_bits) | fill)
+        spk = jax.lax.sort(jnp.where(dead_pair, dead_key, pk))
+        svals = (spk & jnp.uint32((1 << slot_bits) - 1)).astype(jnp.int32)
+        starts = _binsearch_first_geq(
+            spk, jnp.arange(num_tiles + 1, dtype=jnp.uint32) << slot_bits)
+    else:
+        keys = jnp.where(dead_pair, jnp.uint32(0x7FFFFFFF),
+                         tile_of.astype(jnp.uint32))
+        vals = jnp.where(dead_pair, fill, sid)
+        skeys, svals = jax.lax.sort_key_val(keys, vals, is_stable=True)
+        starts = _binsearch_first_geq(
+            skeys, jnp.arange(num_tiles + 1, dtype=jnp.uint32))
     count = (starts[1:] - starts[:-1]).astype(jnp.int32)
 
     # CHUNKED list fetch: per-tile slot windows are fetched as whole
@@ -1223,39 +1252,87 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     kcz = jnp.where(dead, 10.0, kcz)   # z <= 1 test culls dead slots
     kaz = jnp.where(dead, 0.0, kaz)
     kbz = jnp.where(dead, 0.0, kbz)
-    # 12-field packed slot table: [a1 b1 c1 | a2 b2 c2 | az bz cz |
-    # ox oy | slot id]; gathered once per stream entry, then restacked
-    # into the kernel-operand template below
-    packed = jnp.stack(
-        [ka1, kb1, kc1, ka2, kb2, kc2, kaz, kbz, kcz, ox, oy,
-         jnp.arange(fp, dtype=jnp.float32)], axis=1)      # (fp, 12)
+    if fused:
+        # FUSED-RESOLVE coefficients: the perspective-corrected
+        # attributes are RATIONAL AFFINE in screen space —
+        # numerator(src_u) = sum_i l_i * w_i * su_i and denominator =
+        # sum_i l_i * w_i are both affine in (x, y) since each screen
+        # barycentric l_i is.  Shipping their affine coefficients as
+        # three more template field groups lets the kernel hand back
+        # final (u, v, tri) planes directly and deletes the resolve's
+        # 2M-pixel 16-field row gather + layout copy (measured
+        # 5.4 ms/frame at 1080p).  Same math as `_resolve_frame`,
+        # factored: u_c = p1/Σp, src_u = l0c*su0 + u_c*su1 + v_c*sv2
+        # == un/den.  The wider template costs the walk ~2x per step,
+        # so this path is selected only when the slot count is small
+        # enough that the per-pixel resolve dominates the walk
+        # (fp <= _FUSED_MAX_SLOTS; measured crossover in BASELINE.md).
+        w0_, w1_, w2_ = tw[:, 0], tw[:, 1], tw[:, 2]
+        su0, su1, su2 = b1[:, 0], b1[:, 1], b1[:, 2]
+        sv0, sv1, sv2 = b2[:, 0], b2[:, 1], b2[:, 2]
+        au_ = w1_ * su1 - w0_ * su0
+        bu_ = w2_ * su2 - w0_ * su0
+        av_ = w1_ * sv1 - w0_ * sv0
+        bv_ = w2_ * sv2 - w0_ * sv0
+        ad_ = w1_ - w0_
+        bd_ = w2_ - w0_
+        kau = ka1 * au_ + ka2 * bu_
+        kbu = kb1 * au_ + kb2 * bu_
+        kcu = w0_ * su0 + kc1 * au_ + kc2 * bu_
+        kav = ka1 * av_ + ka2 * bv_
+        kbv = kb1 * av_ + kb2 * bv_
+        kcv = w0_ * sv0 + kc1 * av_ + kc2 * bv_
+        kad = ka1 * ad_ + ka2 * bd_
+        kbd = kb1 * ad_ + kb2 * bd_
+        kcd = jnp.where(dead, 1.0, w0_ + kc1 * ad_ + kc2 * bd_)
+        # 24-field packed slot table: 6 coefficient triples (l1 l2 z un
+        # vn den) + [ox oy tri pad..]; gathered once per stream entry,
+        # then restacked into the kernel-operand template below.  tri
+        # ids ride as f32 (exact below 2^24; guarded by the registry).
+        packed = jnp.stack(
+            [ka1, kb1, kc1, ka2, kb2, kc2, kaz, kbz, kcz,
+             kau, kbu, kcu, kav, kbv, kcv, kad, kbd, kcd,
+             ox, oy, src_sorted.astype(jnp.float32),
+             jnp.zeros_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)],
+            axis=1)                                       # (fp, 24)
+    else:
+        # 12-field packed slot table: 3 coefficient triples (l1 l2 z) +
+        # [ox oy slot]; the winner SLOT id leaves the kernel and the
+        # shared XLA row-gather resolve recovers attributes
+        packed = jnp.stack(
+            [ka1, kb1, kc1, ka2, kb2, kc2, kaz, kbz, kcz, ox, oy,
+             jnp.arange(fp, dtype=jnp.float32)], axis=1)  # (fp, 12)
+    nf = 6 if fused else 3                  # template field groups
 
     # (A 128-aligned per-tile chunk re-gather was tried here to remove
     # foreign-HEAD slots — it measured SLOWER (33.2 vs 29.6 ms at 49k):
     # per-tile chunks defeat the DMA skip for consecutive small tiles
     # sharing one stream chunk, and inflate the template build ~1.7x.
     # The shared-stream walk below keeps both.)
-    stream = packed[svals[:pairs_cap]]                    # (pairs_cap, 12)
-    cm = stream.reshape(pairs_cap // tc, tc, 12) \
-        .transpose(0, 2, 1)                               # (C, 12, TC)
-    # kernel-operand template (C, 8, 3TC): rows 0-1 = the (2, 3TC) MXU
-    # operand [a-coefs | b-coefs] over the three fields (l1, l2, z),
-    # row 2 = local-frame constants, rows 3-4 = slot origins (replicated
-    # per field group), row 5 = slot ids, rows 6-7 = pad to the 8-sublane
-    # f32 tile.  Pre-packing here matters: Mosaic cannot CONCATENATE
-    # vector slices whose sublane offsets differ (offset-mismatch concat
-    # is unimplemented as of this writing), so the kernel must receive
-    # every multi-row operand contiguous at offset 0 and only combine
-    # single rows elementwise.
-    def grp(i, j, k):
-        return jnp.concatenate([cm[:, i], cm[:, j], cm[:, k]], axis=-1)
-    rep = lambda i: jnp.tile(cm[:, i], (1, 3))
-    zero3 = jnp.zeros_like(cm[:, 0:1])
+    stream = packed[svals[:pairs_cap]]                 # (pairs_cap, 4nf)
+    cm = stream.reshape(pairs_cap // tc, tc, 4 * nf) \
+        .transpose(0, 2, 1)                            # (C, 4nf, TC)
+    # kernel-operand template (C, 8, nf*TC): rows 0-1 = the (2, nf*TC)
+    # MXU operand [a-coefs | b-coefs] over the nf fields (l1, l2, z
+    # [, un, vn, den]), row 2 = local-frame constants, rows 3-4 = slot
+    # origins (replicated per field group), row 5 = slot/triangle ids,
+    # rows 6-7 = pad to the 8-sublane f32 tile.  Pre-packing here
+    # matters: Mosaic cannot CONCATENATE vector slices whose sublane
+    # offsets differ (offset-mismatch concat is unimplemented as of
+    # this writing), so the kernel must receive every multi-row operand
+    # contiguous at offset 0 and only combine single rows elementwise.
+    def grp(idxs):
+        return jnp.concatenate([cm[:, i] for i in idxs], axis=-1)
+    rep = lambda i: jnp.tile(cm[:, i], (1, nf))
+    zero_g = jnp.zeros_like(cm[:, 0:1])
+    a_idx = tuple(range(0, 3 * nf, 3))
     chunks = jnp.stack(
-        [grp(0, 3, 6), grp(1, 4, 7), grp(2, 5, 8),
-         rep(9), rep(10), rep(11)], axis=1)               # (C, 6, 3TC)
+        [grp(a_idx), grp(tuple(i + 1 for i in a_idx)),
+         grp(tuple(i + 2 for i in a_idx)),
+         rep(3 * nf), rep(3 * nf + 1), rep(3 * nf + 2)],
+        axis=1)                                        # (C, 6, nf*TC)
     chunks = jnp.concatenate(
-        [chunks, jnp.tile(zero3, (1, 2, 3))], axis=1)     # (C, 8, 3TC)
+        [chunks, jnp.tile(zero_g, (1, 2, nf))], axis=1)  # (C, 8, nf*TC)
     num_chunks = pairs_cap // tc
 
     # ---- grouped-singleton tier: tiles whose whole list fits in W
@@ -1266,7 +1343,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         fl_g, chunks_g, src_row, grouped_tile, n_gsteps = _pack_grouped(
             count, starts[:num_tiles].astype(jnp.int32), stream,
             num_tiles=num_tiles, num_tx=grid[1], tile_h=tile_h,
-            tile_w=tile_w, tri_chunk=tc, pairs_cap=pairs_cap)
+            tile_w=tile_w, tri_chunk=tc, pairs_cap=pairs_cap, nf=nf)
         grouped_args = (fl_g, chunks_g, src_row, grouped_tile, n_gsteps)
 
     # ---- work list: one entry per (tile, chunk) walk step -------------
@@ -1301,14 +1378,17 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         | (emit_over > 0) | (clip_over > 0)
     return _worklist_to_frame(
         wt, wchunk, flags, chunks, overflowed,
-        tx, ty, tw, b1, b2, src_sorted,
         total_work=jnp.clip(total_work, 1, wcap),
         height=height, width=width, hp=hp, wp=wp, grid=grid,
         tile_h=tile_h, tile_w=tile_w, tri_chunk=tc, interpret=interpret,
+        fused=fused,
+        resolve_args=None if fused else (tx, ty, tw, b1, b2, src_sorted),
         grouped_args=grouped_args)
-def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
-                  z_row, slot_row, best_ref, sid_ref, *,
-                  tile_h: int, tile_w: int, tri_chunk: int, num_tx: int):
+
+
+def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, *refs,
+                  tile_h: int, tile_w: int, tri_chunk: int, num_tx: int,
+                  fused: bool):
     """Work-list visibility walk: one (tile, chunk) step per grid index.
 
     The TPU-native indirect draw: the grid iterates a scalar-prefetched
@@ -1325,11 +1405,19 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
     tile's steps (one compare + two selects per step); the cross-lane
     winner reduction runs once per tile on its last step.  Ties resolve
     to the earlier chunk on the same lane, then the lowest lane —
-    deterministic under the fixed emission order.  Only (depth, winner
-    slot) leave the kernel; attributes are recovered by one XLA row
-    gather over the framebuffer (`_resolve_frame`, shared with the
-    binned path).
+    deterministic under the fixed emission order.  Two resolve modes
+    (static `fused`): FUSED extracts the winner's perspective-corrected
+    (u, v) and triangle id per step from the rational-affine fields
+    (un, vn, den) via an exact one-hot select-sum, so final attribute
+    planes leave the kernel; GATHER extracts only the winner slot id
+    and the shared XLA row-gather resolve recovers attributes (cheaper
+    per step — the large-slot-count mode, see _FUSED_MAX_SLOTS).
     """
+    if fused:
+        z_row, u_row, v_row, tri_row, best_ref, u_ref, v_ref, tri_ref \
+            = refs
+    else:
+        z_row, slot_row, best_ref, sid_ref = refs
     i = pl.program_id(0)
     fl = fl_ref[i]
     p = tile_h * tile_w
@@ -1352,17 +1440,17 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
     # step — deterministic under the fixed emission order.
     @pl.when((fl & 4) != 0)
     def _():
-        rows = chunks_ref[0]                    # (8, 3TC) template
+        rows = chunks_ref[0]                    # (8, 6TC) template
         tile = wt_ref[i]
         fx0 = ((tile % num_tx) * tile_w).astype(jnp.float32)
         fy0 = ((tile // num_tx) * tile_h).astype(jnp.float32)
         # translate the local-frame constants to this tile's origin:
-        # elementwise FMAs on (1, 3TC) row slices (Mosaic relayouts the
+        # elementwise FMAs on (1, 6TC) row slices (Mosaic relayouts the
         # sublane offsets for elementwise ops; offset-mismatched
-        # CONCATENATION is the unimplemented pattern, so the (2, 3TC)
+        # CONCATENATION is the unimplemented pattern, so the (2, 6TC)
         # MXU operand ships pre-packed from XLA and the constant row is
         # added AFTER the matmul instead of riding a third operand row)
-        dx = fx0 - rows[3:4]                    # (1, 3TC) origin deltas
+        dx = fx0 - rows[3:4]                    # (1, 6TC) origin deltas
         dy = fy0 - rows[4:5]
         ct = rows[0:1] * dx + rows[1:2] * dy + rows[2:3]
 
@@ -1370,7 +1458,7 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
         py = 0.5 + (pix // tile_w).astype(jnp.float32)
         px = 0.5 + (pix % tile_w).astype(jnp.float32)
         pixmat = jnp.concatenate([px, py], axis=1)        # (P, 2)
-        out = _dot_2pass(pixmat, rows[0:2]) + ct
+        out = _dot_2pass(pixmat, rows[0:2, 0:3 * tc]) + ct[:, 0:3 * tc]
         l1 = out[:, 0:tc]
         l2 = out[:, tc:2 * tc]
         z = out[:, 2 * tc:3 * tc]
@@ -1379,27 +1467,72 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref,
         zm = jnp.where(ok, z, 2.0)
         key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) | lane
         row = jnp.min(key, axis=-1, keepdims=True)          # (P, 1)
-        # winner slot id via the lane carried in the key's low bits
-        sel = lane == (row & ~mask)
-        sid_row = jnp.sum(jnp.where(
-            sel, jnp.broadcast_to(rows[5:6, 0:tc], (p, tc)), 0.0),
-            axis=-1, keepdims=True)
         # first step of a tile initializes inline (no separate init pass)
         prev = jnp.where((fl & 1) != 0, jnp.full((p, 1), miss, jnp.int32),
                          best_ref[:, :])
         upd = row < prev
-        best = jnp.where(upd, row, prev)
-        best_ref[:, :] = best
-        sid_ref[:, :] = jnp.where(
-            upd, sid_row, jnp.where((fl & 1) != 0, 0.0, sid_ref[:, :]))
+        best_ref[:, :] = jnp.where(upd, row, prev)
 
-        @pl.when((fl & 2) != 0)                 # last step -> write rows
-        def _():
-            z1 = jax.lax.bitcast_convert_type(best & mask, jnp.float32)
-            hit = z1 <= 1.0
-            z_row[...] = jnp.where(hit, z1, _BIG).reshape(1, 1, p)
-            slot_row[...] = jnp.where(
-                hit, sid_ref[:, :].astype(jnp.int32), -1).reshape(1, 1, p)
+        # Winner-payload work runs ONLY on steps where some pixel found
+        # a new winner (any(upd) — the key min and compare above are
+        # all it takes to know).  Skipped-step scratch is safe: a
+        # pixel's payload lanes are garbage only until its first win
+        # (and miss pixels are masked at finalize).
+        sel_ids = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
+        if fused:
+            @pl.when(jnp.any(upd))
+            def _():
+                att = _dot_2pass(pixmat, rows[0:2, 3 * tc:6 * tc]) \
+                    + ct[:, 3 * tc:6 * tc]
+                # winner attribute extraction via the lane carried in
+                # the key's low bits: one-hot select-and-sum is EXACT
+                # (one nonzero term per pixel), so u = un/den matches
+                # the affine evaluation of the winning slot to the
+                # last ulp
+                sel = lane == (row & ~mask)
+                ext = lambda m: jnp.sum(jnp.where(sel, m, 0.0), axis=-1,
+                                        keepdims=True)
+                un_w = ext(att[:, 0:tc])
+                vn_w = ext(att[:, tc:2 * tc])
+                dn_w = ext(att[:, 2 * tc:3 * tc])
+                tri_w = ext(sel_ids)
+                rcp = 1.0 / jnp.where(jnp.abs(dn_w) > 1e-20, dn_w, 1.0)
+                u_ref[:, :] = jnp.where(upd, un_w * rcp, u_ref[:, :])
+                v_ref[:, :] = jnp.where(upd, vn_w * rcp, v_ref[:, :])
+                tri_ref[:, :] = jnp.where(upd, tri_w, tri_ref[:, :])
+
+            @pl.when((fl & 2) != 0)             # last step -> write rows
+            def _():
+                z1 = jax.lax.bitcast_convert_type(
+                    best_ref[:, :] & mask, jnp.float32)
+                hit = z1 <= 1.0
+                z_row[...] = jnp.where(hit, z1, _BIG).reshape(1, 1, p)
+                u_row[...] = jnp.where(
+                    hit, u_ref[:, :], 0.0).reshape(1, 1, p)
+                v_row[...] = jnp.where(
+                    hit, v_ref[:, :], 0.0).reshape(1, 1, p)
+                tri_row[...] = jnp.where(
+                    hit, tri_ref[:, :].astype(jnp.int32),
+                    -1).reshape(1, 1, p)
+        else:
+            @pl.when(jnp.any(upd))
+            def _():
+                # winner slot id via the lane carried in the key's
+                # low bits
+                sel = lane == (row & ~mask)
+                sid_row = jnp.sum(jnp.where(sel, sel_ids, 0.0),
+                                  axis=-1, keepdims=True)
+                sid_ref[:, :] = jnp.where(upd, sid_row, sid_ref[:, :])
+
+            @pl.when((fl & 2) != 0)             # last step -> write rows
+            def _():
+                z1 = jax.lax.bitcast_convert_type(
+                    best_ref[:, :] & mask, jnp.float32)
+                hit = z1 <= 1.0
+                z_row[...] = jnp.where(hit, z1, _BIG).reshape(1, 1, p)
+                slot_row[...] = jnp.where(
+                    hit, sid_ref[:, :].astype(jnp.int32),
+                    -1).reshape(1, 1, p)
 
 
 # Grouped-singleton classes: tiles whose ENTIRE list fits in W lanes are
@@ -1416,17 +1549,23 @@ def _group_classes(tc: int):
     return tuple((w, tc // w) for w in _GROUP_WIDTHS)
 
 
-def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
-                    tile_h: int, tile_w: int, tri_chunk: int):
-    """Grouped-singleton visibility step: one (8, 3TC) template chunk
+def _grouped_kernel(fl_ref, chunks_ref, *outs,
+                    tile_h: int, tile_w: int, tri_chunk: int,
+                    fused: bool):
+    """Grouped-singleton visibility step: one (8, nf*TC) template chunk
     holds G tiles' complete lists side by side (class flag = lanes per
     tile W).  Constants arrive FULLY baked (ct already translated to
     each pair's own tile origin), so the compute is one `_dot_2pass`
     matmul + tests; the per-W-block winner is found with a masked-roll
     suffix-min on a packed depth|lane key, broadcast back across the
-    block, and extracted per group with two one-hot Precision.HIGHEST
-    matmuls (exact select-and-sum).  Stateless: no scratch, no
+    block, and extracted per group with one-hot Precision.HIGHEST
+    matmuls (exact select-and-sum) — in fused mode including the
+    rational attribute fields (un, vn, den).  Stateless: no scratch, no
     first/last flags — every step is its tiles' whole walk."""
+    if fused:
+        z_out, u_out, v_out, tri_out = outs
+    else:
+        z_out, slot_out = outs
     i = pl.program_id(0)
     fl = fl_ref[i]
     p = tile_h * tile_w
@@ -1447,7 +1586,7 @@ def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
           & (l1 + l2 <= 1.0) & (z <= 1.0))
     zm = jnp.where(ok, z, 2.0)
     key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) | lane
-    sidb = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
+    trib = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
 
     for ci, (w, g) in enumerate(_group_classes(tc)):
         @pl.when(fl == ci)
@@ -1469,8 +1608,6 @@ def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
                 x = jnp.where((off >= s) & (off < 2 * s), r, x)
                 s *= 2
             sel = key == x                 # one-hot winner per (pixel, block)
-            z_win = jnp.where(sel, zm, 0.0)
-            sid_win = jnp.where(sel, sidb, 0.0)
             # one-hot block-indicator extraction on the MXU: HIGHEST is
             # exact for select-and-sum (1.0 * f32 reconstructs all
             # mantissa terms; 0 terms exact), (tc, G) x (P, tc) -> (G, P)
@@ -1481,23 +1618,45 @@ def _grouped_kernel(fl_ref, chunks_ref, z_out, slot_out, *,
                 jax.lax.dot_general,
                 dimension_numbers=(((0,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST)
-            zg = dg(selg, z_win)
-            sg = dg(selg, sid_win)
+            # ONE batched extraction dot: the winner fields stack along
+            # the sublane axis ((kP, tc), all offset-0 fresh values) so
+            # the select-and-sum runs as a single
+            # (tc, G) x (kP, tc) -> (G, kP) matmul instead of k
+            # fixed-cost dots
+            fields = (zm, out[:, 3 * tc:4 * tc], out[:, 4 * tc:5 * tc],
+                      out[:, 5 * tc:6 * tc], trib) if fused \
+                else (zm, trib)
+            stackm = jnp.concatenate(
+                [jnp.where(sel, m, 0.0) for m in fields], axis=0)
+            allg = dg(selg, stackm)                     # (G, kP)
+            zg = allg[:, 0:p]
             hit = zg <= 1.0
             z_out[0, 0:g, :] = jnp.where(hit, zg, _BIG)
-            slot_out[0, 0:g, :] = jnp.where(hit, sg.astype(jnp.int32), -1)
+            if fused:
+                ung = allg[:, p:2 * p]
+                vng = allg[:, 2 * p:3 * p]
+                dng = allg[:, 3 * p:4 * p]
+                trig = allg[:, 4 * p:5 * p]
+                rcp = 1.0 / jnp.where(jnp.abs(dng) > 1e-20, dng, 1.0)
+                u_out[0, 0:g, :] = jnp.where(hit, ung * rcp, 0.0)
+                v_out[0, 0:g, :] = jnp.where(hit, vng * rcp, 0.0)
+                tri_out[0, 0:g, :] = jnp.where(
+                    hit, trig.astype(jnp.int32), -1)
+            else:
+                slot_out[0, 0:g, :] = jnp.where(
+                    hit, allg[:, p:2 * p].astype(jnp.int32), -1)
 
 
 def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
                   tile_h: int, tile_w: int, tri_chunk: int,
-                  pairs_cap: int):
+                  pairs_cap: int, nf: int):
     """Build the grouped-singleton work: class-sort tiles, pack G per
     step, and bake per-pair templates.  All heavy moves are row gathers
     (per-element gathers only at (steps x G) <= ~16k granularity —
     XLA's scalar-gather floor is ~10 cyc/elem, so lane-level (~130k)
     index chains are built by class-static broadcast expansion instead).
 
-    Returns (fl (gcap,), chunks_g (gcap, 8, 3tc), src_row (T,),
+    Returns (fl (gcap,), chunks_g (gcap, 8, nf*tc), src_row (T,),
     grouped (T,), n_gsteps) where src_row maps each grouped tile to its
     flat output row (step * MAXG + group)."""
     tc = tri_chunk
@@ -1561,28 +1720,26 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
     sgf = lambda k: raw(k).reshape(gcap, tc)
     fx0q = expand(fx16, 0.0)
     fy0q = expand(fy16, 0.0)
-    dxq = fx0q - sgf(9)
-    dyq = fy0q - sgf(10)
+    dxq = fx0q - sgf(3 * nf)
+    dyq = fy0q - sgf(3 * nf + 1)
+    a_idx = tuple(range(0, 3 * nf, 3))
     row_a = jnp.concatenate(
-        [jnp.where(live, sgf(0), 0.0), jnp.where(live, sgf(3), 0.0),
-         jnp.where(live, sgf(6), 0.0)], axis=-1)
+        [jnp.where(live, sgf(j), 0.0) for j in a_idx], axis=-1)
     row_b = jnp.concatenate(
-        [jnp.where(live, sgf(1), 0.0), jnp.where(live, sgf(4), 0.0),
-         jnp.where(live, sgf(7), 0.0)], axis=-1)
+        [jnp.where(live, sgf(j + 1), 0.0) for j in a_idx], axis=-1)
     # ASSOCIATION matters: (a*dx + b*dy) + c matches the dense kernel's
     # in-kernel translation bit-for-bit, so grouped/dense edge tests
-    # agree to the last ulp; dead lanes pin z = 10 (fails z <= 1)
-    ct1 = sgf(0) * dxq + sgf(1) * dyq + sgf(2)
-    ct2 = sgf(3) * dxq + sgf(4) * dyq + sgf(5)
-    ctz = sgf(6) * dxq + sgf(7) * dyq + sgf(8)
+    # agree to the last ulp; dead lanes pin z = 10 (fails z <= 1) and
+    # den = 1 (no spurious divide in the extraction)
+    cts = [sgf(j) * dxq + sgf(j + 1) * dyq + sgf(j + 2) for j in a_idx]
+    dead_ct = (0.0, 0.0, 10.0, 0.0, 0.0, 1.0)[:nf]
     row_c = jnp.concatenate(
-        [jnp.where(live, ct1, 0.0), jnp.where(live, ct2, 0.0),
-         jnp.where(live, ctz, 10.0)], axis=-1)
-    row_s = jnp.tile(sgf(11), (1, 3))
+        [jnp.where(live, c, dv) for c, dv in zip(cts, dead_ct)], axis=-1)
+    row_t = jnp.tile(sgf(3 * nf + 2), (1, nf))
     zrow = jnp.zeros_like(row_a)
     chunks_g = jnp.stack(
-        [row_a, row_b, row_c, zrow, zrow, row_s, zrow, zrow],
-        axis=1)                                        # (gcap, 8, 3tc)
+        [row_a, row_b, row_c, zrow, zrow, row_t, zrow, zrow],
+        axis=1)                                        # (gcap, 8, nf*tc)
 
     # tile -> flat grouped output row (step * MAXG + group)
     inv_pos = jnp.zeros((t,), jnp.int32).at[order].set(
@@ -1594,13 +1751,19 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
     return fl, chunks_g, src_row, cls < n_cls, n_gsteps
 
 
-def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
-                       tx, ty, tw, b1, b2, src_sorted, *,
+def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
                        total_work, height, width, hp, wp, grid, tile_h,
-                       tile_w, tri_chunk, interpret,
-                       grouped_args=None):
+                       tile_w, tri_chunk, interpret, fused,
+                       resolve_args=None, grouped_args=None):
     """Back half of the sorted path: the single work-list visibility
-    walk, then the shared XLA attribute resolve (`_resolve_frame`).
+    walk, then one of two resolves (static ``fused``).  FUSED: the
+    kernels hand back final (z, u, v, tri) planes, so no per-pixel
+    attribute gather runs at all (the 16-field row gather + layout copy
+    it replaces measured 5.4 ms/frame at 1080p — the win at small slot
+    counts).  GATHER: the kernels hand back (z, slot) and the shared
+    XLA row-gather resolve (`_resolve_frame`, ``resolve_args``)
+    recovers attributes — cheaper at large slot counts where the
+    fused template's 2x step width taxes the long walk.
 
     The grid is DYNAMIC — sized by the frame's actual work-item count
     (every tile contributes >= 1 item so all output rows are written);
@@ -1610,33 +1773,36 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
     num_tiles = grid[0] * grid[1]
     p = tile_h * tile_w
     tc = tri_chunk
+    nf = 6 if fused else 3
+    n_out = 4 if fused else 2
     n_work = total_work if not interpret else int(wt.shape[0])
 
     row_spec = pl.BlockSpec((1, 1, p), lambda i, wt_r, wc_r, fl_r:
                             (wt_r[i], 0, 0), memory_space=pltpu.VMEM)
-    chunk_spec = pl.BlockSpec((1, 8, 3 * tc), lambda i, wt_r, wc_r, fl_r:
+    chunk_spec = pl.BlockSpec((1, 8, nf * tc),
+                              lambda i, wt_r, wc_r, fl_r:
                               (wc_r[i], 0, 0), memory_space=pltpu.VMEM)
+    f32_scratch = 3 if fused else 1
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_work,),
         in_specs=[chunk_spec],
-        out_specs=[row_spec] * 2,
-        scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32),
-                        pltpu.VMEM((p, 1), jnp.float32)],
+        out_specs=[row_spec] * n_out,
+        scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32)]
+        + [pltpu.VMEM((p, 1), jnp.float32)] * f32_scratch,
     )
     kernel1 = functools.partial(
         _pass1_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tc,
-        num_tx=grid[1])
-    z_rows, slot_rows = pl.pallas_call(
+        num_tx=grid[1], fused=fused)
+    outs = pl.pallas_call(
         kernel1,
         grid_spec=grid1,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32)]
+        * (n_out - 1)
+        + [jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32)],
         interpret=interpret,
     )(wt, wchunk, flags, chunks)
-    z_rows, slot_rows = z_rows[:, 0], slot_rows[:, 0]   # (T, p)
+    outs = [o[:, 0] for o in outs]                       # each (T, p)
 
     if grouped_args is not None:
         fl_g, chunks_g, src_row, grouped_tile, n_gsteps = grouped_args
@@ -1646,32 +1812,45 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed,
         grow_spec = pl.BlockSpec((1, maxg, p),
                                  lambda i, fl_r: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        gchunk_spec = pl.BlockSpec((1, 8, 3 * tc),
+        gchunk_spec = pl.BlockSpec((1, 8, nf * tc),
                                    lambda i, fl_r: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
         gspec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ng,),
-            in_specs=[gchunk_spec], out_specs=[grow_spec] * 2)
-        zg, sg = pl.pallas_call(
+            in_specs=[gchunk_spec], out_specs=[grow_spec] * n_out)
+        gouts = pl.pallas_call(
             functools.partial(_grouped_kernel, tile_h=tile_h,
-                              tile_w=tile_w, tri_chunk=tc),
+                              tile_w=tile_w, tri_chunk=tc, fused=fused),
             grid_spec=gspec,
-            out_shape=[
-                jax.ShapeDtypeStruct((gcap, maxg, p), jnp.float32),
-                jax.ShapeDtypeStruct((gcap, maxg, p), jnp.int32),
-            ],
+            out_shape=[jax.ShapeDtypeStruct((gcap, maxg, p), jnp.float32)]
+            * (n_out - 1)
+            + [jax.ShapeDtypeStruct((gcap, maxg, p), jnp.int32)],
             interpret=interpret,
         )(fl_g, chunks_g)
-        zg_rows = zg.reshape(gcap * maxg, p)[src_row]
-        sg_rows = sg.reshape(gcap * maxg, p)[src_row]
         gt = grouped_tile[:, None]
-        z_rows = jnp.where(gt, zg_rows, z_rows)
-        slot_rows = jnp.where(gt, sg_rows, slot_rows)
+        outs = [jnp.where(gt, gr.reshape(gcap * maxg, p)[src_row], dr)
+                for gr, dr in zip(gouts, outs)]
 
     def to_plane(a):
         return a.reshape(grid[0], grid[1], tile_h, tile_w) \
             .transpose(0, 2, 1, 3).reshape(hp, wp)
 
+    if fused:
+        z_rows, u_rows, v_rows, tri_rows = outs
+        clipped = lambda a: to_plane(a)[:height, :width]
+        z = clipped(z_rows)
+        tri = clipped(tri_rows)
+        hit_mask = tri >= 0
+        hit = HitRecord(
+            t=jnp.where(hit_mask, z, _BIG).reshape(-1),
+            tri=tri.reshape(-1),
+            u=clipped(u_rows).reshape(-1),
+            v=clipped(v_rows).reshape(-1),
+            overflow=jnp.sum(overflowed.astype(jnp.int32)))
+        return hit, jnp.where(hit_mask, z, _BIG)
+
+    z_rows, slot_rows = outs
+    tx, ty, tw, b1, b2, src_sorted = resolve_args
     return _resolve_frame(to_plane(z_rows), to_plane(slot_rows),
                           tx, ty, tw, b1, b2, src_sorted, overflowed,
                           height=height, width=width)
