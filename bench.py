@@ -72,10 +72,17 @@ def _raster_ms(tess: int) -> float:
         def body(i, v):
             hit, z = fn(world, scene.tri_vertices, scene.num_faces, v,
                         height=HEIGHT, width=WIDTH, cull_sign=cs)
-            # data dependency XLA cannot elide: each frame consumes the
-            # last, including the resolved attributes
-            return vp + 0.0 * z[:4, :4] + 0.0 * hit.tri[0] \
-                + 0.0 * hit.u[0]
+            # data dependency XLA cannot elide: each frame consumes EVERY
+            # element of every HitRecord field (full reductions, not
+            # element taps — slice propagation through elementwise/gather
+            # chains once silently deleted 40% of a measurement).  The
+            # sums are sanitized (INF at misses) and folded in at 1e-20
+            # scale: numerically a no-op on vp, but opaque to XLA.
+            s = (jnp.sum(hit.u) + jnp.sum(hit.v)
+                 + jnp.sum(hit.tri.astype(jnp.float32))
+                 + jnp.sum(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
+                 + jnp.sum(jnp.where(jnp.isfinite(z), z, 0.0)))
+            return vp + jnp.tanh(s * 1e-20) * 1e-20
         return jax.lax.fori_loop(0, ITERS, body, v0)
 
     _ = np.asarray(loop(vp))                      # warm / compile
@@ -113,18 +120,86 @@ def _gi_ms() -> dict:
                     height=h, width=WIDTH, config=cfg.sdf,
                     backend="raster", samples=1, use_cache=True,
                     gi_scale=2, band=band)
-                return st2, acc + aovs["color"][0, 0]
-            return jax.lax.fori_loop(0, iters, body, (st, jnp.zeros(3)))
+                # full-reduction consumption (see _raster_ms note)
+                return st2, acc + jnp.sum(aovs["color"]) * 1e-20
+            return jax.lax.fori_loop(0, iters, body, (st, jnp.zeros(())))
 
         _ = np.asarray(loop(st0)[1])
         t0 = time.time()
         _ = np.asarray(loop(st0)[1])
         return (time.time() - t0 - 0.04) / iters * 1e3
 
+    def bench_fullrate(iters=5):
+        # quality tier: full-res 1spp GI, no temporal reuse
+        @jax.jit
+        def loop(k0):
+            def body(i, carry):
+                k, acc = carry
+                k2 = jax.random.fold_in(k, i)
+                aovs = frame_mod.render_frame_gi(
+                    scene, fp, cascades, k2, height=HEIGHT, width=WIDTH,
+                    config=cfg.sdf, backend="raster", samples=1,
+                    use_cache=True, gi_scale=1)
+                return k2, acc + jnp.sum(aovs["color"]) * 1e-20
+            return jax.lax.fori_loop(0, iters, body, (k0, jnp.zeros(())))
+        _ = np.asarray(loop(key)[1])
+        t0 = time.time()
+        _ = np.asarray(loop(key)[1])
+        return (time.time() - t0 - 0.04) / iters * 1e3
+
+    def bench_sdf():
+        # full cascade build + bounded dirty-instance update (the
+        # reference runs AS maintenance inside every frame,
+        # RenderPass.cpp:919-1010).  One jitted call each; reading back
+        # a scalar output fences the whole computation.
+        from vri_tpu.ops import sdf as sdf_mod
+        from vri_tpu.ops import sdf_build
+        from vri_tpu.registry import bake_world
+
+        world = bake_world(scene)
+        centers = sdf_mod.default_centers(cfg.sdf, r._cascade_focus)
+
+        def build():
+            cas, st = sdf_build.build_for_scene(scene, world, centers,
+                                                cfg.sdf)
+            _ = np.asarray(cas.num_bricks)
+            return cas, st
+        build()                                    # warm / compile
+        t0 = time.time()
+        cas, st = build()
+        build_ms = (time.time() - t0 - 0.04) * 1e3
+
+        ni = scene.instance_transform.shape[0]
+        dirty_inst = np.zeros((ni,), bool)
+        dirty_inst[0] = True
+        dirty_tri = jnp.asarray(dirty_inst)[scene.tri_instance]
+        cap = 64
+        dlo = np.full((cap, 3), 3.0e38, np.float32)
+        dhi = np.full((cap, 3), -3.0e38, np.float32)
+        dlo[0] = dlo[1] = np.asarray(scene.instance_aabb_lo[0])
+        dhi[0] = dhi[1] = np.asarray(scene.instance_aabb_hi[0])
+
+        def update():
+            cas2, _, needs_full = sdf_build.update_for_scene(
+                cas, st, scene, world, dirty_tri, jnp.asarray(dlo),
+                jnp.asarray(dhi), cfg.sdf)
+            assert int(np.asarray(needs_full)) == 0
+            _ = np.asarray(cas2.num_bricks)
+        update()                                   # warm / compile
+        t0 = time.time()
+        update()
+        update_ms = (time.time() - t0 - 0.04) * 1e3
+        return build_ms, update_ms
+
     full = bench(HEIGHT, None)
     band = bench(136, (472, HEIGHT))
+    fullrate = bench_fullrate()
+    build_ms, update_ms = bench_sdf()
     return {"gi_1080p_ms": round(full, 1),
-            "gi_band135_ms": round(band, 1)}
+            "gi_band135_ms": round(band, 1),
+            "gi_fullrate_ms": round(fullrate, 1),
+            "sdf_build_ms": round(build_ms, 1),
+            "sdf_update_ms": round(update_ms, 1)}
 
 
 def main():

@@ -4,6 +4,11 @@ Times prefixes of render_frame_gi_temporal's body in-jit (data-dependent
 fori_loop, single scalar readback) so successive deltas attribute the
 frame to: visibility raster, G-buffer resolve, direct (shadow march),
 indirect (GI march + fetch), reprojection+temporal blend, composite.
+
+Note: the "full" prefix ends at the composite — it omits the
+pack_temporal / AOV-assembly tail that render_frame_gi_temporal also
+runs, so the final delta slightly under-attributes the real composite
+stage (measure the whole function with tools/prof_gi.py for the total).
 """
 import sys; sys.path.insert(0, "/root/repo")
 import time
@@ -34,8 +39,10 @@ def prefix(stage):
         world_verts = bake_world(scene)
         origins, dirs = raygen.camera_rays(fp.inv_view_proj, fp.eye, H, W)
         o = origins.reshape(-1, 3); d = dirs.reshape(-1, 3)
+        # variant="auto" so the profiled kernel is exactly the production
+        # dispatch (size-based: sorted work-list at 1080p full frames)
         hit = frame_mod._visibility_raster(scene, world_verts, fp, H, W,
-                                           variant="sorted", caps_scale=1)
+                                           variant="auto", caps_scale=1)
         if stage == "vis":
             return hit.tri[0] + hit.u[0]
         gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,

@@ -36,10 +36,23 @@ no pxr code is used):
 * TimeSamples: payload -> times ValueRep (8 B) + u64 offset of the values
   record (u64 count + count ValueReps).  A direct [count][reps] layout is
   also accepted on read.
+* Dictionary: payload -> u64 count, then per entry [u32 string index
+  (key)][i64 value-record size][value record].  The value record is a
+  single 8-byte ValueRep (its payload, when out-of-line, is an absolute
+  file offset like every other rep); the i64 size lets a reader skip
+  entries whose rep type it cannot decode.
+* ListOps (Token/String/Path/Int/Int64/UInt/UInt64/Reference/Payload):
+  payload -> u8 flag byte (1 = explicit, then presence bits for
+  explicitItems/added/prepended/appended/deleted/ordered), then each
+  present list as [u64 count][items].  Items: u32 token index (token),
+  u32 string index (string), u32 path index (path), raw ints, or — for
+  references — [u32 string index asset][u32 path index prim path,
+  0xFFFFFFFF = empty][f64 layer offset][f64 layer scale][inline
+  dictionary record customData]; payloads are the same minus customData.
 
-Anything outside the implemented set (dictionaries, payload/reference
-list-ops, unregistered values) surfaces as a structured warning on the
-stage — never a silent drop and never a parse abort.
+Anything outside the implemented set (unregistered values, variant
+selection maps) surfaces as a structured warning on the stage — never a
+silent drop and never a parse abort.
 """
 
 from __future__ import annotations
@@ -52,7 +65,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from vri_tpu.usd import usda as usda_mod
-from vri_tpu.usd.usda import AssetPath, Attribute, Prim, PrimPathRef
+from vri_tpu.usd.usda import (AssetPath, Attribute, Prim, PrimPathRef,
+                              Reference)
 
 log = logging.getLogger("vri_tpu")
 
@@ -123,6 +137,10 @@ class Ty:
     LayerOffsetVector = 49
     StringVector = 50
     ValueBlock = 51
+    Value = 52
+    UnregisteredValue = 53
+    UnregisteredValueListOp = 54
+    PayloadListOp = 55
 
 
 # numeric scalar/vector types: (numpy dtype, component count)
@@ -406,6 +424,23 @@ class CrateReader:
             return [self.tokens[int(self.strings[i])] for i in idx]
         if ty == Ty.TokenListOp:
             return self._unpack_token_list_op(payload)
+        if ty == Ty.StringListOp:
+            return self._unpack_list_op(payload, "string")
+        if ty == Ty.ReferenceListOp:
+            return self._unpack_list_op(payload, "reference")
+        if ty == Ty.PayloadListOp:
+            return self._unpack_list_op(payload, "payload")
+        if ty == Ty.IntListOp:
+            return self._unpack_list_op(payload, "int")
+        if ty == Ty.Int64ListOp:
+            return self._unpack_list_op(payload, "int64")
+        if ty == Ty.UIntListOp:
+            return self._unpack_list_op(payload, "uint")
+        if ty == Ty.UInt64ListOp:
+            return self._unpack_list_op(payload, "uint64")
+        if ty == Ty.Dictionary:
+            d, _ = self._read_dict_at(payload)
+            return d
         self.warnings.append(f"unsupported crate value type {ty}")
         return None
 
@@ -529,6 +564,37 @@ class CrateReader:
         idx = np.frombuffer(self.data, np.uint32, n, off)
         return [self.tokens[int(i)] for i in idx]
 
+    _LIST_INT = {"int": ("<i", 4), "uint": ("<I", 4),
+                 "int64": ("<q", 8), "uint64": ("<Q", 8)}
+
+    def _read_dict_at(self, off: int):
+        """Dictionary record at ``off`` -> (dict, offset past it).  Each
+        entry carries an i64 value-record size so unknown value types are
+        skipped, not fatal (mirrors pxr's recursive-skip design)."""
+        n, off = self._u64(off)
+        out: Dict[str, Any] = {}
+        if n > 1 << 20 or off + 16 * n > len(self.data):
+            self.warnings.append("dictionary record implausible; skipped")
+            return out, off
+        for _ in range(n):
+            (si,) = struct.unpack_from("<I", self.data, off)
+            (size,) = struct.unpack_from("<q", self.data, off + 4)
+            off += 12
+            key = (self.tokens[int(self.strings[si])]
+                   if si < len(self.strings) else None)
+            if size < 8 or off + size > len(self.data):
+                self.warnings.append(f"dictionary entry {key!r} malformed")
+                return out, off
+            (vrep,) = struct.unpack_from("<Q", self.data, off)
+            if key is not None:
+                out[key] = self.unpack(int(vrep))
+            off += size
+        return out, off
+
+    def _string_at(self, idx: int) -> str:
+        return (self.tokens[int(self.strings[idx])]
+                if idx < len(self.strings) else "")
+
     def _list_op_items(self, off: int, item: str):
         n, off = self._u64(off)
         out = []
@@ -537,6 +603,37 @@ class CrateReader:
                 (pi,) = struct.unpack_from("<I", self.data, off)
                 off += 4
                 out.append(self.paths[pi] if pi < len(self.paths) else None)
+            elif item == "string":
+                (si,) = struct.unpack_from("<I", self.data, off)
+                off += 4
+                out.append(self._string_at(si))
+            elif item in self._LIST_INT:
+                fmt, w = self._LIST_INT[item]
+                (v,) = struct.unpack_from(fmt, self.data, off)
+                off += w
+                out.append(int(v))
+            elif item in ("reference", "payload"):
+                si, pi = struct.unpack_from("<II", self.data, off)
+                l_off, l_scale = struct.unpack_from("<dd", self.data,
+                                                    off + 8)
+                off += 24
+                if item == "reference":
+                    custom, off = self._read_dict_at(off)
+                else:
+                    custom = {}
+                asset = self._string_at(si)
+                prim_path = (self.paths[pi]
+                             if pi < len(self.paths) else "") or ""
+                if l_off != 0.0 or l_scale != 1.0:
+                    self.warnings.append(
+                        f"layer offset ({l_off}, {l_scale}) on arc to "
+                        f"{asset or prim_path!r} ignored (not modeled)")
+                if asset:
+                    out.append(Reference(asset, prim_path))
+                elif prim_path:
+                    out.append(PrimPathRef(prim_path))
+                if custom:
+                    log.debug("crate: arc customData %s ignored", custom)
             else:  # token
                 (ti,) = struct.unpack_from("<I", self.data, off)
                 off += 4
@@ -571,6 +668,33 @@ def _list_op_targets(op) -> List[str]:
         if op.get(k):
             return [p for p in op[k] if p]
     return []
+
+
+def _is_list_op(v) -> bool:
+    return isinstance(v, dict) and "explicit" in v and not (
+        set(v) - {"explicit", "explicitItems", "added", "prepended",
+                  "appended", "deleted", "ordered"})
+
+
+def _list_op_effective(op: dict) -> List[Any]:
+    """Apply a decoded ListOp over an empty weaker list: explicitItems when
+    explicit, else prepended + added + appended with deleted removed —
+    the single-layer-stack evaluation SdfListOp::ApplyOperations does."""
+    if op.get("explicit"):
+        items = list(op.get("explicitItems") or [])
+    else:
+        items = (list(op.get("prepended") or []) + list(op.get("added") or [])
+                 + list(op.get("appended") or []))
+    deleted = op.get("deleted") or []
+    return [x for x in items if x is not None and x not in deleted]
+
+
+# prim-metadata keys that carry composition-arc list ops; decoded list-op
+# records become the plain ordered lists the Stage composer consumes
+_ARC_LIST_KEYS = ("references", "payload", "payloads", "inherits",
+                  "specializes", "inheritPaths", "specializesPaths")
+_ARC_KEY_ALIASES = {"inheritPaths": "inherits",
+                    "specializesPaths": "specializes"}
 
 
 def read_crate(path: str):
@@ -626,6 +750,11 @@ def read_crate(path: str):
             elif name == "primChildren" or name == "properties":
                 pass                     # ordering hints; tree has them
             elif v is not None:
+                if name in _ARC_LIST_KEYS and _is_list_op(v):
+                    v = _list_op_effective(v)
+                    if not v:
+                        continue
+                    name = _ARC_KEY_ALIASES.get(name, name)
                 prim.metadata[name] = v
 
     for s in prop_specs:
@@ -728,6 +857,8 @@ class CrateWriter:
         base = type_name.rstrip("[]").strip()
         is_array = type_name.endswith("[]")
         ty = _SDF_TO_TY.get(base)
+        if isinstance(value, dict):
+            return self.pack_dictionary(value)
         if isinstance(value, AssetPath):
             return _rep(Ty.AssetPath, self.tokens.add(value.path),
                         inlined=True)
@@ -853,6 +984,73 @@ class CrateWriter:
         for t in targets:
             blob += struct.pack("<I", self.paths.add(t))
         return _rep(Ty.PathListOp, self._write_payload(bytes(blob)))
+
+    # -- dictionaries / arc list ops ----------------------------------------
+
+    def _meta_rep(self, v) -> int:
+        """Generic (schema-less) metadata value -> ValueRep."""
+        if isinstance(v, dict):
+            return self.pack_dictionary(v)
+        if isinstance(v, AssetPath):
+            return _rep(Ty.AssetPath, self.tokens.add(v.path), inlined=True)
+        if isinstance(v, bool):
+            return _rep(Ty.Bool, int(v), inlined=True)
+        if isinstance(v, str):
+            return _rep(Ty.String, self._string_idx(v), inlined=True)
+        return self.pack_value(v, "")
+
+    def _dict_blob(self, d: dict) -> bytes:
+        """Dictionary record (see module docstring): nested value payloads
+        are written to the body first so every rep's offset is absolute."""
+        entries = []
+        for k, v in d.items():
+            entries.append((self._string_idx(str(k)), self._meta_rep(v)))
+        parts = [struct.pack("<Q", len(entries))]
+        for si, rep in entries:
+            parts.append(struct.pack("<IqQ", si, 8, rep))
+        return b"".join(parts)
+
+    def pack_dictionary(self, d: dict) -> int:
+        return _rep(Ty.Dictionary, self._write_payload(self._dict_blob(d)))
+
+    _LIST_MODE_BITS = {"explicitItems": 2, "added": 4, "prepended": 8,
+                       "appended": 16, "deleted": 32, "ordered": 64}
+
+    def _arc_item_blob(self, item, payload: bool) -> bytes:
+        if isinstance(item, Reference):
+            asset, prim_path = item.asset, item.prim_path
+        elif isinstance(item, AssetPath):
+            asset, prim_path = item.path, ""
+        elif isinstance(item, PrimPathRef):
+            asset, prim_path = "", item.path
+        else:
+            asset, prim_path = str(item), ""
+        si = self._string_idx(asset)
+        pi = self.paths.add(prim_path) if prim_path else 0xFFFFFFFF
+        blob = struct.pack("<IIdd", si, pi, 0.0, 1.0)   # identity offset
+        if not payload:
+            blob += struct.pack("<Q", 0)                # empty customData
+        return blob
+
+    def pack_reference_list_op(self, items, *, payload: bool = False,
+                               mode: str = "explicitItems") -> int:
+        """Reference/Payload list op.  ``items`` is either a flat list
+        (written under ``mode``, with explicit set for explicitItems) or a
+        {mode: items} dict for mixed prepend/append authoring."""
+        if not isinstance(items, dict):
+            items = {mode: list(items)}
+        flags = 1 if "explicitItems" in items else 0
+        for m in items:
+            flags |= self._LIST_MODE_BITS[m]
+        blob = bytearray([flags])
+        for m in self._LIST_MODE_BITS:                  # canonical order
+            if m not in items:
+                continue
+            blob += struct.pack("<Q", len(items[m]))
+            for it in items[m]:
+                blob += self._arc_item_blob(it, payload)
+        ty = Ty.PayloadListOp if payload else Ty.ReferenceListOp
+        return _rep(ty, self._write_payload(bytes(blob)))
 
     # -- structure ----------------------------------------------------------
 
@@ -1081,8 +1279,22 @@ def write_crate(stage, path: str) -> None:
                                  inlined=True)))
         for k, v in prim.metadata.items():
             try:
-                fields.append(w.add_field(k, w.pack_value(
-                    v, "token" if isinstance(v, str) else "")))
+                if k in ("references", "payload", "payloads"):
+                    lst = v if isinstance(v, (list, dict)) else [v]
+                    rep = w.pack_reference_list_op(
+                        lst, payload=k.startswith("payload"))
+                    k = "payload" if k.startswith("payload") else k
+                elif k in ("inherits", "specializes"):
+                    lst = v if isinstance(v, list) else [v]
+                    rep = w.pack_path_list_op(
+                        [getattr(t, "path", None) or str(t) for t in lst])
+                    k = "inheritPaths" if k == "inherits" else k
+                elif isinstance(v, dict):
+                    rep = w.pack_dictionary(v)
+                else:
+                    rep = w.pack_value(
+                        v, "token" if isinstance(v, str) else "")
+                fields.append(w.add_field(k, rep))
             except CrateError:
                 log.debug("crate write: dropping prim metadata %s on %s",
                           k, p)
