@@ -127,3 +127,129 @@ def render_frame_tiled(scene: SceneBuffers, frame: FrameParams, cascades,
     )(scene, frame, cascades, key)
     return {"color": color, "depth": depth, "instance_id": inst,
             "stats": stats}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "height", "width", "config",
+                                    "samples", "backend", "use_cache",
+                                    "gi_scale", "history_cap",
+                                    "halo_rows"))
+def render_frame_tiled_temporal(scene: SceneBuffers, frame: FrameParams,
+                                cascades, key, state, *, mesh: Mesh,
+                                height: int, width: int, config: SDFConfig,
+                                samples: int = 1, backend: str = "raster",
+                                use_cache: bool = True, gi_scale: int = 1,
+                                history_cap: float = 16.0,
+                                halo_rows: int = 2):
+    """Row-sharded production GI frame WITH temporally reprojected history
+    and a CROSS-BAND HISTORY HALO (VERDICT r3 #5).
+
+    The single-chip band path restarts accumulation for any reprojection
+    landing outside the chip's row band (passes/frame.py band mode) — on
+    a v5e-8 every vertical pan re-noises 8 horizontal seams per frame.
+    Here each device's GI-resolution history band is extended by
+    ``halo_rows`` ghost rows ppermute'd from its ring neighbors before
+    the reprojection taps run (``halo.exchange_halo_fill``, fill 0 ->
+    the ghost row beyond the frame border carries count 0, which the tap
+    validation already rejects), so reprojections crossing a band border
+    by up to ``halo_rows`` GI rows blend exactly as the single-chip
+    full-frame path does.  Wire cost: 2 * halo_rows * (W/s) * 8 floats
+    per device pair per frame (at 1080p / s=2: 30 KB — noise on ICI).
+
+    ``state`` is a :class:`passes.frame.TemporalState` whose ``data`` is
+    row-sharded over the mesh (``init_temporal(height//..., ...)``
+    placed with ``jax.device_put``); returns (aovs dict, new state with
+    the same sharding).  Shading mirrors render_frame_gi_temporal
+    (passes/frame.py) — keep the two in sync.
+    """
+    (axis_name,) = mesh.axis_names
+    n_dev = mesh.shape[axis_name]
+    assert height % n_dev == 0, f"height {height} % devices {n_dev} != 0"
+    band_h = height // n_dev
+    s = gi_scale
+    assert band_h % s == 0 and width % s == 0
+    hs, ws = band_h // s, width // s
+    hs_full = height // s
+    h = halo_rows
+    from vri_tpu.ops import intersect
+    from vri_tpu.parallel import halo as halo_mod
+
+    def shard_fn(scene, frame, cascades, key, hist_data, prev_vp, prev_eye):
+        dev = jax.lax.axis_index(axis_name)
+        y0f = (dev * band_h).astype(jnp.float32)
+        world = bake_world(scene)
+        origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
+                                           band_h, width, y0=y0f,
+                                           proj_height=height)
+        o = origins.reshape(-1, 3)
+        d = dirs.reshape(-1, 3)
+        if backend == "raster":
+            from vri_tpu.ops import rasterize as raster_mod
+
+            hit, _ = raster_mod.rasterize_binned(
+                world, scene.tri_vertices, scene.num_faces,
+                frame.view_proj, height=band_h, width=width,
+                proj_height=height, y_offset=y0f,
+                cull_sign=frame_mod._cull_sign(scene))
+        else:
+            v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
+            hit = trace_brute(o, d, v0, e1, e2, scene.num_faces,
+                              cull_sign=frame_mod._cull_sign(scene))
+        gb = shading.resolve_gbuffer(scene, world, hit, o, d,
+                                     pixel_spread=frame.pixel_spread)
+        t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
+        gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
+        direct = frame_mod._direct_lighting(gb, scene, cascades, config,
+                                            band_h, width)
+        dev_key = jax.random.fold_in(key, dev)
+        if s > 1:
+            sub, valid_s = frame_mod._subsample_pn(gb, band_h, width, s)
+        else:
+            sub, valid_s = gb, gb.valid
+        ind = gi_mod.indirect_radiance(sub, scene, cascades, dev_key,
+                                       config=config, samples=samples,
+                                       use_cache=use_cache)
+        # -- cross-band history halo + reprojection ----------------------
+        ext = halo_mod.exchange_halo_fill(
+            hist_data.reshape(hs, ws * 8), h, axis_name, 0.0)
+        ext_state = frame_mod.TemporalState(
+            data=ext.reshape((hs + 2 * h) * ws, 8),
+            view_proj=prev_vp, eye=prev_eye)
+        y0_gi = (dev * hs).astype(jnp.float32) - h
+        h_ind, h_count = frame_mod._reproject(
+            ext_state, sub.position, sub.normal, valid_s,
+            hs + 2 * h, ws, y0=y0_gi, proj_height=hs_full, query_y0=h)
+        count = jnp.minimum(h_count, history_cap) + 1.0
+        ind_blend_s = h_ind + (ind - h_ind) / count[:, None]
+        t_s = jnp.linalg.norm(sub.position - frame.eye[None, :], axis=-1)
+        n_s = sub.normal
+        if s > 1:
+            ind_blend = frame_mod._upsample(ind_blend_s, hs, ws, s)
+            count_full = frame_mod._upsample(count, hs, ws, s)
+        else:
+            ind_blend, count_full = ind_blend_s, count
+        new_data = jnp.concatenate(
+            [ind_blend_s, t_s[:, None], n_s, count[:, None]], axis=1)
+
+        color = gb.emissive + gb.albedo * (direct + ind_blend)
+        color = jnp.where(gb.valid[:, None], color, 0.0)
+        rays = jnp.asarray(o.shape[0], jnp.float32)
+        hits = gb.valid.sum().astype(jnp.float32)
+        stats = jax.lax.psum(jnp.stack([rays, hits]), axis_name)
+        return (color.reshape(band_h, width, 3),
+                gb.depth.reshape(band_h, width),
+                count_full.reshape(band_h, width),
+                new_data, stats)
+
+    color, depth, hist_plane, new_data, stats = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name),
+                   P(axis_name), P()),
+        check_vma=False,
+    )(scene, frame, cascades, key, state.data, state.view_proj, state.eye)
+    new_state = frame_mod.TemporalState(data=new_data,
+                                        view_proj=frame.view_proj,
+                                        eye=frame.eye)
+    return ({"color": color, "depth": depth, "gi_history": hist_plane,
+             "stats": stats}, new_state)

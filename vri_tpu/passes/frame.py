@@ -426,7 +426,7 @@ def pack_temporal(indirect, depth, normal, count, view_proj, eye
 
 def _reproject(state: TemporalState, position, normal, valid, height: int,
                width: int, depth_tol: float = 0.02, y0: int = 0,
-               proj_height: int | None = None):
+               proj_height: int | None = None, query_y0=0):
     """Sample the history at each pixel's position reprojected through the
     previous frame's camera; disocclusions (depth mismatch, normal flip —
     which also rejects the thin-wall front/back aliasing a depth test alone
@@ -454,10 +454,13 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
     fx = (px - x0.astype(jnp.float32))[:, None]
     fy = (py - y0i.astype(jnp.float32))[:, None]
 
-    # velocity: reprojected position vs this pixel's own coordinates
+    # velocity: reprojected position vs this pixel's own coordinates.
+    # ``query_y0`` places the query rows inside the (possibly
+    # halo-extended) history coordinate frame: the queries are rows
+    # [query_y0, query_y0 + rows) of the ``height``-row history.
     n = position.shape[0]
     own_x = (jnp.arange(n, dtype=jnp.float32) % width)
-    own_y = jnp.floor(jnp.arange(n, dtype=jnp.float32) / width)
+    own_y = jnp.floor(jnp.arange(n, dtype=jnp.float32) / width) + query_y0
     vel = jnp.sqrt((px - own_x) ** 2 + (py - own_y) ** 2)
     tol = depth_tol * (1.0 + 0.25 * jnp.minimum(vel, 8.0))
 
