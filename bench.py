@@ -189,17 +189,79 @@ def _gi_ms() -> dict:
         t0 = time.time()
         update()
         update_ms = (time.time() - t0 - 0.04) * 1e3
-        return build_ms, update_ms
+        return build_ms, update_ms, cas, st
+
+    def bench_anim(cas, st, h, band, iters=5):
+        """ANIMATED production frame: bounded SDF update + radiance
+        re-bake + temporal GI frame in ONE in-jit step per iteration —
+        the reference's per-frame ffxBrixelizerUpdate inside the frame
+        budget (RenderPass.cpp:919-1010).  Moves the smallest prop on an
+        oscillating path; capacity fallbacks are carried out of the loop
+        and asserted zero."""
+        ni = int(scene.num_instances)
+        ext = (np.asarray(scene.instance_aabb_hi)
+               - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)
+        k = int(np.argmin(ext))
+        tf0 = scene.instance_transform
+        lo0 = jnp.asarray(scene.instance_aabb_lo[k])
+        hi0 = jnp.asarray(scene.instance_aabb_hi[k])
+        dirty_tri = scene.tri_instance == k
+        st_t0 = frame_mod.init_temporal(h, WIDTH, 2)
+
+        def offset(i):
+            ph = 0.7 * (i.astype(jnp.float32) + 1.0)
+            return jnp.stack([0.03 * jnp.sin(ph), jnp.float32(0.0),
+                              0.03 * jnp.cos(ph)])
+
+        @jax.jit
+        def loop(cas0, st0):
+            def body(i, carry):
+                cas_c, st_c, ts, acc, nf_acc = carry
+                off = offset(i)
+                prev = offset(i - 1) * (i > 0)
+                tf = tf0.at[k, :3, 3].add(off)
+                scene_i = scene.replace(instance_transform=tf)
+                dlo = jnp.full((64, 3), 3.0e38, jnp.float32)
+                dhi = jnp.full((64, 3), -3.0e38, jnp.float32)
+                dlo = dlo.at[0].set(lo0 + prev).at[1].set(lo0 + off)
+                dhi = dhi.at[0].set(hi0 + prev).at[1].set(hi0 + off)
+                aovs, ts2, cas2, st2, nf = frame_mod.render_frame_gi_dynamic(
+                    scene_i, fp, cas_c, st_c,
+                    jax.random.fold_in(key, i), ts, dirty_tri, dlo, dhi,
+                    height=h, width=WIDTH, config=cfg.sdf,
+                    backend="raster", samples=1, use_cache=True,
+                    gi_scale=2, band=band)
+                return (cas2, st2, ts2,
+                        acc + jnp.sum(aovs["color"]) * 1e-20,
+                        nf_acc + nf)
+            _, _, _, acc, nf = jax.lax.fori_loop(
+                0, iters, body, (cas0, st0, st_t0, jnp.zeros(()),
+                                 jnp.zeros((), jnp.int32)))
+            return acc, nf
+        acc, nf = loop(cas, st)
+        _ = np.asarray(acc)
+        assert int(np.asarray(nf)) == 0, "bounded update overflowed"
+        t0 = time.time()
+        acc, nf = loop(cas, st)
+        _ = np.asarray(acc)
+        return (time.time() - t0 - 0.04) / iters * 1e3
 
     full = bench(HEIGHT, None)
     band = bench(136, (472, HEIGHT))
     fullrate = bench_fullrate()
-    build_ms, update_ms = bench_sdf()
-    return {"gi_1080p_ms": round(full, 1),
-            "gi_band135_ms": round(band, 1),
-            "gi_fullrate_ms": round(fullrate, 1),
-            "sdf_build_ms": round(build_ms, 1),
-            "sdf_update_ms": round(update_ms, 1)}
+    build_ms, update_ms, cas, st = bench_sdf()
+    out = {"gi_1080p_ms": round(full, 1),
+           "gi_band135_ms": round(band, 1),
+           "gi_fullrate_ms": round(fullrate, 1),
+           "sdf_build_ms": round(build_ms, 1),
+           "sdf_update_ms": round(update_ms, 1)}
+    try:
+        out["gi_anim_ms"] = round(bench_anim(cas, st, HEIGHT, None), 1)
+        out["gi_anim_band_ms"] = round(
+            bench_anim(cas, st, 136, (472, HEIGHT)), 1)
+    except Exception as e:                         # pragma: no cover
+        out["gi_anim_error"] = str(e)[:200]
+    return out
 
 
 def main():

@@ -188,6 +188,10 @@ class TestTemporalHalo:
         st_t = frame_mod.init_temporal(h, w, 1)
         for cam in cams:
             fp = FrameParams.from_camera(cam, h)
+            # samples=0 = the deterministic zero-indirect tier (ops/gi.py):
+            # per-band noise shapes cannot match the full frame's, so the
+            # cross-layout parity runs the bounce-free pipeline (the
+            # reprojection taps, validation and counts are all still real)
             tiled, st_t = tiling.render_frame_tiled_temporal(
                 r.scene, fp, cas, key, st_t, mesh=mesh8, height=h,
                 width=w, config=TINY, backend="brute", samples=0,
@@ -203,8 +207,9 @@ class TestTemporalHalo:
         for row in border_rows:
             assert (ht[row] >= 2.0).mean() > 0.5, \
                 f"history restarted at band border row {row}"
-        np.testing.assert_allclose(np.asarray(tiled["color"]),
-                                   np.asarray(single["color"]),
+        ct = np.asarray(tiled["color"])
+        assert np.isfinite(ct).all()
+        np.testing.assert_allclose(ct, np.asarray(single["color"]),
                                    rtol=1e-4, atol=1e-4)
 
     def test_history_state_stays_sharded(self, mesh8):

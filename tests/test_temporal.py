@@ -135,3 +135,121 @@ class TestTemporal:
         assert both.mean() > 0.3
         rmse = float(np.sqrt(((cs - cp) ** 2)[both].mean()))
         assert rmse < 0.12, rmse
+
+
+class TestDynamicFrame:
+    """Animated-stage production frame (VERDICT r3 #4): the bounded SDF
+    update + radiance re-bake run INSIDE the frame step, as the reference
+    runs ffxBrixelizerBakeUpdate in every frame's command buffer
+    (Source/RenderPass.cpp:919-1010)."""
+
+    def test_dynamic_step_matches_full_rebuild(self, renderer):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        from vri_tpu.ops import sdf, sdf_build
+        from vri_tpu.passes import frame as frame_mod
+        from vri_tpu.registry import bake_world
+
+        scene = renderer.scene
+        cfg = dataclasses.replace(renderer.config.sdf, update_cell_cap=4096,
+                                  update_brick_cap=8192,
+                                  update_tri_cap=4096)
+        h, w = renderer.config.height, renderer.config.width
+        world0 = bake_world(scene)
+        centers = sdf.default_centers(cfg, jnp.zeros(3))
+        cas0, st0 = sdf_build.build_for_scene(scene, world0, centers, cfg)
+
+        # move the smallest instance by a translation
+        ni = int(scene.num_instances)
+        ext = (np.asarray(scene.instance_aabb_hi)
+               - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)
+        k = int(np.argmin(ext))
+        off = np.asarray([0.15, 0.0, 0.1], np.float32)
+        tf = np.asarray(scene.instance_transform).copy()
+        tf[k, :3, 3] += off
+        scene1 = scene.replace(instance_transform=jnp.asarray(tf))
+        dirty_tri = jnp.asarray(np.asarray(scene.tri_instance) == k)
+        lo = np.asarray(scene.instance_aabb_lo[k])
+        hi = np.asarray(scene.instance_aabb_hi[k])
+        dlo = np.full((4, 3), 3.0e38, np.float32)
+        dhi = np.full((4, 3), -3.0e38, np.float32)
+        dlo[0], dhi[0] = lo, hi
+        dlo[1], dhi[1] = lo + off, hi + off
+
+        fp = frame_mod.FrameParams.from_camera(renderer.camera, h)
+        key = jax.random.PRNGKey(3)
+        ts = frame_mod.init_temporal(h, w, 1)
+
+        aovs_d, _, cas_d, st_d, needs_full = frame_mod.render_frame_gi_dynamic(
+            scene1, fp, cas0, st0, key, ts, dirty_tri,
+            jnp.asarray(dlo), jnp.asarray(dhi), height=h, width=w,
+            config=cfg, backend="brute", samples=1, use_cache=True)
+        assert int(needs_full) == 0
+
+        # reference: full rebuild at the new transforms + bake + frame
+        world1 = bake_world(scene1)
+        cas_ref, st_ref = sdf_build.build_for_scene(scene1, world1,
+                                                    centers, cfg)
+        cas_ref = sdf.bake_brick_lighting(cas_ref, scene1, config=cfg,
+                                          alive=st_ref.alive)
+        aovs_r, _ = frame_mod.render_frame_gi_temporal(
+            scene1, fp, cas_ref, key, ts, height=h, width=w, config=cfg,
+            backend="brute", samples=1, use_cache=True)
+        cd = np.asarray(aovs_d["color"])
+        cr = np.asarray(aovs_r["color"])
+        assert np.isfinite(cd).all()
+        np.testing.assert_allclose(cd, cr, rtol=1e-3, atol=2e-3)
+
+    def test_dynamic_loop_runs(self, renderer):
+        """Three animated frames through the jitted step (stable shapes,
+        history carried, zero capacity fallbacks)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        from vri_tpu.ops import sdf, sdf_build
+        from vri_tpu.passes import frame as frame_mod
+        from vri_tpu.registry import bake_world
+
+        scene = renderer.scene
+        cfg = dataclasses.replace(renderer.config.sdf, update_cell_cap=4096,
+                                  update_brick_cap=8192,
+                                  update_tri_cap=4096)
+        h, w = renderer.config.height, renderer.config.width
+        centers = sdf.default_centers(cfg, jnp.zeros(3))
+        cas, st = sdf_build.build_for_scene(scene, bake_world(scene),
+                                            centers, cfg)
+        ni = int(scene.num_instances)
+        ext = (np.asarray(scene.instance_aabb_hi)
+               - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)
+        k = int(np.argmin(ext))
+        tf0 = np.asarray(scene.instance_transform).copy()
+        lo = np.asarray(scene.instance_aabb_lo[k])
+        hi = np.asarray(scene.instance_aabb_hi[k])
+        dirty_tri = jnp.asarray(np.asarray(scene.tri_instance) == k)
+        fp = frame_mod.FrameParams.from_camera(renderer.camera, h)
+        ts = frame_mod.init_temporal(h, w, 1)
+        prev_off = np.zeros(3, np.float32)
+        for i in range(3):
+            off = np.asarray([0.05 * (i + 1), 0.0, 0.0], np.float32)
+            tf = tf0.copy()
+            tf[k, :3, 3] += off
+            scene_i = scene.replace(instance_transform=jnp.asarray(tf))
+            dlo = np.full((4, 3), 3.0e38, np.float32)
+            dhi = np.full((4, 3), -3.0e38, np.float32)
+            dlo[0], dhi[0] = lo + prev_off, hi + prev_off
+            dlo[1], dhi[1] = lo + off, hi + off
+            aovs, ts, cas, st, nf = frame_mod.render_frame_gi_dynamic(
+                scene_i, fp, cas, st, jax.random.PRNGKey(i), ts,
+                dirty_tri, jnp.asarray(dlo), jnp.asarray(dhi),
+                height=h, width=w, config=cfg, backend="brute",
+                samples=1, use_cache=True)
+            assert int(nf) == 0
+            prev_off = off
+        hist = np.asarray(aovs["gi_history"])
+        hit = np.asarray(aovs["depth"]) < 1e9
+        # static camera: history accumulates everywhere except around the
+        # moving box (disocclusion resets are correct behavior there)
+        assert (hist[hit] >= 2.0).mean() > 0.5

@@ -200,6 +200,11 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
     """Incoming 1-bounce diffuse irradiance estimate (N, 3)."""
     gi_steps = gi_steps or config.gi_steps
     n = gb.position.shape[0]
+    if samples <= 0:
+        # deterministic direct-only tier (lightloop early-outs before the
+        # bounce for samples=0; callers composing indirect themselves get
+        # zeros, NOT the 0/0 NaN the mean below would produce)
+        return jnp.zeros((n, 3))
     bias = surface_bias(gb.position, cascades, config)[:, None]
     gi_range = (cascades.voxel_size[-1] * config.cascade_resolution
                 * config.gi_range_factor)

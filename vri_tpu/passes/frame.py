@@ -602,6 +602,59 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
     return aovs, new_state
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "config",
+                                             "backend", "samples",
+                                             "use_cache", "gi_scale",
+                                             "history_cap", "band",
+                                             "lod_tau", "rebake"))
+def render_frame_gi_dynamic(scene: SceneBuffers, frame: FrameParams,
+                            cascades, build_state, key,
+                            state: TemporalState, dirty_tri, dirty_lo,
+                            dirty_hi, *, height: int, width: int, config,
+                            backend: str = "raster", samples: int = 1,
+                            use_cache: bool = False, gi_scale: int = 1,
+                            history_cap: float = 16.0, band=None,
+                            lod_tau: float = 0.75, rebake: bool = True):
+    """One ANIMATED production frame: bounded SDF cascade update + radiance
+    re-bake + temporal GI frame, all inside one jit — the analog of the
+    reference running ``ffxBrixelizerBakeUpdate``/``Update`` inside every
+    frame's command buffer before its passes (Source/RenderPass.cpp:
+    919-1010): acceleration-structure maintenance is part of the frame
+    budget, not an offline step.
+
+    ``scene`` already carries this frame's animated transforms (the
+    caller replaces ``instance_transform``); ``dirty_tri`` (F,) marks the
+    moved triangles and ``dirty_lo/hi`` (D, 3) cover their old AND new
+    world AABBs (pad unused rows +BIG/-BIG).  ``rebake=False`` skips the
+    whole-atlas radiance re-bake (valid when lighting-relevant geometry
+    did not move; the bounded update itself refreshes the dirty bricks'
+    payloads).  Returns (aovs, new_temporal, new_cascades, new_state,
+    needs_full) — ``needs_full`` nonzero means a capacity was exceeded
+    and the caller must fall back to a full rebuild (the renderer's
+    escalation ladder does this on the host path, renderer.py).
+    """
+    from vri_tpu.ops import sdf as sdf_mod
+    from vri_tpu.ops import sdf_build
+
+    world_verts = bake_world(scene)
+    mat = scene.instance_material[scene.tri_instance]
+    cascades, build_state, needs_full = sdf_build.update_cascades(
+        cascades, build_state, world_verts, scene.tri_vertices,
+        scene.num_faces, dirty_tri, dirty_lo, dirty_hi,
+        tri_albedo=scene.mat_base_color[mat],
+        tri_emissive=scene.mat_emissive[mat], config=config)
+    if rebake:
+        cascades = sdf_mod.bake_brick_lighting(cascades, scene,
+                                               config=config,
+                                               alive=build_state.alive)
+    aovs, new_state = render_frame_gi_temporal(
+        scene, frame, cascades, key, state, height=height, width=width,
+        config=config, backend=backend, samples=samples,
+        use_cache=use_cache, gi_scale=gi_scale, history_cap=history_cap,
+        band=band, lod_tau=lod_tau)
+    return aovs, new_state, cascades, build_state, needs_full
+
+
 def render_to_numpy(scene: SceneBuffers, camera: CameraState,
                     config: RenderConfig, mode: int = DebugMode.NONE,
                     shadows: bool = True,
