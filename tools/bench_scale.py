@@ -1,0 +1,112 @@
+"""Beyond-bench-scale measurement (VERDICT r3 #6): the city stress stage
+at ~1.3M instanced triangles / 4500 instances (vs the reference's 4096
+draw-item bindless ceiling, Source/ResourceRegistry.cpp:25-34).
+
+Measures, in-jit (fenced single readback, full HitRecord consumed):
+  1. sorted-raster visibility frame ms, full-rate geometry (lod_tau=0)
+  2. the same with discrete LOD selection (lod_tau=0.75)
+  3. scene HBM bytes (stored-prototype pools vs instanced counts)
+  4. SDF cascade build at an outdoor preset: bricks, overflow counts
+Results table goes to BASELINE.md.
+"""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+import jax.numpy as jnp
+
+from vri_tpu.config import RenderConfig, SceneLimits, SDFConfig
+from vri_tpu.hydra.delegate import RenderDelegate
+from vri_tpu.passes import frame as frame_mod
+from vri_tpu.registry import bake_world
+from vri_tpu.usd import scenes
+
+H, W = 1080, 1920
+ITERS = 10
+
+print("authoring city (4500 towers, tess=5)...", flush=True)
+t0 = time.time()
+stage = scenes.city_stress(num_buildings=4500, tess=5, num_protos=24)
+lim = SceneLimits(max_instances=8192, max_vertices=1 << 21,
+                  max_faces=1 << 21)
+cfg = RenderConfig(width=W, height=H, limits=lim, lod_tau=0.75)
+d = RenderDelegate(cfg)
+d.populate(stage)
+scene = d.sync()
+world = bake_world(scene)
+print(f"sync {time.time()-t0:.1f}s: {int(scene.num_instances)} instances, "
+      f"{int(scene.num_faces)} instanced faces, "
+      f"{scene.positions.shape[0]} stored verts", flush=True)
+hbm = sum(int(np.prod(getattr(scene, k).shape))
+          * getattr(scene, k).dtype.itemsize
+          for k in scene.__dataclass_fields__
+          if isinstance(getattr(scene, k), jnp.ndarray))
+print(f"scene device bytes: {hbm/1e6:.1f} MB", flush=True)
+
+fp = frame_mod.FrameParams.from_camera(d.camera, H)
+
+
+def bench_raster(lod_tau, label):
+    def one(v):
+        fpv = fp.replace(view_proj=v)
+        hit = frame_mod._visibility_raster(scene, world, fpv, H, W,
+                                           caps_scale=2, lod_tau=lod_tau)
+        s = (jnp.sum(hit.u) + jnp.sum(hit.v)
+             + jnp.sum(hit.tri.astype(jnp.float32))
+             + jnp.sum(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)))
+        return s, hit.overflow
+
+    @jax.jit
+    def loop(v0):
+        def body(i, carry):
+            v, ov = carry
+            s, o = one(v)
+            return v + jnp.tanh(s * 1e-20) * 1e-20, ov + o
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (v0, jnp.zeros((), jnp.int32)))
+
+    v0 = jnp.asarray(fp.view_proj)
+    out = loop(v0)
+    _ = np.asarray(out[0])
+    over = int(np.asarray(out[1]))
+    t0 = time.time()
+    out = loop(v0)
+    _ = np.asarray(out[0])
+    per = (time.time() - t0 - 0.04) / ITERS * 1e3
+    mrays = H * W / per / 1e3
+    print(f"{label}: {per:.1f} ms ({mrays/1e3:.1f} Mrays/s), "
+          f"overflow tiles {over}", flush=True)
+    return per
+
+
+bench_raster(0.0, "raster full-rate (lod_tau=0) ")
+bench_raster(0.75, "raster with LOD (lod_tau=.75)")
+
+# SDF build at an outdoor scale preset
+from vri_tpu.ops import sdf, sdf_build
+
+sdf_cfg = SDFConfig(num_cascades=6, cascade_resolution=64,
+                    base_voxel_size=0.5, max_bricks=1 << 17,
+                    truncation_voxels=2.0, max_triangles_per_brick=24,
+                    march_max_steps=96)
+centers = sdf.default_centers(sdf_cfg, jnp.zeros(3))
+
+
+def build():
+    cas, st = sdf_build.build_for_scene(scene, world, centers, sdf_cfg)
+    _ = np.asarray(cas.num_bricks)
+    return cas
+
+
+t0 = time.time()
+cas = build()
+print(f"SDF build compile+run {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+cas = build()
+print(f"SDF build steady: {(time.time()-t0-0.04)*1e3:.0f} ms, "
+      f"bricks {int(cas.num_bricks)}/{sdf_cfg.max_bricks}, "
+      f"list overflow {int(cas.overflow)}, near-drop {int(cas.near_drop)}",
+      flush=True)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from vri_tpu.usd.stage import Stage
-from vri_tpu.usd.usda import Prim, PrimPathRef
+from vri_tpu.usd.usda import Attribute, Prim, PrimPathRef
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +288,102 @@ def kitchen_stress(num_objects: int = 256, seed: int = 7,
     _author_light(stage, "/World/CeilingLight",
                   position=(0.0, room * 0.46, 0.0),
                   color=(1.0, 0.95, 0.8), intensity=18.0)
+    stage._reindex()
+    return stage
+
+
+def city_stress(num_buildings: int = 1024, seed: int = 11,
+                num_materials: int = 32, tess: int = 10,
+                num_protos: int = 16, share_protos: bool = True) -> Stage:
+    """Beyond-bench-scale stress stage (VERDICT r3 #6): an aerial city of
+    ``num_buildings`` tessellated towers on a ground plane.
+
+    With ``share_protos`` each building's mesh is one of ``num_protos``
+    PROTOTYPE boxes (identical point data; per-building size comes from
+    ``xformOp:scale``), so the registry's content-hash prototype pooling
+    stores only the prototypes while the *instanced* triangle count is
+    ``num_buildings * 6 * tess^2 * 2`` (defaults: ~1.23M instanced tris
+    from ~19k stored) — the scale regime where the reference's 4096
+    bindless-table ceiling (Source/ResourceRegistry.cpp:25-34) breaks
+    and per-instance LOD selection has room to act.  ``share_protos=
+    False`` authors every tower as a unique mesh (the HBM-heavy
+    full-rate contrast).
+    """
+    rng = np.random.default_rng(seed)
+    stage = Stage(Prim(name=""), {"defaultPrim": "World", "metersPerUnit": 1})
+    stage.define_prim("/World", "Xform")
+
+    for i in range(num_materials):
+        col = 0.2 + 0.7 * rng.random(3)
+        _author_material(stage, f"/World/Materials/M{i:03d}", tuple(col))
+
+    side = int(np.ceil(np.sqrt(num_buildings)))
+    pitch = 4.0
+    extent = side * pitch
+    # ground plane (two triangles; the city floor)
+    g = extent * 0.55
+    pts, counts, idx, st = quad_mesh((-g, 0, -g), (g, 0, -g),
+                                     (g, 0, g), (-g, 0, g))
+    _author_mesh(stage, "/World/Ground", pts, counts, idx, st,
+                 material="/World/Materials/M000")
+
+    # per-instance layout (deterministic)
+    base_all = np.zeros((num_buildings, 3), np.float32)
+    size_all = np.zeros((num_buildings, 3), np.float32)
+    for i in range(num_buildings):
+        gx, gz = i % side, i // side
+        base_all[i] = [(gx + 0.5 - side / 2) * pitch, 0.0,
+                       (gz + 0.5 - side / 2) * pitch]
+        base_all[i, [0, 2]] += (rng.random(2) - 0.5) * pitch * 0.3
+        size_all[i] = [0.8 + rng.random() * 2.0,
+                       2.0 + rng.random() * 14.0,
+                       0.8 + rng.random() * 2.0]
+
+    if share_protos:
+        # USD PointInstancer: the delegate flattens it per instance but
+        # the registry packs each prototype's geometry ONCE (proto keys)
+        pi = stage.define_prim("/World/CityPI", "PointInstancer")
+        proto_paths = []
+        for k in range(max(1, num_protos)):
+            pts, counts, idx, st = box_mesh((1.0, 1.0, 1.0),
+                                            (0.0, 0.5, 0.0), tess=tess)
+            p = f"/World/CityPI/Protos/P{k:02d}"
+            _author_mesh(stage, p, pts, counts, idx, st,
+                         material=f"/World/Materials/"
+                                  f"M{k % num_materials:03d}")
+            proto_paths.append(p)
+        rel = Attribute(name="prototypes", type_name="rel",
+                        value=[PrimPathRef(p) for p in proto_paths])
+        pi.attributes["prototypes"] = rel
+        stage.set_attr(pi, "positions", "point3f[]", base_all)
+        stage.set_attr(pi, "protoIndices", "int[]",
+                       (np.arange(num_buildings) % max(1, num_protos))
+                       .astype(np.int64))
+        stage.set_attr(pi, "scales", "float3[]", size_all)
+    else:
+        for i in range(num_buildings):
+            pts, counts, idx, st = box_mesh(
+                (float(size_all[i, 0]), 1.0, float(size_all[i, 2])),
+                (0.0, 0.5, 0.0), tess=tess)
+            prim = _author_mesh(
+                stage, f"/World/Blocks/B{i:05d}", pts, counts, idx, st,
+                material=f"/World/Materials/M{i % num_materials:03d}")
+            stage.set_attr(prim, "xformOp:translate", "float3",
+                           base_all[i])
+            stage.set_attr(prim, "xformOp:scale", "float3",
+                           np.array([1.0, size_all[i, 1], 1.0],
+                                    np.float32))
+            stage.set_attr(prim, "xformOpOrder", "token[]",
+                           ["xformOp:translate", "xformOp:scale"],
+                           uniform=True)
+
+    _author_camera(stage, "/World/Camera",
+                   eye=(extent * 0.35, extent * 0.22, extent * 0.35),
+                   target=(0.0, 4.0, 0.0), fov_deg=55.0,
+                   far=float(extent * 4.0))
+    _author_light(stage, "/World/Sun",
+                  position=(extent * 0.3, extent * 0.8, -extent * 0.2),
+                  color=(1.0, 0.97, 0.9), intensity=float(extent * extent))
     stage._reindex()
     return stage
 
