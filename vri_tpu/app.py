@@ -22,7 +22,7 @@ def parse_args(argv=None):
     p.add_argument("--stage", help="path to a .usda stage; omit for a "
                                    "built-in scene")
     p.add_argument("--builtin", default="cornell",
-                   choices=["cornell", "kitchen", "animated"],
+                   choices=["cornell", "kitchen", "animated", "city"],
                    help="procedural scene when --stage is not given")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
@@ -94,7 +94,8 @@ def main(argv=None) -> int:
     else:
         builder = {"cornell": scenes.cornell_box,
                    "kitchen": scenes.kitchen_stress,
-                   "animated": scenes.animated_stage}[args.builtin]
+                   "animated": scenes.animated_stage,
+                   "city": scenes.city_stress}[args.builtin]
         with profiler.span("build_stage", log_ms=True):
             renderer.load_stage(builder())
     if args.cache and not os.path.exists(args.cache):
