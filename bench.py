@@ -21,6 +21,10 @@ import json
 import sys
 import time
 
+
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 import jax
 
 # Persist compiles (the axon tunnel recompiles are minutes); TPU-only — CPU
@@ -51,6 +55,7 @@ def _raster_ms(tess: int) -> float:
     from vri_tpu.registry import bake_world
     from vri_tpu.usd import scenes
 
+    _progress(f"raster tess={tess}: scene sync")
     d = RenderDelegate(RenderConfig(width=WIDTH, height=HEIGHT))
     d.populate(scenes.kitchen_stress(num_objects=256, tess=tess))
     scene = d.sync()
@@ -85,7 +90,9 @@ def _raster_ms(tess: int) -> float:
             return vp + jnp.tanh(s * 1e-20) * 1e-20
         return jax.lax.fori_loop(0, ITERS, body, v0)
 
+    _progress(f"raster tess={tess}: compiling loop")
     _ = np.asarray(loop(vp))                      # warm / compile
+    _progress(f"raster tess={tess}: timing")
     t0 = time.time()
     _ = np.asarray(loop(vp))
     return (time.time() - t0 - 0.04) / ITERS      # 0.04 = readback RTT
@@ -99,6 +106,7 @@ def _gi_ms() -> dict:
     from vri_tpu.renderer import Renderer
     from vri_tpu.usd import scenes
 
+    _progress("gi: scene + cascades setup")
     cfg = RenderConfig(width=WIDTH, height=HEIGHT,
                        sdf=SDFConfig.preset("room"))
     r = Renderer(cfg)
@@ -124,7 +132,9 @@ def _gi_ms() -> dict:
                 return st2, acc + jnp.sum(aovs["color"]) * 1e-20
             return jax.lax.fori_loop(0, iters, body, (st, jnp.zeros(())))
 
+        _progress(f"gi bench h={h}: compiling")
         _ = np.asarray(loop(st0)[1])
+        _progress(f"gi bench h={h}: timing")
         t0 = time.time()
         _ = np.asarray(loop(st0)[1])
         return (time.time() - t0 - 0.04) / iters * 1e3
@@ -142,7 +152,9 @@ def _gi_ms() -> dict:
                     use_cache=True, gi_scale=1)
                 return k2, acc + jnp.sum(aovs["color"]) * 1e-20
             return jax.lax.fori_loop(0, iters, body, (k0, jnp.zeros(())))
+        _progress("gi fullrate: compiling")
         _ = np.asarray(loop(key)[1])
+        _progress("gi fullrate: timing")
         t0 = time.time()
         _ = np.asarray(loop(key)[1])
         return (time.time() - t0 - 0.04) / iters * 1e3
@@ -164,20 +176,28 @@ def _gi_ms() -> dict:
                                                 cfg.sdf)
             _ = np.asarray(cas.num_bricks)
             return cas, st
+        _progress("sdf build: compiling")
         build()                                    # warm / compile
+        _progress("sdf build: timing")
         t0 = time.time()
         cas, st = build()
         build_ms = (time.time() - t0 - 0.04) * 1e3
 
-        ni = scene.instance_transform.shape[0]
-        dirty_inst = np.zeros((ni,), bool)
-        dirty_inst[0] = True
+        # dirty the SMALLEST instance (a prop): instance 0 is the room
+        # shell, whose AABB covers the whole stage and (correctly)
+        # overflows the bounded-update caps
+        ni = int(scene.num_instances)
+        ext = (np.asarray(scene.instance_aabb_hi)
+               - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)
+        k = int(np.argmin(ext))
+        dirty_inst = np.zeros((scene.instance_transform.shape[0],), bool)
+        dirty_inst[k] = True
         dirty_tri = jnp.asarray(dirty_inst)[scene.tri_instance]
         cap = 64
         dlo = np.full((cap, 3), 3.0e38, np.float32)
         dhi = np.full((cap, 3), -3.0e38, np.float32)
-        dlo[0] = dlo[1] = np.asarray(scene.instance_aabb_lo[0])
-        dhi[0] = dhi[1] = np.asarray(scene.instance_aabb_hi[0])
+        dlo[0] = dlo[1] = np.asarray(scene.instance_aabb_lo[k])
+        dhi[0] = dhi[1] = np.asarray(scene.instance_aabb_hi[k])
 
         def update():
             cas2, _, needs_full = sdf_build.update_for_scene(
@@ -185,7 +205,9 @@ def _gi_ms() -> dict:
                 jnp.asarray(dhi), cfg.sdf)
             assert int(np.asarray(needs_full)) == 0
             _ = np.asarray(cas2.num_bricks)
+        _progress("sdf update: compiling")
         update()                                   # warm / compile
+        _progress("sdf update: timing")
         t0 = time.time()
         update()
         update_ms = (time.time() - t0 - 0.04) * 1e3
@@ -238,29 +260,35 @@ def _gi_ms() -> dict:
                 0, iters, body, (cas0, st0, st_t0, jnp.zeros(()),
                                  jnp.zeros((), jnp.int32)))
             return acc, nf
+        _progress(f"anim h={h}: compiling")
         acc, nf = loop(cas, st)
         _ = np.asarray(acc)
         assert int(np.asarray(nf)) == 0, "bounded update overflowed"
+        _progress(f"anim h={h}: timing")
         t0 = time.time()
         acc, nf = loop(cas, st)
         _ = np.asarray(acc)
         return (time.time() - t0 - 0.04) / iters * 1e3
 
-    full = bench(HEIGHT, None)
-    band = bench(136, (472, HEIGHT))
-    fullrate = bench_fullrate()
-    build_ms, update_ms, cas, st = bench_sdf()
-    out = {"gi_1080p_ms": round(full, 1),
-           "gi_band135_ms": round(band, 1),
-           "gi_fullrate_ms": round(fullrate, 1),
-           "sdf_build_ms": round(build_ms, 1),
-           "sdf_update_ms": round(update_ms, 1)}
+    # accumulate progressively so one failing section cannot discard the
+    # numbers already measured
+    out = {}
+    out["gi_1080p_ms"] = round(bench(HEIGHT, None), 1)
+    out["gi_band135_ms"] = round(bench(136, (472, HEIGHT)), 1)
+    out["gi_fullrate_ms"] = round(bench_fullrate(), 1)
+    try:
+        build_ms, update_ms, cas, st = bench_sdf()
+        out["sdf_build_ms"] = round(build_ms, 1)
+        out["sdf_update_ms"] = round(update_ms, 1)
+    except Exception as e:                         # pragma: no cover
+        out["sdf_error"] = repr(e)[:200]
+        return out
     try:
         out["gi_anim_ms"] = round(bench_anim(cas, st, HEIGHT, None), 1)
         out["gi_anim_band_ms"] = round(
             bench_anim(cas, st, 136, (472, HEIGHT)), 1)
     except Exception as e:                         # pragma: no cover
-        out["gi_anim_error"] = str(e)[:200]
+        out["gi_anim_error"] = repr(e)[:200]
     return out
 
 
@@ -278,7 +306,7 @@ def main():
     try:
         extra.update(_gi_ms())
     except Exception as e:                         # pragma: no cover
-        extra["gi_error"] = str(e)[:200]
+        extra["gi_error"] = repr(e)[:200]
 
     baseline = 200.0  # Mrays/s/chip north-star target
     print(json.dumps({

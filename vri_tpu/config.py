@@ -134,10 +134,16 @@ class SDFConfig:
         if name == "reference":
             return cls()
         if name == "room":
+            # list caps sized so the kitchen-stress bench scene builds
+            # with ZERO dropped refs (the defaults saturated the glob
+            # list at coarse cascades and a few dense cells — counted in
+            # BuildState.list_overflow, but a saturated list is silently
+            # degraded SDF quality and blocks bounded updates)
             return cls(num_cascades=6, cascade_resolution=64,
                        base_voxel_size=0.05, max_bricks=1 << 17,
                        max_triangles_per_brick=32, atlas_u8=True,
-                       approx_occlusion=True, shadow_scale=2)
+                       approx_occlusion=True, shadow_scale=2,
+                       cell_list_cap=128, global_list_cap=512)
         if name == "tiny":
             return cls(num_cascades=2, cascade_resolution=16,
                        base_voxel_size=0.15, max_bricks=8192,

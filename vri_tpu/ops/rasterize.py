@@ -90,6 +90,36 @@ def _dot_2pass(pixmat: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
             + jnp.dot(pixb, lo, preferred_element_type=jnp.float32))
 
 
+def _bf16_split_rows(chunks: jnp.ndarray) -> jnp.ndarray:
+    """Pre-split bf16 cascade operand for the K=6 fused matmul.
+
+    ``chunks`` is a (C, 8, N) f32 kernel template whose rows 0-1 are the
+    (a, b) coefficient rows.  Returns a (C, 8, N) bf16 operand with rows
+    [hi_a hi_b mid_a mid_b lo_a lo_b 0 0]: the same 3-term hi/mid/lo
+    coefficient split `_dot_2pass` performs, hoisted out of the kernel so
+    the MXU can sum all three cascade terms in its f32 accumulator in ONE
+    (P, 6) x (6, N) pass — removing two matmul passes, two (P, N) adds
+    and the per-step in-kernel split (tools/micro_attrib.py).  Identical
+    terms, single f32 accumulation."""
+    ab = chunks[:, 0:2]
+    hi = ab.astype(jnp.bfloat16)
+    r1 = ab - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    zero = jnp.zeros_like(hi)
+    return jnp.concatenate([hi, mid, lo, zero], axis=1)
+
+
+def _pm6(p: int, tile_w: int):
+    """(P, 6) bf16 LHS for the fused cascade: [px py px py px py] columns
+    (pixel centers are exactly representable in bf16 at tile scale)."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    py = 0.5 + (pix // tile_w).astype(jnp.float32)
+    px = 0.5 + (pix % tile_w).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, 6), 1)
+    return jnp.where(cols % 2 == 1, py, px).astype(jnp.bfloat16)
+
+
 def triangle_setup_clipped(world_verts: jnp.ndarray,
                            tri_vertices: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,
@@ -1386,7 +1416,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         grouped_args=grouped_args)
 
 
-def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, *refs,
+def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, chunksb_ref, *refs,
                   tile_h: int, tile_w: int, tri_chunk: int, num_tx: int,
                   fused: bool):
     """Work-list visibility walk: one (tile, chunk) step per grid index.
@@ -1454,11 +1484,14 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, *refs,
         dy = fy0 - rows[4:5]
         ct = rows[0:1] * dx + rows[1:2] * dy + rows[2:3]
 
-        pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        py = 0.5 + (pix // tile_w).astype(jnp.float32)
-        px = 0.5 + (pix % tile_w).astype(jnp.float32)
-        pixmat = jnp.concatenate([px, py], axis=1)        # (P, 2)
-        out = _dot_2pass(pixmat, rows[0:2, 0:3 * tc]) + ct[:, 0:3 * tc]
+        # ONE K=6 MXU pass sums the whole pre-split hi/mid/lo cascade in
+        # the f32 accumulator (see _bf16_split_rows) — replaces the
+        # 3-pass _dot_2pass + two (P, 3TC) adds this kernel used to pay
+        # per step (the per-step cost attribution in
+        # tools/micro_attrib.py)
+        pm = _pm6(p, tile_w)
+        out = jnp.dot(pm, chunksb_ref[0][0:6, 0:3 * tc],
+                      preferred_element_type=jnp.float32) + ct[:, 0:3 * tc]
         l1 = out[:, 0:tc]
         l2 = out[:, tc:2 * tc]
         z = out[:, 2 * tc:3 * tc]
@@ -1482,7 +1515,8 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, *refs,
         if fused:
             @pl.when(jnp.any(upd))
             def _():
-                att = _dot_2pass(pixmat, rows[0:2, 3 * tc:6 * tc]) \
+                att = jnp.dot(pm, chunksb_ref[0][0:6, 3 * tc:6 * tc],
+                              preferred_element_type=jnp.float32) \
                     + ct[:, 3 * tc:6 * tc]
                 # winner attribute extraction via the lane carried in
                 # the key's low bits: one-hot select-and-sum is EXACT
@@ -1549,7 +1583,7 @@ def _group_classes(tc: int):
     return tuple((w, tc // w) for w in _GROUP_WIDTHS)
 
 
-def _grouped_kernel(fl_ref, chunks_ref, *outs,
+def _grouped_kernel(fl_ref, chunks_ref, chunksb_ref, *outs,
                     tile_h: int, tile_w: int, tri_chunk: int,
                     fused: bool):
     """Grouped-singleton visibility step: one (8, nf*TC) template chunk
@@ -1574,11 +1608,9 @@ def _grouped_kernel(fl_ref, chunks_ref, *outs,
     mask = jnp.int32(~(tc - 1))
     rows = chunks_ref[0]
 
-    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    py = 0.5 + (pix // tile_w).astype(jnp.float32)
-    px = 0.5 + (pix % tile_w).astype(jnp.float32)
-    pixmat = jnp.concatenate([px, py], axis=1)
-    out = _dot_2pass(pixmat, rows[0:2]) + rows[2:3]
+    # fused K=6 cascade (see _bf16_split_rows / _pass1_kernel)
+    out = jnp.dot(_pm6(p, tile_w), chunksb_ref[0][0:6],
+                  preferred_element_type=jnp.float32) + rows[2:3]
     l1 = out[:, 0:tc]
     l2 = out[:, tc:2 * tc]
     z = out[:, 2 * tc:3 * tc]
@@ -1777,6 +1809,7 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
     n_out = 4 if fused else 2
     n_work = total_work if not interpret else int(wt.shape[0])
 
+    chunksb = _bf16_split_rows(chunks)
     row_spec = pl.BlockSpec((1, 1, p), lambda i, wt_r, wc_r, fl_r:
                             (wt_r[i], 0, 0), memory_space=pltpu.VMEM)
     chunk_spec = pl.BlockSpec((1, 8, nf * tc),
@@ -1786,7 +1819,7 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_work,),
-        in_specs=[chunk_spec],
+        in_specs=[chunk_spec, chunk_spec],
         out_specs=[row_spec] * n_out,
         scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32)]
         + [pltpu.VMEM((p, 1), jnp.float32)] * f32_scratch,
@@ -1801,7 +1834,7 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
         * (n_out - 1)
         + [jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32)],
         interpret=interpret,
-    )(wt, wchunk, flags, chunks)
+    )(wt, wchunk, flags, chunks, chunksb)
     outs = [o[:, 0] for o in outs]                       # each (T, p)
 
     if grouped_args is not None:
@@ -1815,9 +1848,10 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
         gchunk_spec = pl.BlockSpec((1, 8, nf * tc),
                                    lambda i, fl_r: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
+        chunksb_g = _bf16_split_rows(chunks_g)
         gspec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ng,),
-            in_specs=[gchunk_spec], out_specs=[grow_spec] * n_out)
+            in_specs=[gchunk_spec, gchunk_spec], out_specs=[grow_spec] * n_out)
         gouts = pl.pallas_call(
             functools.partial(_grouped_kernel, tile_h=tile_h,
                               tile_w=tile_w, tri_chunk=tc, fused=fused),
@@ -1826,7 +1860,7 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
             * (n_out - 1)
             + [jax.ShapeDtypeStruct((gcap, maxg, p), jnp.int32)],
             interpret=interpret,
-        )(fl_g, chunks_g)
+        )(fl_g, chunks_g, chunksb_g)
         gt = grouped_tile[:, None]
         outs = [jnp.where(gt, gr.reshape(gcap * maxg, p)[src_row], dr)
                 for gr, dr in zip(gouts, outs)]

@@ -639,9 +639,12 @@ def update_cascades(cascades: SDFCascades, state: BuildState,
     # dirty-cell bound still holds.
     add_tris, add_count, globs = [], [], []
     for n in range(n_cas):
-        ct, cnt, gt, _ = _bin_one_cascade(
+        ct, cnt, gt, rebin_ov = _bin_one_cascade(
             dlo, dhi, dvalid, origins[n], vs[n], r, K, Kg,
             tri_ids=jnp.where(dvalid, dsafe, -1))
+        # a ref dropped at re-bin capacity would vanish silently from the
+        # merged lists — escalate like every other capacity breach
+        needs_full += rebin_ov
         add_tris.append(ct)
         add_count.append(cnt)
         old_g = state.glob_tris[n]

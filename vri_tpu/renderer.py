@@ -150,10 +150,18 @@ class Renderer:
         self._build_state = state
         self._cascade_focus = focus
         self._scene_version = self._sync_count
-        log.info("SDF cascades %s in %.1f ms (%d bricks, %d overflow)",
+        list_ov = (0 if state is None
+                   else int(state.list_overflow))
+        log.info("SDF cascades %s in %.1f ms (%d bricks, %d brick "
+                 "overflow, %d list-ref drops)",
                  label, 1e3 * (time.perf_counter() - t0),
                  int(self.cascades.num_bricks),
-                 int(self.cascades.overflow))
+                 int(self.cascades.overflow), list_ov)
+        if list_ov:
+            log.warning(
+                "SDF cell/glob list capacity dropped %d refs (raise "
+                "cell_list_cap/global_list_cap; surfaces may be missing "
+                "from the SDF)", list_ov)
         return self.cascades
 
     def _try_incremental(self, world, upd, cfg):
