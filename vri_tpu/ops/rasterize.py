@@ -53,11 +53,13 @@ _BIG = 3.0e38
 
 # rasterize_sorted resolve-mode crossover: at or below this many padded
 # triangle slots the FUSED in-kernel resolve wins (the per-pixel XLA row
-# gather it deletes dominates the short walk: 10.2 -> 6.8 ms at 3k
-# slots, 1080p); above it the gather resolve wins (the 2x-wide template
-# taxes every walk step: 16.8 -> 17.6 ms at 52k slots).  Measured A/B in
-# BASELINE.md round-3 sixth pass.
-_FUSED_MAX_SLOTS = 16384
+# gather it deletes dominates the walk); above it the gather resolve
+# wins (the 2x-wide template taxes every step of a long walk).  The K=6
+# fused cascade (round 4) halved the template tax and moved the
+# crossover: at 52k slots fused now measures 14.82 vs gather 16.07 ms,
+# at 118k slots gather still wins 23.3 vs 24.0 (BASELINE.md round 4;
+# round-3's 16k threshold predates K=6).
+_FUSED_MAX_SLOTS = 65536
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1050,7 +1052,7 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap",
     "cap_glob", "pairs_cap", "caps_scale", "interpret", "proj_height",
-    "grouped", "fused"))
+    "grouped", "fused", "probe", "walker"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
@@ -1060,7 +1062,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      interpret: bool | None = None,
                      proj_height: int | None = None, y_offset=None,
                      face_mask=None, cull_sign=None, grouped: bool = True,
-                     fused: bool | None = None,
+                     fused: bool | None = None, probe: str = "none",
+                     walker: str = "steps",
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
@@ -1365,6 +1368,18 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         [chunks, jnp.tile(zero_g, (1, 2, nf))], axis=1)  # (C, 8, nf*TC)
     num_chunks = pairs_cap // tc
 
+    if probe == "prep":
+        # profiling hook (tools/prof_prep49.py): everything up to and
+        # including the kernel templates, none of the kernel walk — the
+        # frame's per-frame prep share, fully consumed
+        s = (jnp.sum(chunks) * 1e-20 + jnp.sum(count).astype(jnp.float32)
+             + jnp.sum(_bf16_split_rows(chunks).astype(jnp.float32))
+             * 1e-20)
+        dummy = jnp.broadcast_to(s, (height * width,))
+        hit = HitRecord(t=dummy, tri=dummy.astype(jnp.int32), u=dummy,
+                        v=dummy, overflow=jnp.int32(0))
+        return hit, dummy[: height * width].reshape(height, width)
+
     # ---- grouped-singleton tier: tiles whose whole list fits in W
     # lanes leave the dense walk entirely (G = 128/W share one step) ----
     grouped_args = None
@@ -1406,6 +1421,23 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     overflowed = jnp.any((span > max_subs * tc) & ~grouped_tile) \
         | (emit_over > 0) | (clip_over > 0)
+
+    tileloop_args = None
+    if walker == "tileloop" and not interpret:
+        # one grid step per (non-grouped) tile; the kernel streams the
+        # tile's chunks through an in-kernel double-buffered DMA loop.
+        # interpret mode keeps the step walk (manual DMA semantics are
+        # TPU-only); results are bit-exact either way.
+        live_t = ~grouped_tile
+        tl_pos = jnp.nonzero(live_t, size=num_tiles, fill_value=0)[0] \
+            .astype(jnp.int32)
+        n_live = jnp.clip(jnp.sum(live_t.astype(jnp.int32)), 1, num_tiles)
+        st_tl = start_chunk[tl_pos]
+        ns_tl = jnp.where(count[tl_pos] > 0,
+                          jnp.clip((span[tl_pos] + tc - 1) // tc, 1,
+                                   max_subs), 0)
+        tileloop_args = (tl_pos, st_tl, ns_tl, n_live)
+
     return _worklist_to_frame(
         wt, wchunk, flags, chunks, overflowed,
         total_work=jnp.clip(total_work, 1, wcap),
@@ -1413,7 +1445,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         tile_h=tile_h, tile_w=tile_w, tri_chunk=tc, interpret=interpret,
         fused=fused,
         resolve_args=None if fused else (tx, ty, tw, b1, b2, src_sorted),
-        grouped_args=grouped_args)
+        grouped_args=grouped_args, tileloop_args=tileloop_args)
 
 
 def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, chunksb_ref, *refs,
@@ -1567,6 +1599,150 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, chunksb_ref, *refs,
                 slot_row[...] = jnp.where(
                     hit, sid_ref[:, :].astype(jnp.int32),
                     -1).reshape(1, 1, p)
+
+
+def _tileloop_kernel(wt_ref, st_ref, ns_ref, chunks_hbm, chunksb_hbm,
+                     *refs, tile_h: int, tile_w: int, tri_chunk: int,
+                     num_tx: int, fused: bool):
+    """Tile-loop visibility walk: ONE grid step per tile, with the
+    tile's chunk templates streamed through a double-buffered in-kernel
+    DMA pipeline (chunks stay HBM-resident; two VMEM slots per operand).
+
+    Rationale (tools/micro_attrib.py + micro_floor): after the K=6 fused
+    cascade, ~1.4 us of each (tile, chunk) step is pure grid + block-DMA
+    machinery, independent of block size — the work-list form pays it
+    once per CHUNK.  Here the grid pays it once per TILE and each
+    additional chunk costs only its compute (+ a hidden prefetched DMA):
+    dense tiles amortize the floor across their whole list.  Compute per
+    chunk is IDENTICAL to _pass1_kernel (same K=6 matmul, tests, packed
+    key, extraction), so results are bit-exact with the work-list walk.
+    """
+    if fused:
+        z_row, u_row, v_row, tri_row = refs[:4]
+        bufs_f32, bufs_b16, sems, parity_ref = refs[4:]
+    else:
+        z_row, slot_row = refs[:2]
+        bufs_f32, bufs_b16, sems, parity_ref = refs[2:]
+    i = pl.program_id(0)
+    start = st_ref[i]
+    n = ns_ref[i]
+    tile = wt_ref[i]
+    p = tile_h * tile_w
+    tc = tri_chunk
+    lane_bits = (tc - 1).bit_length()
+    mask = jnp.int32(~((1 << lane_bits) - 1))
+    miss = jnp.int32(1073741824)                # f32 2.0 bit pattern
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, tc), 1)
+    fx0 = ((tile % num_tx) * tile_w).astype(jnp.float32)
+    fy0 = ((tile // num_tx) * tile_h).astype(jnp.float32)
+    pm = _pm6(p, tile_w)
+    nc = chunks_hbm.shape[0]
+
+    def dma_at(slot, c):
+        c = jnp.minimum(c, nc - 1)
+        return (pltpu.make_async_copy(chunks_hbm.at[c], bufs_f32.at[slot],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(chunksb_hbm.at[c], bufs_b16.at[slot],
+                                      sems.at[slot, 1]))
+
+    # cross-tile software pipeline: the slot ring and its in-flight DMA
+    # persist across grid steps (scratch survives); each tile's FIRST
+    # chunk was started by its predecessor (exactly once — only tile
+    # i-1 prefetches tile i), so no tile pays an unoverlapped head DMA.
+    # Empty tiles (n == 0) touch no DMA and don't advance the ring, but
+    # still forward the prefetch chain to their successor.
+    @pl.when(i == 0)
+    def _():
+        parity_ref[0] = 0
+
+        @pl.when(n > 0)
+        def _():
+            for d in dma_at(0, start):
+                d.start()
+
+    base = parity_ref[0]
+    n_prog = pl.num_programs(0)
+
+    def body(k, carry):
+        slot = jax.lax.rem(base + k, 2)
+        nslot = jax.lax.rem(base + k + 1, 2)
+
+        @pl.when(k + 1 < n)
+        def _():
+            for d in dma_at(nslot, start + k + 1):
+                d.start()
+
+        # last chunk of this tile: prefetch the successor's first chunk
+        @pl.when((k + 1 == n) & (i + 1 < n_prog) & (ns_ref[i + 1] > 0))
+        def _():
+            for d in dma_at(nslot, st_ref[i + 1]):
+                d.start()
+        for d in dma_at(slot, 0):
+            d.wait()
+        rows = bufs_f32[slot]
+        rowsb = bufs_b16[slot]
+        dx = fx0 - rows[3:4]
+        dy = fy0 - rows[4:5]
+        ct = rows[0:1] * dx + rows[1:2] * dy + rows[2:3]
+        out = jnp.dot(pm, rowsb[0:6, 0:3 * tc],
+                      preferred_element_type=jnp.float32) + ct[:, 0:3 * tc]
+        l1 = out[:, 0:tc]
+        l2 = out[:, tc:2 * tc]
+        z = out[:, 2 * tc:3 * tc]
+        ok = ((jnp.minimum(jnp.minimum(l1, l2), z) >= 0.0)
+              & (l1 + l2 <= 1.0) & (z <= 1.0))
+        zm = jnp.where(ok, z, 2.0)
+        key = (jax.lax.bitcast_convert_type(zm, jnp.int32) & mask) | lane
+        row = jnp.min(key, axis=-1, keepdims=True)
+        prev = carry[0]
+        upd = row < prev
+        best = jnp.where(upd, row, prev)
+        sel_ids = jnp.broadcast_to(rows[5:6, 0:tc], (p, tc))
+        sel = lane == (row & ~mask)
+        ext = lambda m: jnp.sum(jnp.where(sel, m, 0.0), axis=-1,
+                                keepdims=True)
+        if fused:
+            att = jnp.dot(pm, rowsb[0:6, 3 * tc:6 * tc],
+                          preferred_element_type=jnp.float32) \
+                + ct[:, 3 * tc:6 * tc]
+            un_w, vn_w, dn_w = (ext(att[:, 0:tc]), ext(att[:, tc:2 * tc]),
+                                ext(att[:, 2 * tc:3 * tc]))
+            tri_w = ext(sel_ids)
+            rcp = 1.0 / jnp.where(jnp.abs(dn_w) > 1e-20, dn_w, 1.0)
+            _, u0, v0, t0 = carry
+            return (best, jnp.where(upd, un_w * rcp, u0),
+                    jnp.where(upd, vn_w * rcp, v0),
+                    jnp.where(upd, tri_w, t0))
+        sid = ext(sel_ids)
+        return (best, jnp.where(upd, sid, carry[1]))
+
+    # an empty tile forwards the prefetch chain without touching the ring
+    @pl.when((n == 0) & (i + 1 < n_prog) & (ns_ref[i + 1] > 0))
+    def _():
+        for d in dma_at(base, st_ref[i + 1]):
+            d.start()
+
+    init = (jnp.full((p, 1), miss, jnp.int32),) + (
+        (jnp.zeros((p, 1), jnp.float32),) * 3 if fused
+        else (jnp.zeros((p, 1), jnp.float32),))
+    res = jax.lax.fori_loop(0, n, body, init)
+
+    @pl.when(n > 0)
+    def _():
+        parity_ref[0] = jax.lax.rem(base + n, 2)
+
+    best = res[0]
+    z1 = jax.lax.bitcast_convert_type(best & mask, jnp.float32)
+    hit = z1 <= 1.0
+    z_row[...] = jnp.where(hit, z1, _BIG).reshape(1, 1, p)
+    if fused:
+        u_row[...] = jnp.where(hit, res[1], 0.0).reshape(1, 1, p)
+        v_row[...] = jnp.where(hit, res[2], 0.0).reshape(1, 1, p)
+        tri_row[...] = jnp.where(hit, res[3].astype(jnp.int32),
+                                 -1).reshape(1, 1, p)
+    else:
+        slot_row[...] = jnp.where(hit, res[1].astype(jnp.int32),
+                                  -1).reshape(1, 1, p)
 
 
 # Grouped-singleton classes: tiles whose ENTIRE list fits in W lanes are
@@ -1786,7 +1962,8 @@ def _pack_grouped(count, starts, stream, *, num_tiles: int, num_tx: int,
 def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
                        total_work, height, width, hp, wp, grid, tile_h,
                        tile_w, tri_chunk, interpret, fused,
-                       resolve_args=None, grouped_args=None):
+                       resolve_args=None, grouped_args=None,
+                       tileloop_args=None):
     """Back half of the sorted path: the single work-list visibility
     walk, then one of two resolves (static ``fused``).  FUSED: the
     kernels hand back final (z, u, v, tri) planes, so no per-pixel
@@ -1812,29 +1989,53 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
     chunksb = _bf16_split_rows(chunks)
     row_spec = pl.BlockSpec((1, 1, p), lambda i, wt_r, wc_r, fl_r:
                             (wt_r[i], 0, 0), memory_space=pltpu.VMEM)
-    chunk_spec = pl.BlockSpec((1, 8, nf * tc),
-                              lambda i, wt_r, wc_r, fl_r:
-                              (wc_r[i], 0, 0), memory_space=pltpu.VMEM)
-    f32_scratch = 3 if fused else 1
-    grid1 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_work,),
-        in_specs=[chunk_spec, chunk_spec],
-        out_specs=[row_spec] * n_out,
-        scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32)]
-        + [pltpu.VMEM((p, 1), jnp.float32)] * f32_scratch,
-    )
-    kernel1 = functools.partial(
-        _pass1_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tc,
-        num_tx=grid[1], fused=fused)
-    outs = pl.pallas_call(
-        kernel1,
-        grid_spec=grid1,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32)]
-        * (n_out - 1)
-        + [jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32)],
-        interpret=interpret,
-    )(wt, wchunk, flags, chunks, chunksb)
+    out_shapes = ([jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32)]
+                  * (n_out - 1)
+                  + [jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32)])
+    if tileloop_args is not None:
+        tl_pos, st_tl, ns_tl, n_live = tileloop_args
+        grid_tl = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_live,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            out_specs=[row_spec] * n_out,
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, nf * tc), jnp.float32),
+                pltpu.VMEM((2, 8, nf * tc), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        )
+        outs = pl.pallas_call(
+            functools.partial(_tileloop_kernel, tile_h=tile_h,
+                              tile_w=tile_w, tri_chunk=tc,
+                              num_tx=grid[1], fused=fused),
+            grid_spec=grid_tl,
+            out_shape=out_shapes,
+        )(tl_pos, st_tl, ns_tl, chunks, chunksb)
+    else:
+        chunk_spec = pl.BlockSpec((1, 8, nf * tc),
+                                  lambda i, wt_r, wc_r, fl_r:
+                                  (wc_r[i], 0, 0),
+                                  memory_space=pltpu.VMEM)
+        f32_scratch = 3 if fused else 1
+        grid1 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_work,),
+            in_specs=[chunk_spec, chunk_spec],
+            out_specs=[row_spec] * n_out,
+            scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32)]
+            + [pltpu.VMEM((p, 1), jnp.float32)] * f32_scratch,
+        )
+        kernel1 = functools.partial(
+            _pass1_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tc,
+            num_tx=grid[1], fused=fused)
+        outs = pl.pallas_call(
+            kernel1,
+            grid_spec=grid1,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(wt, wchunk, flags, chunks, chunksb)
     outs = [o[:, 0] for o in outs]                       # each (T, p)
 
     if grouped_args is not None:
