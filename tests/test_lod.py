@@ -139,8 +139,16 @@ def test_sdf_build_sees_base_geometry_only(lod_scene):
     from vri_tpu.ops import sdf as sdf_mod
     from vri_tpu.registry import bake_world
 
+    import dataclasses
+
     d, scene = lod_scene
-    cfg = SDFConfig.preset("tiny")
+    # truncation-free list caps: the LOD and no-LOD pools hold identical
+    # geometry at DIFFERENT triangle indices, and a saturated cell keeps
+    # a (stratum, index)-ordered subset — capacity effects would differ
+    # between the pools without any leakage.  This test isolates leakage
+    # (LOD-chain tris reaching the build), so remove the capacity axis.
+    cfg = dataclasses.replace(SDFConfig.preset("tiny"),
+                              cell_list_cap=512, global_list_cap=512)
     world = bake_world(scene)
     centers = sdf_mod.default_centers(cfg, np.zeros(3, np.float32))
     c1, _ = sdf_build.build_for_scene(scene, world, centers, cfg)

@@ -154,11 +154,17 @@ def _bin_one_cascade(tri_lo, tri_hi, valid, origin, vs, r, K, Kg,
     small = inside & jnp.all(chi - clo + 1 <= _BIN_SPAN_CAP, -1)
     large = inside & ~small
 
-    # exact pair emission (segmented repeat, 3-D decode)
+    # exact pair emission (segmented repeat, 3-D decode).  The pair
+    # capacity scales with the cell size: at s = r/16 voxels per cell the
+    # 1-voxel binning reach alone spans ceil(2/s)+1 cells per axis, so
+    # single-voxel-cell configs (s=1, e.g. the tiny test preset) emit
+    # ~4^3 pairs per triangle where s>=4 emits ~2^3.
+    s_cells = max(r // 16, 1)
+    mult = _BIN_PAIRS_MULT * max(1, (1 + 2 // s_cells) ** 2)
     ext = jnp.where(small, nspan[:, 0] * nspan[:, 1] * nspan[:, 2], 0)
     starts_x = jnp.cumsum(ext) - ext
     total = starts_x[-1] + ext[-1]
-    pairs_cap = -(-max(_BIN_PAIRS_MULT * f, 32768) // 1024) * 1024
+    pairs_cap = -(-max(mult * f, 32768) // 1024) * 1024
     overflow = jnp.maximum(total - pairs_cap, 0)
 
     # per-pair source triangle via searchsorted (the raster uses a
