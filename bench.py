@@ -220,6 +220,12 @@ def _gi_ms() -> dict:
         budget (RenderPass.cpp:919-1010).  Moves the smallest prop on an
         oscillating path; capacity fallbacks are carried out of the loop
         and asserted zero."""
+        from vri_tpu.ops import sdf as sdf_mod
+
+        # the loop's carry must match render_frame_gi_dynamic's output
+        # structure (baked cascades carry voxel_shade); bake the seed
+        cas = sdf_mod.bake_brick_lighting(cas, scene, config=cfg.sdf,
+                                          alive=st.alive)
         ni = int(scene.num_instances)
         ext = (np.asarray(scene.instance_aabb_hi)
                - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)

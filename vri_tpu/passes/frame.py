@@ -632,6 +632,11 @@ def render_frame_gi_dynamic(scene: SceneBuffers, frame: FrameParams,
     needs_full) — ``needs_full`` nonzero means a capacity was exceeded
     and the caller must fall back to a full rebuild (the renderer's
     escalation ladder does this on the host path, renderer.py).
+
+    In an in-jit frame loop the cascades ride the loop carry: seed the
+    loop with BAKED cascades (``sdf.bake_brick_lighting``) so the carry
+    pytree matches this function's output (the bake populates
+    ``voxel_shade``).
     """
     from vri_tpu.ops import sdf as sdf_mod
     from vri_tpu.ops import sdf_build
