@@ -253,3 +253,82 @@ class TestDynamicFrame:
         # static camera: history accumulates everywhere except around the
         # moving box (disocclusion resets are correct behavior there)
         assert (hist[hit] >= 2.0).mean() > 0.5
+
+
+def test_paired_tap_reproject_matches_reference():
+    """The paired-gather bilinear history fetch (round 4) must equal a
+    plain 4-gather implementation everywhere, including both screen
+    edges (window-slot semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from vri_tpu.passes import frame as frame_mod
+
+    rng = np.random.default_rng(5)
+    h, w = 12, 16
+    n = h * w
+    data = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    data = data.at[:, 7].set(jnp.asarray(
+        (rng.random(n) > 0.3).astype(np.float32) * 5.0))  # counts
+    # plausible normals in the history
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    data = data.at[:, 4:7].set(jnp.asarray(nrm))
+    vp = jnp.eye(4, dtype=jnp.float32)
+    state = frame_mod.TemporalState(data=data, view_proj=vp,
+                                    eye=jnp.zeros(3, jnp.float32))
+    # positions whose reprojection sweeps across and past both edges
+    pos = jnp.asarray(rng.uniform(-1.4, 1.4, size=(n, 3)).astype(np.float32))
+    normal = jnp.asarray(nrm[rng.integers(0, n, n)])
+    valid = jnp.asarray(rng.random(n) > 0.2)
+
+    got = frame_mod._reproject(state, pos, normal, valid, h, w)
+
+    def reference(state, position, normal, valid, height, width,
+                  depth_tol=0.02):
+        clip = jnp.concatenate(
+            [position, jnp.ones_like(position[:, :1])],
+            axis=1) @ state.view_proj.T
+        wc = clip[:, 3]
+        ndc = clip[:, :3] / jnp.maximum(wc, 1e-6)[:, None]
+        px = (ndc[:, 0] * 0.5 + 0.5) * width - 0.5
+        py = (0.5 - ndc[:, 1] * 0.5) * height - 0.5
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0i = jnp.floor(py).astype(jnp.int32)
+        fx = (px - x0.astype(jnp.float32))[:, None]
+        fy = (py - y0i.astype(jnp.float32))[:, None]
+        nq = position.shape[0]
+        own_x = (jnp.arange(nq, dtype=jnp.float32) % width)
+        own_y = jnp.floor(jnp.arange(nq, dtype=jnp.float32) / width)
+        vel = jnp.sqrt((px - own_x) ** 2 + (py - own_y) ** 2)
+        tol = depth_tol * (1.0 + 0.25 * jnp.minimum(vel, 8.0))
+        t_prev = jnp.linalg.norm(position - state.eye[None, :], axis=-1)
+
+        def tap(dy, dx):
+            xi = x0 + dx
+            yi = y0i + dy
+            inside = ((wc > 1e-6) & (xi >= 0) & (xi < width)
+                      & (yi >= 0) & (yi < height))
+            idx = (jnp.clip(yi, 0, height - 1) * width
+                   + jnp.clip(xi, 0, width - 1))
+            hrow = state.data[idx]
+            depth_ok = jnp.abs(hrow[:, 3] - t_prev) <= tol * t_prev + 1e-3
+            normal_ok = jnp.sum(hrow[:, 4:7] * normal, -1) > 0.5
+            ok = inside & depth_ok & normal_ok & (hrow[:, 7] > 0.0)
+            wgt = ((fy if dy else 1.0 - fy)
+                   * (fx if dx else 1.0 - fx))[:, 0]
+            return hrow[:, 0:3], hrow[:, 7], jnp.where(ok, wgt, 0.0)
+
+        taps = [tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)]
+        wsum = sum(t[2] for t in taps)
+        scale = 1.0 / jnp.maximum(wsum, 1e-6)
+        h_ind = sum(t[0] * t[2][:, None] for t in taps) * scale[:, None]
+        h_count = sum(t[1] * t[2] for t in taps) * scale
+        ok = valid & (wsum > 0.05)
+        return (jnp.where(ok[:, None], h_ind, 0.0),
+                jnp.where(ok, h_count, 0.0))
+
+    ref = reference(state, pos, normal, valid, h, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-6, atol=1e-6)

@@ -230,8 +230,11 @@ def indirect_radiance(gb: GBuffer, scene: SceneBuffers,
         from vri_tpu.ops.rowgather import gather_rows
 
         if cascades.voxel_shade is not None and rec.voxel is not None:
-            sh = gather_rows(cascades.voxel_shade,
-                             jnp.maximum(rec.voxel, 0))
+            shv = gather_rows(cascades.voxel_shade,
+                              jnp.maximum(rec.voxel, 0))
+            # table rows are bf16 (latency lever, ops/sdf.py); shading
+            # math runs in f32
+            sh = lambda k: shv(k).astype(jnp.float32)
         else:
             shade_tab = jnp.concatenate(
                 [cascades.brick_albedo, cascades.brick_normal,

@@ -468,28 +468,45 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
 
     from vri_tpu.ops.rowgather import gather_rows
 
-    def tap(dy, dx):
-        xi = x0 + dx
-        yi = y0i + dy
-        inside = ((w > 1e-6) & (xi >= 0) & (xi < width)
-                  & (yi >= 0) & (yi < height))
-        idx = (jnp.clip(yi, 0, height - 1) * width
-               + jnp.clip(xi, 0, width - 1))
-        # one row gather per tap, block-transposed: naive column slices
-        # of the lane-padded (N, 8) rows cost a full pass each
-        # (ops/rowgather.py).  The taps run at GI resolution (the
-        # indirect term never has more than gi-res information), so the
-        # 4 gathers touch N/gi_scale^2 rows, not N.
-        h = gather_rows(state.data, idx)
-        depth_ok = jnp.abs(h(3) - t_prev) <= tol * t_prev + 1e-3
-        normal_ok = (h(4) * normal[:, 0] + h(5) * normal[:, 1]
-                     + h(6) * normal[:, 2]) > 0.5
-        ok = inside & depth_ok & normal_ok & (h(7) > 0.0)
-        wgt = ((fy if dy else 1.0 - fy) * (fx if dx else 1.0 - fx))[:, 0]
-        ind = jnp.stack([h(0), h(1), h(2)], axis=-1)
-        return ind, h(7), jnp.where(ok, wgt, 0.0)
+    # PAIRED horizontal taps: the four bilinear taps sit at two adjacent
+    # columns of two rows.  Packing each history row with its right
+    # neighbor ((N, 16): [data[i] | data[i+1]]) lets ONE row gather per
+    # y-row serve both x-taps — the 4 latency-bound gathers on the
+    # 16 MB history (xprof: ~2.5 ms each at 1080p/gi2) become 2, for a
+    # ~0.5 ms roll+concat table build.  Window semantics: the gather
+    # row is xw = clip(x0, 0, W-2); a tap at global column x reads
+    # window slot x - xw and is valid only when that slot is 0 or 1 —
+    # exactly reproducing the unpaired taps at both screen edges.
+    paired = jnp.concatenate(
+        [state.data, jnp.roll(state.data, -1, axis=0)], axis=1)
+    xw = jnp.clip(x0, 0, max(width - 2, 0))
 
-    taps = [tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1)]
+    def row_taps(dy):
+        yi = y0i + dy
+        y_in = (w > 1e-6) & (yi >= 0) & (yi < height)
+        idx = jnp.clip(yi, 0, height - 1) * width + xw
+        h = gather_rows(paired, idx)
+        out = []
+        for dx in (0, 1):
+            si = x0 + dx - xw                      # window slot, 0 or 1
+            xi = x0 + dx
+            inside = y_in & (xi >= 0) & (xi < width) & (si >= 0) & (si <= 1)
+            off = jnp.where(si == 1, 8, 0)
+
+            def f(k, off=off):
+                return jnp.where(off == 8, h(k + 8), h(k))
+
+            depth_ok = jnp.abs(f(3) - t_prev) <= tol * t_prev + 1e-3
+            normal_ok = (f(4) * normal[:, 0] + f(5) * normal[:, 1]
+                         + f(6) * normal[:, 2]) > 0.5
+            ok = inside & depth_ok & normal_ok & (f(7) > 0.0)
+            wgt = ((fy if dy else 1.0 - fy)
+                   * (fx if dx else 1.0 - fx))[:, 0]
+            ind = jnp.stack([f(0), f(1), f(2)], axis=-1)
+            out.append((ind, f(7), jnp.where(ok, wgt, 0.0)))
+        return out
+
+    taps = row_taps(0) + row_taps(1)
     wsum = sum(t[2] for t in taps)
     scale = 1.0 / jnp.maximum(wsum, 1e-6)
     h_ind = sum(t[0] * t[2][:, None] for t in taps) * scale[:, None]
