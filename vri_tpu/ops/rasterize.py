@@ -1175,31 +1175,47 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     sx = max(grid[1] - 1, 1).bit_length()
     sy = max(grid[0] - 1, 1).bit_length()
     cb = sx + 1                                    # e_cols <= grid[1]
-    assert fp < (1 << (31 - sx - sy)), "slot count exceeds carry packing"
-    # word A: [slot id | ry0 | rx0]  (monotone: slot id ascends)
-    word_a = (jnp.arange(fp, dtype=jnp.int32) << (sx + sy)) \
-        | (ry0 << sx) | rx0
-    # word B: [segment start | e_cols]  (monotone: starts strictly ascend
-    # across live slots)
-    word_b = (starts_x.astype(jnp.int32) << cb) | e_cols
-
-    def seg_carry(field):
-        """Monotone per-slot field -> per-pair value over its segment."""
-        masked = jnp.where(live_slot, field, -1)
-        prev_live = jnp.concatenate(
-            [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(masked)[:-1]])
-        diff = jnp.where(live_slot, field - jnp.maximum(prev_live, 0), 0)
-        buf = jnp.zeros((pairs_cap,), jnp.int32).at[
-            jnp.where(live_slot, starts_x, pairs_cap)].add(diff,
-                                                           mode="drop")
-        return jnp.cumsum(buf)
-
-    a = seg_carry(word_a)
-    b = seg_carry(word_b)
-    sid = a >> (sx + sy)
-    k_start = b >> cb
-    cols_s = jnp.maximum(b & ((1 << cb) - 1), 1)
     j = jnp.arange(pairs_cap, dtype=jnp.int32)
+    if fp < (1 << (31 - sx - sy)):
+        # word A: [slot id | ry0 | rx0]  (monotone: slot id ascends)
+        word_a = (jnp.arange(fp, dtype=jnp.int32) << (sx + sy)) \
+            | (ry0 << sx) | rx0
+        # word B: [segment start | e_cols]  (monotone: starts strictly
+        # ascend across live slots)
+        word_b = (starts_x.astype(jnp.int32) << cb) | e_cols
+
+        def seg_carry(field):
+            """Monotone per-slot field -> per-pair value per segment."""
+            masked = jnp.where(live_slot, field, -1)
+            prev_live = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32),
+                 jax.lax.cummax(masked)[:-1]])
+            diff = jnp.where(live_slot,
+                             field - jnp.maximum(prev_live, 0), 0)
+            buf = jnp.zeros((pairs_cap,), jnp.int32).at[
+                jnp.where(live_slot, starts_x, pairs_cap)].add(
+                    diff, mode="drop")
+            return jnp.cumsum(buf)
+
+        a = seg_carry(word_a)
+        b = seg_carry(word_b)
+        sid = a >> (sx + sy)
+        k_start = b >> cb
+        cols_s = jnp.maximum(b & ((1 << cb) - 1), 1)
+        ry0_p = (a >> sx) & ((1 << sy) - 1)
+        rx0_p = a & ((1 << sx) - 1)
+    else:
+        # beyond-carry-packing pools (>= 2^19 slots at 1080p, e.g. the
+        # 1M+-instanced-tri city stage): per-pair slot via searchsorted
+        # + row gathers — a few extra memory passes on the pair stream,
+        # no bit budget (the SDF binner made the same trade, sdf_build)
+        cum = jnp.cumsum(area_t)
+        sid = jnp.minimum(jnp.searchsorted(cum, j, side="right"),
+                          fp - 1).astype(jnp.int32)
+        k_start = (cum[sid] - area_t[sid]).astype(jnp.int32)
+        cols_s = jnp.maximum(e_cols[sid], 1)
+        ry0_p = ry0[sid]
+        rx0_p = rx0[sid]
     k_local = j - k_start
     # i32 division by a vector lowers to a long software sequence on the
     # VPU; the f32 form is exact here: for live pairs k_local < num_tiles
@@ -1210,8 +1226,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     dy = jnp.floor((k_local.astype(jnp.float32) + 0.5)
                    / cols_s.astype(jnp.float32)).astype(jnp.int32)
     dx = k_local - dy * cols_s
-    tile_of = (((a >> sx) & ((1 << sy) - 1)) + dy) * grid[1] \
-        + (a & ((1 << sx) - 1)) + dx
+    tile_of = (ry0_p + dy) * grid[1] + rx0_p + dx
     dead_pair = j >= total_pairs
     # PACKED single-array sort when (tile, slot) fits one u32: sorting one
     # word moves half the data of sort_key_val and yields the IDENTICAL
