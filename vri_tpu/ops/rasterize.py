@@ -1465,7 +1465,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
 def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, chunksb_ref, *refs,
                   tile_h: int, tile_w: int, tri_chunk: int, num_tx: int,
-                  fused: bool):
+                  fused: bool, packed_bits: int = 0):
     """Work-list visibility walk: one (tile, chunk) step per grid index.
 
     The TPU-native indirect draw: the grid iterates a scalar-prefetched
@@ -1496,7 +1496,13 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, chunksb_ref, *refs,
     else:
         z_row, slot_row, best_ref, sid_ref = refs
     i = pl.program_id(0)
-    fl = fl_ref[i]
+    if packed_bits:
+        # single packed work word [chunk | tile | flags] — 3x less SMEM
+        # for the scalar-prefetched work list (the 3-array form blew the
+        # 1 MB SMEM budget at ~1.3M-triangle pair streams)
+        fl = wt_ref[i] & 7
+    else:
+        fl = fl_ref[i]
     p = tile_h * tile_w
     tc = tri_chunk
     lane_bits = (tc - 1).bit_length()
@@ -1518,7 +1524,10 @@ def _pass1_kernel(wt_ref, wc_ref, fl_ref, chunks_ref, chunksb_ref, *refs,
     @pl.when((fl & 4) != 0)
     def _():
         rows = chunks_ref[0]                    # (8, 6TC) template
-        tile = wt_ref[i]
+        if packed_bits:
+            tile = (wt_ref[i] >> 3) & ((1 << packed_bits) - 1)
+        else:
+            tile = wt_ref[i]
         fx0 = ((tile % num_tx) * tile_w).astype(jnp.float32)
         fy0 = ((tile // num_tx) * tile_h).astype(jnp.float32)
         # translate the local-frame constants to this tile's origin:
@@ -2029,28 +2038,64 @@ def _worklist_to_frame(wt, wchunk, flags, chunks, overflowed, *,
             out_shape=out_shapes,
         )(tl_pos, st_tl, ns_tl, chunks, chunksb)
     else:
-        chunk_spec = pl.BlockSpec((1, 8, nf * tc),
-                                  lambda i, wt_r, wc_r, fl_r:
-                                  (wc_r[i], 0, 0),
-                                  memory_space=pltpu.VMEM)
         f32_scratch = 3 if fused else 1
-        grid1 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(n_work,),
-            in_specs=[chunk_spec, chunk_spec],
-            out_specs=[row_spec] * n_out,
-            scratch_shapes=[pltpu.VMEM((p, 1), jnp.int32)]
-            + [pltpu.VMEM((p, 1), jnp.float32)] * f32_scratch,
-        )
-        kernel1 = functools.partial(
-            _pass1_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tc,
-            num_tx=grid[1], fused=fused)
-        outs = pl.pallas_call(
-            kernel1,
-            grid_spec=grid1,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(wt, wchunk, flags, chunks, chunksb)
+        scratch = [pltpu.VMEM((p, 1), jnp.int32)] \
+            + [pltpu.VMEM((p, 1), jnp.float32)] * f32_scratch
+        num_chunks = chunks.shape[0]
+        tb = max(num_tiles - 1, 1).bit_length()
+        cb_w = max(num_chunks - 1, 1).bit_length()
+        if 3 + tb + cb_w <= 31 and not interpret:
+            # ONE packed scalar-prefetch word per step ([chunk|tile|fl]):
+            # the 3-array form needs 3 x 4B x wcap of SMEM and blew the
+            # 1 MB budget at city-scale pair streams (wcap ~97k)
+            pk = (wchunk << (3 + tb)) | (wt << 3) | flags
+            row_spec_p = pl.BlockSpec(
+                (1, 1, p),
+                lambda i, pk_r: ((pk_r[i] >> 3) & ((1 << tb) - 1), 0, 0),
+                memory_space=pltpu.VMEM)
+            chunk_spec_p = pl.BlockSpec(
+                (1, 8, nf * tc),
+                lambda i, pk_r: (pk_r[i] >> (3 + tb), 0, 0),
+                memory_space=pltpu.VMEM)
+            grid1 = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_work,),
+                in_specs=[chunk_spec_p, chunk_spec_p],
+                out_specs=[row_spec_p] * n_out,
+                scratch_shapes=scratch,
+            )
+            def kernel_packed(pk_r, c_r, cb_r, *rs):
+                return _pass1_kernel(
+                    pk_r, None, None, c_r, cb_r, *rs, tile_h=tile_h,
+                    tile_w=tile_w, tri_chunk=tc, num_tx=grid[1],
+                    fused=fused, packed_bits=tb)
+
+            outs = pl.pallas_call(
+                kernel_packed,
+                grid_spec=grid1,
+                out_shape=out_shapes,
+            )(pk, chunks, chunksb)
+        else:
+            chunk_spec = pl.BlockSpec((1, 8, nf * tc),
+                                      lambda i, wt_r, wc_r, fl_r:
+                                      (wc_r[i], 0, 0),
+                                      memory_space=pltpu.VMEM)
+            grid1 = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(n_work,),
+                in_specs=[chunk_spec, chunk_spec],
+                out_specs=[row_spec] * n_out,
+                scratch_shapes=scratch,
+            )
+            kernel1 = functools.partial(
+                _pass1_kernel, tile_h=tile_h, tile_w=tile_w, tri_chunk=tc,
+                num_tx=grid[1], fused=fused)
+            outs = pl.pallas_call(
+                kernel1,
+                grid_spec=grid1,
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(wt, wchunk, flags, chunks, chunksb)
     outs = [o[:, 0] for o in outs]                       # each (T, p)
 
     if grouped_args is not None:
