@@ -25,14 +25,15 @@ from vri_tpu.registry import bake_world
 from vri_tpu.usd import scenes
 
 H, W = 1080, 1920
-ITERS = 10
+ITERS = 5
 
 print("authoring city (4500 towers, tess=5)...", flush=True)
 t0 = time.time()
 stage = scenes.city_stress(num_buildings=4500, tess=5, num_protos=24)
-lim = SceneLimits(max_instances=8192, max_vertices=1 << 21,
-                  max_faces=1 << 21)
-cfg = RenderConfig(width=W, height=H, limits=lim, lod_tau=0.75)
+lim = SceneLimits(max_instances=8192, max_vertices=1 << 22,
+                  max_faces=1 << 22)   # room for the LOD chain tail
+cfg = RenderConfig(width=W, height=H, limits=lim, lod_tau=0.75,
+                   lod_levels=3, lod_min_faces=64)
 d = RenderDelegate(cfg)
 d.populate(stage)
 scene = d.sync()
@@ -47,6 +48,36 @@ hbm = sum(int(np.prod(getattr(scene, k).shape))
 print(f"scene device bytes: {hbm/1e6:.1f} MB", flush=True)
 
 fp = frame_mod.FrameParams.from_camera(d.camera, H)
+
+# pair-count diagnostic: how much (tile, tri) work the view really has
+from vri_tpu.ops import rasterize as R
+
+def pair_stats(face_mask=None, label=""):
+    num_faces = scene.num_faces if face_mask is None else scene.num_faces_total
+    tx, ty, tz, tw, b1, b2, src, valid, over = R.triangle_setup_clipped(
+        world, scene.tri_vertices, num_faces, jnp.asarray(fp.view_proj),
+        H, W, extra_cap=8192, face_mask=face_mask,
+        cull_sign=frame_mod._cull_sign(scene))
+    th, tw_ = 8, 128
+    grid = ((H + 7) // 8, (W + 127) // 128)
+    lox, hix = tx.min(1), tx.max(1)
+    loy, hiy = ty.min(1), ty.max(1)
+    tx0 = jnp.floor(lox / tw_).astype(jnp.int32)
+    tx1 = jnp.floor(hix / tw_).astype(jnp.int32)
+    ty0 = jnp.floor(loy / th).astype(jnp.int32)
+    ty1 = jnp.floor(hiy / th).astype(jnp.int32)
+    on = valid & (tx1 >= 0) & (tx0 < grid[1]) & (ty1 >= 0) & (ty0 < grid[0])
+    er = jnp.where(on, jnp.clip(ty1, 0, grid[0]-1) - jnp.clip(ty0, 0, grid[0]-1) + 1, 0)
+    ec = jnp.where(on, jnp.clip(tx1, 0, grid[1]-1) - jnp.clip(tx0, 0, grid[1]-1) + 1, 0)
+    print(f"pairs{label}: visible tris {int(jnp.sum(on))}, "
+          f"(tile,tri) pairs {int(jnp.sum(er*ec))}", flush=True)
+
+pair_stats(label=" full-rate")
+if scene.tri_lod is not None:
+    from vri_tpu.ops import lod as lod_mod
+    focal_px = 1.0 / float(np.maximum(np.asarray(fp.pixel_spread), 1e-8))
+    mask, _ = lod_mod.face_mask(scene, jnp.asarray(fp.eye), focal_px, 0.75)
+    pair_stats(face_mask=mask, label=" with-LOD")
 
 
 def bench_raster(lod_tau, label):
@@ -85,7 +116,14 @@ def bench_raster(lod_tau, label):
 bench_raster(0.0, "raster full-rate (lod_tau=0) ")
 bench_raster(0.75, "raster with LOD (lod_tau=.75)")
 
-# SDF build at an outdoor scale preset
+# SDF build at an outdoor scale preset.  Use a chains-free pool: the
+# SDF build reads only base faces but pays padded-POOL passes, and the
+# LOD-expanded pool (4.2M padded faces -> ~50M binning pairs) exhausts
+# worker memory.
+d2 = RenderDelegate(RenderConfig(width=W, height=H, limits=lim))
+d2.populate(stage)
+scene = d2.sync()
+world = bake_world(scene)
 from vri_tpu.ops import sdf, sdf_build
 
 sdf_cfg = SDFConfig(num_cascades=6, cascade_resolution=64,

@@ -1149,9 +1149,16 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         # scenes, so the sort / stream-gather / template arrays (all sized
         # by pairs_cap, STATIC) shrink with it; an all-doubleSided stage
         # that exceeds the culled budget overflows COUNTED and the
-        # renderer escalates caps_scale — never silent
+        # renderer escalates caps_scale — never silent.
+        # The ABSOLUTE cap matters at city scale: the stream/template
+        # build pays pairs_cap rows regardless of live pairs (a 1.35M-tri
+        # stage emitted 822k live pairs but a 10.8M-row template = ~0.5 GB
+        # per pass = 3.7 s/frame).  2M covers every measured view with
+        # >2x headroom; denser frames overflow counted and the ladder
+        # escalates to 4M/8M.
         mult = 6 if cull_sign is None else 4
-        pairs_cap = max(mult * fp, 128 * 1024) * caps_scale
+        pairs_cap = max(min(mult * fp, 2 * 1024 * 1024),
+                        128 * 1024) * caps_scale
     pairs_cap = _round_up(pairs_cap, tc)
 
     ry0 = jnp.clip(ty0, 0, grid[0] - 1)
