@@ -88,10 +88,41 @@ def _cull_sign(scene: SceneBuffers):
     return inst[scene.tri_instance]
 
 
+def _instance_frustum_mask(scene: SceneBuffers, view_proj):
+    """Conservative per-instance frustum visibility from world AABBs:
+    an instance is culled only when all 8 AABB corners lie outside one
+    clip plane (homogeneous plane tests — sign-safe for corners behind
+    the camera).  The z planes match the raster's z in [0, w] clip
+    convention."""
+    lo = scene.instance_aabb_lo
+    hi = scene.instance_aabb_hi
+    sel = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        jnp.float32)                                   # (8, 3)
+    corners = lo[:, None, :] + sel[None, :, :] * (hi - lo)[:, None, :]
+    hom = jnp.concatenate(
+        [corners, jnp.ones(corners.shape[:-1] + (1,), jnp.float32)], -1)
+    clip = hom @ view_proj.T                           # (I, 8, 4)
+    x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
+    outside = jnp.stack([
+        jnp.all(x + w < 0, -1), jnp.all(w - x < 0, -1),
+        jnp.all(y + w < 0, -1), jnp.all(w - y < 0, -1),
+        jnp.all(z < 0, -1), jnp.all(w - z < 0, -1)], -1)
+    return ~jnp.any(outside, -1)                       # (I,) visible
+
+
+# pool size above which the raster compacts to frustum-visible slots
+# first: at beyond-bench scale the prep (setup + emission) is POOL-
+# proportional and dominates the frame (1.35M-slot city: prep-bound at
+# 1.3 s/frame while only ~0.8M pairs are live — BASELINE.md round 4)
+_CULL_COMPACT_MIN_POOL = 1 << 19
+
+
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto", y0: int = 0,
                        proj_height: int | None = None,
-                       caps_scale: int = 1, lod_tau: float = 0.75):
+                       caps_scale: int = 1, lod_tau: float = 0.75,
+                       cull_instances: bool | None = None):
     """Raster dispatch: group-binned lists for ordinary scenes (big
     triangles dominate; the global tier would overflow), the sort-binned
     kernel beyond ~64k triangles (tessellated scenes: per-triangle exact
