@@ -10,6 +10,7 @@ backfaces cull.  These tests pin:
   * two-sided meshes render from both sides
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -156,3 +157,118 @@ class TestCullParity:
         assert ((tr >= 0) == (tb >= 0)).mean() > 0.995
         both = (tr >= 0) & (tb >= 0)
         assert (tr[both] == tb[both]).mean() > 0.97
+
+
+def _multi_instance_scene(res=64):
+    """Three small meshes: two in front of the camera, one far behind
+    (frustum-culled).  Camera at origin looking down -z."""
+    from vri_tpu.registry import ResourceRegistry, MeshRecord
+
+    def tri_mesh(path, center, n=4):
+        pts, tris = [], []
+        for i in range(n):
+            base = len(pts)
+            o = np.array(center) + np.array([i * 0.3, 0, 0])
+            pts += [o + [0, 0, 0], o + [0.2, 0, 0], o + [0, 0.2, 0]]
+            tris.append([base, base + 1, base + 2])
+        pts = np.array(pts, np.float32)
+        tris = np.array(tris, np.int32)
+        ext = np.stack([pts.min(0), pts.max(0)])
+        return MeshRecord(path=path, points=pts, tris=tris,
+                          tri_face=np.arange(len(tris), dtype=np.int32),
+                          uvs=np.zeros((len(tris), 3, 2), np.float32),
+                          transform=np.eye(4, dtype=np.float32),
+                          material_path=None, extent=ext)
+
+    reg = ResourceRegistry(RenderConfig(width=res, height=res))
+    reg.push_mesh(tri_mesh("/a", [-0.5, -0.1, -3]))
+    reg.push_mesh(tri_mesh("/b", [0, 0, 50]))      # behind the camera
+    reg.push_mesh(tri_mesh("/c", [0.2, 0.1, -2.5]))
+    scene = reg.commit()
+    cam = camera_mod.make_camera(np.array([0, 0, 0.]),
+                                 np.array([0, 0, -1.]), 60.0, 1.0)
+    return scene, cam
+
+
+class TestInstanceFrustumCompaction:
+    """Per-instance frustum culling + slot compaction before raster prep
+    (the pool-proportional-prep fix; reference analog: off-frustum draw
+    items die in hardware clipping after the per-draw loop,
+    Source/RenderPass.cpp:642-664)."""
+
+    def test_compacted_matches_full_exactly(self):
+        res = 64
+        scene, cam = _multi_instance_scene(res)
+        fp = frame_mod.FrameParams.from_camera(cam, height=res)
+        world = bake_world(scene)
+        h_full = frame_mod._visibility_raster(scene, world, fp, res, res,
+                                              cull_instances=False)
+        h_cull = frame_mod._visibility_raster(scene, world, fp, res, res,
+                                              cull_instances=True)
+        # the culled path must be EXACT vs the same (sorted) tier on the
+        # full pool: original ids, depths, barycentrics
+        cs = frame_mod._cull_sign(scene)
+        h_sorted, _ = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces,
+            jnp.asarray(cam.view_proj), height=res, width=res,
+            cull_sign=cs)
+        np.testing.assert_array_equal(np.asarray(h_cull.tri),
+                                      np.asarray(h_sorted.tri))
+        np.testing.assert_array_equal(np.asarray(h_cull.u),
+                                      np.asarray(h_sorted.u))
+        assert int(h_cull.overflow) == 0
+        # and hits must exist (the visible instances survived the cull)
+        assert (np.asarray(h_cull.tri) >= 0).sum() > 0
+        del h_full
+
+    def test_compaction_drops_culled_instances(self):
+        res = 64
+        scene, cam = _multi_instance_scene(res)
+        fp = frame_mod.FrameParams.from_camera(cam, height=res)
+        ids, live, sid, over = frame_mod._compact_visible_faces(
+            scene, fp.view_proj, scene.tri_vertices.shape[0])
+        # instance /b (4 faces) is behind the camera: live < total pool
+        assert int(live) == 8            # 2 visible instances x 4 faces
+        assert int(over) == 0
+        # surviving face ids map to instances 0 and 2 only
+        inst = np.asarray(scene.tri_instance)[np.asarray(ids)[:int(live)]]
+        assert set(inst.tolist()) == {0, 2}
+
+    def test_compaction_overflow_counted(self):
+        res = 64
+        scene, cam = _multi_instance_scene(res)
+        fp = frame_mod.FrameParams.from_camera(cam, height=res)
+        ids, live, sid, over = frame_mod._compact_visible_faces(
+            scene, fp.view_proj, 4)      # cap below the 8 live faces
+        assert int(over) == 4
+        assert int(live) == 4
+
+
+class TestBf16CascadeSplit:
+    """The XLA-side hi/mid/lo cascade split must survive jit: XLA's
+    simplifier folds f32->bf16->f32 convert pairs to identity, which
+    zeroes the residual terms and silently degrades the raster kernels
+    to plain-bf16 edge precision (round-5 regression; fixed with
+    lax.reduce_precision)."""
+
+    def test_residuals_survive_jit(self):
+        rng = np.random.default_rng(0)
+        chunks = jnp.asarray(rng.standard_normal((2, 8, 24)), jnp.float32)
+        eager = np.asarray(rasterize._bf16_split_rows(chunks), np.float32)
+        jitted = np.asarray(jax.jit(rasterize._bf16_split_rows)(chunks),
+                            np.float32)
+        np.testing.assert_array_equal(eager, jitted)
+        # mid rows (2:4) must be nonzero for generic f32 inputs
+        assert np.abs(jitted[:, 2:4]).max() > 0
+
+    def test_cascade_reconstructs_f32(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 2, 16)) * 100, jnp.float32)
+
+        def recon(x):
+            hi, mid, lo = rasterize._bf16_cascade_terms(x)
+            return hi + mid + lo
+
+        err = np.abs(np.asarray(jax.jit(recon)(x)) - np.asarray(x))
+        rel = err / np.maximum(np.abs(np.asarray(x)), 1e-6)
+        assert rel.max() < 2 ** -22

@@ -82,6 +82,11 @@ def _dot_2pass(pixmat: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
     edge/depth tests (a 2-term split's 2^-17 still flipped edge pixels
     on sliver triangles) — at three MXU passes (~+1 us/step vs the
     default, measured in tools/micro_worklist.py)."""
+    # KERNEL-SIDE split: runs inside Pallas, where Mosaic lowers the
+    # f32->bf16->f32 converts faithfully (and reduce_precision has no
+    # lowering).  The XLA-side split (_bf16_cascade_terms) MUST NOT use
+    # this pattern — XLA's simplifier folds the convert pair to identity
+    # and zeroes the residuals (see _bf16_cascade_terms).
     hi = coef.astype(jnp.bfloat16)
     r1 = coef - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
@@ -90,6 +95,26 @@ def _dot_2pass(pixmat: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
     return (jnp.dot(pixb, hi, preferred_element_type=jnp.float32)
             + jnp.dot(pixb, mid, preferred_element_type=jnp.float32)
             + jnp.dot(pixb, lo, preferred_element_type=jnp.float32))
+
+
+def _bf16_cascade_terms(x):
+    """hi/mid/lo bf16-representable f32 cascade terms of ``x``.
+
+    MUST round through ``lax.reduce_precision``, not an f32->bf16->f32
+    convert round-trip: inside jit XLA's simplifier folds the convert
+    pair to identity, which silently turns the residuals (x - hi) into
+    ZERO — the kernels then run at plain bf16 edge precision (~2^-8),
+    re-opening the half-pixel edge cracks the cascade exists to close
+    (found round 5: sorted-tier pixels missing vs the exact oracle on
+    thin edge margins; eager vs jit split outputs differed).
+    ``reduce_precision(8, 7)`` is bf16's exponent/mantissa layout with
+    round-to-nearest-even — bit-identical to the convert on every finite
+    value — and is opaque to the simplifier."""
+    hi_f = jax.lax.reduce_precision(x, 8, 7)
+    r1 = x - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    lo_f = jax.lax.reduce_precision(r1 - mid_f, 8, 7)
+    return hi_f, mid_f, lo_f
 
 
 def _bf16_split_rows(chunks: jnp.ndarray) -> jnp.ndarray:
@@ -104,10 +129,10 @@ def _bf16_split_rows(chunks: jnp.ndarray) -> jnp.ndarray:
     and the per-step in-kernel split (tools/micro_attrib.py).  Identical
     terms, single f32 accumulation."""
     ab = chunks[:, 0:2]
-    hi = ab.astype(jnp.bfloat16)
-    r1 = ab - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi_f, mid_f, lo_f = _bf16_cascade_terms(ab)
+    hi = hi_f.astype(jnp.bfloat16)
+    mid = mid_f.astype(jnp.bfloat16)
+    lo = lo_f.astype(jnp.bfloat16)
     zero = jnp.zeros_like(hi)
     return jnp.concatenate([hi, mid, lo, zero], axis=1)
 
@@ -127,7 +152,7 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
                            num_faces: jnp.ndarray, view_proj: jnp.ndarray,
                            height: int, width: int, w_eps: float = 1e-4,
                            y_offset=None, extra_cap: int | None = None,
-                           face_mask=None, cull_sign=None):
+                           face_mask=None, cull_sign=None, src_map=None):
     """``y_offset`` (traced ok) shifts pixel-space y after projection:
     band rendering for the row-sharded multi-chip path projects with the
     *full* framebuffer height, then rasterizes rows [y0, y0+band)."""
@@ -226,11 +251,16 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
                 + cw[:, 0] * (cx[:, 1] * cy[:, 2] - cx[:, 2] * cy[:, 1]))
         in_range &= (cull_sign == 0.0) | (dhom * cull_sign > 0.0)
     clip_overflow = jnp.int32(0)
+    # ``src_map`` (frustum-compacted rasterization, passes/frame.py): the
+    # F slots here are a COMPACTED subset of the scene's face pool and
+    # src_map[i] is slot i's original face id — hits must report original
+    # ids so the G-buffer resolve indexes the uncompacted attribute pools
+    ids = jnp.arange(f, dtype=jnp.int32) if src_map is None else src_map
     if extra_cap is None:
         # static 2x expansion: every source triangle owns a second slot
         tri6 = jnp.concatenate([out1, out2], axis=0)      # (2F, 3, 6)
         valid = jnp.concatenate([valid1 & in_range, valid2 & in_range])
-        src_id = jnp.concatenate([jnp.arange(f, dtype=jnp.int32)] * 2)
+        src_id = jnp.concatenate([ids] * 2)
     else:
         # compact the second clipped triangles (near-plane crossers are
         # rare) into a small capacity — halves every downstream array;
@@ -242,8 +272,7 @@ def triangle_setup_clipped(world_verts: jnp.ndarray,
         safe2 = jnp.minimum(idx2, f - 1)
         tri6 = jnp.concatenate([out1, out2[safe2]], axis=0)  # (F+E, 3, 6)
         valid = jnp.concatenate([valid1 & in_range, ok2])
-        src_id = jnp.concatenate(
-            [jnp.arange(f, dtype=jnp.int32), safe2])
+        src_id = jnp.concatenate([ids, ids[safe2]])
         clip_overflow = jnp.maximum(
             jnp.sum(live2.astype(jnp.int32)) - extra_cap, 0)
 
@@ -1063,7 +1092,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      proj_height: int | None = None, y_offset=None,
                      face_mask=None, cull_sign=None, grouped: bool = True,
                      fused: bool | None = None, probe: str = "none",
-                     walker: str = "steps",
+                     walker: str = "steps", src_map=None,
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
@@ -1105,7 +1134,8 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         triangle_setup_clipped(
             world_verts, tri_vertices, num_faces, view_proj,
             proj_height or height, width, y_offset=y_offset,
-            extra_cap=extra, face_mask=face_mask, cull_sign=cull_sign)
+            extra_cap=extra, face_mask=face_mask, cull_sign=cull_sign,
+            src_map=src_map)
     src_sorted = src_id
 
     f2 = tx.shape[0]
@@ -1460,6 +1490,10 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                                    max_subs), 0)
         tileloop_args = (tl_pos, st_tl, ns_tl, n_live)
 
+    if probe == "debug":
+        return dict(wt=wt, wchunk=wchunk, flags=flags, chunks=chunks,
+                    svals=svals, starts=starts, count=count, nsub=nsub,
+                    grouped_tile=grouped_tile), None
     return _worklist_to_frame(
         wt, wchunk, flags, chunks, overflowed,
         total_work=jnp.clip(total_work, 1, wcap),

@@ -67,8 +67,8 @@ def _raster_variant(backend: str) -> tuple:
 
 
 
-def _cull_sign(scene: SceneBuffers):
-    """Per-face backface-cull signs from USD doubleSided semantics:
+def _cull_sign_instance(scene: SceneBuffers):
+    """Per-INSTANCE backface-cull signs from USD doubleSided semantics:
     0 = two-sided, +1 = keep CCW-front (right-handed), -1 under a
     mirroring (negative-determinant) instance transform, which flips the
     projected winding.  Returns None when every instance is two-sided
@@ -84,8 +84,14 @@ def _cull_sign(scene: SceneBuffers):
     det = (m[:, 0, 0] * (m[:, 1, 1] * m[:, 2, 2] - m[:, 1, 2] * m[:, 2, 1])
            - m[:, 0, 1] * (m[:, 1, 0] * m[:, 2, 2] - m[:, 1, 2] * m[:, 2, 0])
            + m[:, 0, 2] * (m[:, 1, 0] * m[:, 2, 1] - m[:, 1, 1] * m[:, 2, 0]))
-    inst = jnp.where(ds, 0.0, jnp.sign(det))
-    return inst[scene.tri_instance]
+    return jnp.where(ds, 0.0, jnp.sign(det))
+
+
+def _cull_sign(scene: SceneBuffers):
+    """Per-face cull signs (``_cull_sign_instance`` broadcast over the
+    face pool); None when every instance is two-sided."""
+    inst = _cull_sign_instance(scene)
+    return None if inst is None else inst[scene.tri_instance]
 
 
 def _instance_frustum_mask(scene: SceneBuffers, view_proj):
@@ -118,6 +124,38 @@ def _instance_frustum_mask(scene: SceneBuffers, view_proj):
 _CULL_COMPACT_MIN_POOL = 1 << 19
 
 
+def _compact_visible_faces(scene: SceneBuffers, view_proj, cap: int):
+    """Frustum-cull instances and compact the surviving face ranges into a
+    front-packed (cap,) face-id list — the raster then pays setup/emission
+    proportional to LIVE faces, not the padded pool.  The reference gets
+    this for free from its per-draw loop + hardware clipping
+    (Source/RenderPass.cpp:642-664): off-frustum draw items still issue
+    but their triangles die in clipping; our sort-raster prep is pool-
+    proportional, so at city scale (1.35M-slot pool, ~0.4M visible) the
+    un-culled frame was 1,345 ms for ~30 ms of live walk (BASELINE.md r4).
+
+    Returns (face_ids, live_count, instance_of_pair, overflow_count);
+    overflow > 0 means ``cap`` could not hold every visible face — the
+    caller reports it via HitRecord.overflow and the renderer's
+    caps-escalation ladder widens the budget next frame (never silent).
+    """
+    vis = _instance_frustum_mask(scene, view_proj)
+    num_i = scene.instance_transform.shape[0]
+    inst_live = jnp.arange(num_i, dtype=jnp.int32) < scene.num_instances
+    counts = jnp.where(vis & inst_live, scene.instance_face_count, 0)
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    sid = jnp.minimum(jnp.searchsorted(cum, j, side="right"),
+                      num_i - 1).astype(jnp.int32)
+    start = cum[sid] - counts[sid]
+    face_ids = scene.instance_face_offset[sid] + (j - start)
+    live = j < total
+    face_ids = jnp.where(live, face_ids, 0)
+    overflow = jnp.maximum(total - cap, 0)
+    return face_ids, jnp.minimum(total, cap), sid, overflow
+
+
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto", y0: int = 0,
                        proj_height: int | None = None,
@@ -135,7 +173,13 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
     When the scene carries LOD chains (registry lod_levels > 0), each
     instance rasterizes the coarsest level whose geometric deviation
     projects below ``lod_tau`` pixels (ops/lod.py); ``lod_tau=0`` forces
-    full-rate geometry."""
+    full-rate geometry.
+
+    ``cull_instances``: frustum-cull instance AABBs and compact the
+    surviving face ranges BEFORE triangle setup (None = auto: pools of
+    >= ``_CULL_COMPACT_MIN_POOL`` slots, where pool-proportional prep
+    dominates the frame).  Compaction overflow is counted into
+    HitRecord.overflow; ``caps_scale`` widens the compact budget."""
     from vri_tpu.ops import rasterize as raster_mod
 
     num_faces = scene.num_faces
@@ -148,6 +192,25 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
         num_faces = scene.num_faces_total
         kw["face_mask"] = mask
     f = scene.tri_vertices.shape[0]
+    if cull_instances is None:
+        cull_instances = f >= _CULL_COMPACT_MIN_POOL
+    if cull_instances and variant != "ranged" and "face_mask" not in kw:
+        # LOD chains keep the uncompacted path for now: the face ranges
+        # cover base geometry only, and the LOD mask indexes the full pool
+        ccap = min(raster_mod._round_up(max(f // 2, 1 << 10), 128)
+                   * caps_scale, f)
+        face_ids, live, pair_inst, c_over = _compact_visible_faces(
+            scene, frame.view_proj, ccap)
+        inst_sign = _cull_sign_instance(scene)
+        hit, _ = raster_mod.rasterize_sorted(
+            world_verts, scene.tri_vertices[face_ids], live,
+            frame.view_proj, height=height, width=width,
+            proj_height=proj_height,
+            cull_sign=None if inst_sign is None else inst_sign[pair_inst],
+            y_offset=jnp.float32(y0) if y0 else None,
+            caps_scale=caps_scale, src_map=face_ids)
+        return hit.replace(overflow=hit.overflow
+                           + (c_over > 0).astype(jnp.int32))
     if variant == "ranged":
         fn = raster_mod.rasterize
     elif f <= (1 << 14) and height <= 512:
