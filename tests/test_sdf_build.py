@@ -233,3 +233,51 @@ class TestRendererIntegration:
         aovs = r.render(gi=True)
         assert r.cascades is not cas_before
         assert np.isfinite(aovs["color"]).all()
+
+
+class TestDemandCaps:
+    """Demand-scaled list caps (zero dropped refs at production defaults;
+    Brixelizer analog: explicit maxReferences budgeting per frame,
+    Source/RenderPass.cpp:927-930)."""
+
+    def _dense_cluster(self, F=300):
+        rng = np.random.default_rng(0)
+        ctr = rng.uniform(-0.05, 0.05, (F, 3)).astype(np.float32)
+        verts = np.concatenate([ctr + [0.01, 0, 0], ctr + [0, 0.01, 0],
+                                ctr + [0, 0, 0.01]]).astype(np.float32)
+        tri = np.stack([np.arange(F), np.arange(F) + F,
+                        np.arange(F) + 2 * F], -1).astype(np.int32)
+        return jnp.asarray(verts), jnp.asarray(tri)
+
+    def test_demand_measures_cluster(self):
+        cfg = SDFConfig.preset("tiny")
+        wv, tv = self._dense_cluster()
+        centers = sdf.default_centers(cfg, jnp.zeros(3))
+        mc, mg, tr = sdf_build.list_demand(wv, tv, jnp.int32(300), centers,
+                                           config=cfg)
+        assert int(mc) >= 300          # all 300 tris share a cell
+        assert int(tr) == 0
+
+    def test_escalated_build_drops_nothing(self):
+        cfg = SDFConfig.preset("tiny")
+        wv, tv = self._dense_cluster()
+        centers = sdf.default_centers(cfg, jnp.zeros(3))
+        scene = type("S", (), {"tri_vertices": tv,
+                               "num_faces": jnp.int32(300)})()
+        cfg2 = sdf_build.demand_caps(scene, wv, centers, cfg)
+        assert cfg2.cell_list_cap >= 512
+        _, st = sdf_build.build_cascades_binned(wv, tv, jnp.int32(300),
+                                                centers, config=cfg2)
+        assert int(st.list_overflow) == 0
+        # the un-escalated build drops refs (the situation being fixed)
+        _, st0 = sdf_build.build_cascades_binned(wv, tv, jnp.int32(300),
+                                                 centers, config=cfg)
+        assert int(st0.list_overflow) > 0
+
+    def test_no_change_when_caps_suffice(self):
+        cfg = SDFConfig.preset("tiny")
+        wv, tv = self._dense_cluster(F=8)
+        centers = sdf.default_centers(cfg, jnp.zeros(3))
+        scene = type("S", (), {"tri_vertices": tv,
+                               "num_faces": jnp.int32(8)})()
+        assert sdf_build.demand_caps(scene, wv, centers, cfg) is cfg

@@ -80,11 +80,13 @@ if scene.tri_lod is not None:
     pair_stats(face_mask=mask, label=" with-LOD")
 
 
-def bench_raster(lod_tau, label):
+def bench_raster(lod_tau, label, cull=None, compact_cap=None):
     def one(v):
         fpv = fp.replace(view_proj=v)
         hit = frame_mod._visibility_raster(scene, world, fpv, H, W,
-                                           caps_scale=2, lod_tau=lod_tau)
+                                           caps_scale=2, lod_tau=lod_tau,
+                                           cull_instances=cull,
+                                           compact_cap=compact_cap)
         s = (jnp.sum(hit.u) + jnp.sum(hit.v)
              + jnp.sum(hit.tri.astype(jnp.float32))
              + jnp.sum(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)))
@@ -113,8 +115,10 @@ def bench_raster(lod_tau, label):
     return per
 
 
-bench_raster(0.0, "raster full-rate (lod_tau=0) ")
-bench_raster(0.75, "raster with LOD (lod_tau=.75)")
+bench_raster(0.0, "raster full-rate CULLED+compacted (cap 512k)",
+             cull=True, compact_cap=1 << 18)   # x2 caps_scale -> 512k
+bench_raster(0.0, "raster full-rate UNCULLED (r4 baseline)  ", cull=False)
+bench_raster(0.75, "raster with LOD (lod_tau=.75, uncompacted)")
 
 # SDF build at an outdoor scale preset.  Use a chains-free pool: the
 # SDF build reads only base faces but pays padded-POOL passes, and the

@@ -1476,10 +1476,14 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
 
     tileloop_args = None
     if walker == "tileloop" and not interpret:
-        # one grid step per (non-grouped) tile; the kernel streams the
-        # tile's chunks through an in-kernel double-buffered DMA loop.
-        # interpret mode keeps the step walk (manual DMA semantics are
-        # TPU-only); results are bit-exact either way.
+        # EXPERIMENTAL: one grid step per (non-grouped) tile; the kernel
+        # streams the tile's chunks through an in-kernel double-buffered
+        # DMA loop.  Bit-exact vs the step walker (same per-chunk math;
+        # asserted on real TPU by tools/check_tileloop.py) but measured
+        # SLOWER at production scales (16.3 vs 14.9 ms at 49k — the grid
+        # pipeline already hides the DMA), so no production caller
+        # selects it.  interpret mode keeps the step walk (manual DMA
+        # semantics are TPU-only).
         live_t = ~grouped_tile
         tl_pos = jnp.nonzero(live_t, size=num_tiles, fill_value=0)[0] \
             .astype(jnp.int32)
@@ -1737,10 +1741,16 @@ def _tileloop_kernel(wt_ref, st_ref, ns_ref, chunks_hbm, chunksb_hbm,
             for d in dma_at(nslot, start + k + 1):
                 d.start()
 
-        # last chunk of this tile: prefetch the successor's first chunk
-        @pl.when((k + 1 == n) & (i + 1 < n_prog) & (ns_ref[i + 1] > 0))
+        # last chunk of this tile: prefetch the successor's first chunk.
+        # The lookahead index is CLAMPED — the operand of ns_ref[...] is
+        # evaluated even when the (i + 1 < n_prog) predicate is false, and
+        # an unclamped i + 1 on the last grid step reads one element past
+        # the scalar-prefetch array (ADVICE r4)
+        nxt = jnp.minimum(i + 1, ns_ref.shape[0] - 1)
+
+        @pl.when((k + 1 == n) & (i + 1 < n_prog) & (ns_ref[nxt] > 0))
         def _():
-            for d in dma_at(nslot, st_ref[i + 1]):
+            for d in dma_at(nslot, st_ref[nxt]):
                 d.start()
         for d in dma_at(slot, 0):
             d.wait()
@@ -1782,9 +1792,12 @@ def _tileloop_kernel(wt_ref, st_ref, ns_ref, chunks_hbm, chunksb_hbm,
         return (best, jnp.where(upd, sid, carry[1]))
 
     # an empty tile forwards the prefetch chain without touching the ring
-    @pl.when((n == 0) & (i + 1 < n_prog) & (ns_ref[i + 1] > 0))
+    # (lookahead clamped for the same reason as in the body)
+    nxt_t = jnp.minimum(i + 1, ns_ref.shape[0] - 1)
+
+    @pl.when((n == 0) & (i + 1 < n_prog) & (ns_ref[nxt_t] > 0))
     def _():
-        for d in dma_at(base, st_ref[i + 1]):
+        for d in dma_at(base, st_ref[nxt_t]):
             d.start()
 
     init = (jnp.full((p, 1), miss, jnp.int32),) + (

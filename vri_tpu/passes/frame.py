@@ -160,7 +160,8 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
                        width, variant: str = "auto", y0: int = 0,
                        proj_height: int | None = None,
                        caps_scale: int = 1, lod_tau: float = 0.75,
-                       cull_instances: bool | None = None):
+                       cull_instances: bool | None = None,
+                       compact_cap: int | None = None):
     """Raster dispatch: group-binned lists for ordinary scenes (big
     triangles dominate; the global tier would overflow), the sort-binned
     kernel beyond ~64k triangles (tessellated scenes: per-triangle exact
@@ -196,9 +197,14 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
         cull_instances = f >= _CULL_COMPACT_MIN_POOL
     if cull_instances and variant != "ranged" and "face_mask" not in kw:
         # LOD chains keep the uncompacted path for now: the face ranges
-        # cover base geometry only, and the LOD mask indexes the full pool
-        ccap = min(raster_mod._round_up(max(f // 2, 1 << 10), 128)
-                   * caps_scale, f)
+        # cover base geometry only, and the LOD mask indexes the full pool.
+        # ``compact_cap`` budgets the live-face list (static shape): the
+        # default f//4 holds any view where <= a quarter of the pool
+        # survives the frustum; denser views overflow COUNTED and the
+        # caps ladder doubles the budget — never silent, never wrong.
+        ccap = compact_cap if compact_cap is not None \
+            else max(f // 4, 1 << 10)
+        ccap = min(raster_mod._round_up(ccap, 128) * caps_scale, f)
         face_ids, live, pair_inst, c_over = _compact_visible_faces(
             scene, frame.view_proj, ccap)
         inst_sign = _cull_sign_instance(scene)

@@ -97,7 +97,10 @@ class Renderer:
         capacity overflow (``needs_full``) falls back to a full rebuild.
         """
         assert self.scene is not None
-        cfg = self.config.sdf
+        # demand-scaled list caps (sticky once escalated: BuildState list
+        # shapes derive from the caps, so updates/scrolls must keep using
+        # the same effective config the build used)
+        cfg = getattr(self, "_sdf_cfg_effective", None) or self.config.sdf
         if focus is None:
             # reference recenters on the view position (RenderPass.cpp:934);
             # we additionally clamp into the scene AABB so a camera parked
@@ -133,9 +136,23 @@ class Renderer:
 
         if done is None:
             if binned:
+                centers = sdf_mod.default_centers(cfg, focus)
+                # demand pre-pass: scale the list caps so this build drops
+                # ZERO refs (counted overflow only beyond the auto-cap
+                # ceilings); Brixelizer budgets maxReferences the same way
+                # (Source/RenderPass.cpp:927-930)
+                cfg2 = sdf_build.demand_caps(self.scene, world, centers,
+                                             cfg)
+                if cfg2 is not cfg:
+                    log.info(
+                        "SDF list caps demand-scaled: cell %d -> %d, "
+                        "global %d -> %d", cfg.cell_list_cap,
+                        cfg2.cell_list_cap, cfg.global_list_cap,
+                        cfg2.global_list_cap)
+                    cfg = cfg2
+                    self._sdf_cfg_effective = cfg
                 cascades, state = sdf_build.build_for_scene(
-                    self.scene, world, sdf_mod.default_centers(cfg, focus),
-                    cfg)
+                    self.scene, world, centers, cfg)
                 done = (cascades, state, "rebuilt")
             else:
                 cascades = sdf_mod.build_for_scene(

@@ -678,15 +678,19 @@ def _is_list_op(v) -> bool:
 
 def _list_op_effective(op: dict) -> List[Any]:
     """Apply a decoded ListOp over an empty weaker list: explicitItems when
-    explicit, else prepended + added + appended with deleted removed —
-    the single-layer-stack evaluation SdfListOp::ApplyOperations does."""
+    explicit, else prepended + added + appended — the single-layer-stack
+    evaluation SdfListOp::ApplyOperations does.  ``deleted`` applies only
+    to the WEAKER (base) list, which is empty here, so it never filters
+    the layer's own prepend/add/append items (pxr semantics: a layer
+    authoring both append and delete of one item still appends it —
+    ADVICE r4); it is retained in the decoded record for any future
+    multi-layer composition."""
     if op.get("explicit"):
         items = list(op.get("explicitItems") or [])
     else:
         items = (list(op.get("prepended") or []) + list(op.get("added") or [])
                  + list(op.get("appended") or []))
-    deleted = op.get("deleted") or []
-    return [x for x in items if x is not None and x not in deleted]
+    return [x for x in items if x is not None]
 
 
 # prim-metadata keys that carry composition-arc list ops; decoded list-op
