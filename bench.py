@@ -169,11 +169,15 @@ def _gi_ms() -> dict:
         from vri_tpu.registry import bake_world
 
         world = bake_world(scene)
-        centers = sdf_mod.default_centers(cfg.sdf, r._cascade_focus)
+        # the renderer's DEMAND-SCALED caps (zero dropped refs); the
+        # BuildState list shapes derive from them, so the animated path
+        # must use the same effective config
+        eff = getattr(r, "_sdf_cfg_effective", None) or cfg.sdf
+        centers = sdf_mod.default_centers(eff, r._cascade_focus)
 
         def build():
             cas, st = sdf_build.build_for_scene(scene, world, centers,
-                                                cfg.sdf)
+                                                eff)
             _ = np.asarray(cas.num_bricks)
             return cas, st
         _progress("sdf build: compiling")
@@ -202,7 +206,7 @@ def _gi_ms() -> dict:
         def update():
             cas2, _, needs_full = sdf_build.update_for_scene(
                 cas, st, scene, world, dirty_tri, jnp.asarray(dlo),
-                jnp.asarray(dhi), cfg.sdf)
+                jnp.asarray(dhi), eff)
             assert int(np.asarray(needs_full)) == 0
             _ = np.asarray(cas2.num_bricks)
         _progress("sdf update: compiling")
@@ -211,9 +215,9 @@ def _gi_ms() -> dict:
         t0 = time.time()
         update()
         update_ms = (time.time() - t0 - 0.04) * 1e3
-        return build_ms, update_ms, cas, st
+        return build_ms, update_ms, cas, st, eff
 
-    def bench_anim(cas, st, h, band, iters=5):
+    def bench_anim(cas, st, eff, h, band, iters=5, shard_proxy=None):
         """ANIMATED production frame: bounded SDF update + radiance
         re-bake + temporal GI frame in ONE in-jit step per iteration —
         the reference's per-frame ffxBrixelizerUpdate inside the frame
@@ -224,7 +228,7 @@ def _gi_ms() -> dict:
 
         # the loop's carry must match render_frame_gi_dynamic's output
         # structure (baked cascades carry voxel_shade); bake the seed
-        cas = sdf_mod.bake_brick_lighting(cas, scene, config=cfg.sdf,
+        cas = sdf_mod.bake_brick_lighting(cas, scene, config=eff,
                                           alive=st.alive)
         ni = int(scene.num_instances)
         ext = (np.asarray(scene.instance_aabb_hi)
@@ -256,9 +260,9 @@ def _gi_ms() -> dict:
                 aovs, ts2, cas2, st2, nf = frame_mod.render_frame_gi_dynamic(
                     scene_i, fp, cas_c, st_c,
                     jax.random.fold_in(key, i), ts, dirty_tri, dlo, dhi,
-                    height=h, width=WIDTH, config=cfg.sdf,
+                    height=h, width=WIDTH, config=eff,
                     backend="raster", samples=1, use_cache=True,
-                    gi_scale=2, band=band)
+                    gi_scale=2, band=band, shard_proxy=shard_proxy)
                 return (cas2, st2, ts2,
                         acc + jnp.sum(aovs["color"]) * 1e-20,
                         nf_acc + nf)
@@ -283,16 +287,27 @@ def _gi_ms() -> dict:
     out["gi_band135_ms"] = round(bench(136, (472, HEIGHT)), 1)
     out["gi_fullrate_ms"] = round(bench_fullrate(), 1)
     try:
-        build_ms, update_ms, cas, st = bench_sdf()
+        build_ms, update_ms, cas, st, eff = bench_sdf()
         out["sdf_build_ms"] = round(build_ms, 1)
         out["sdf_update_ms"] = round(update_ms, 1)
+        # SDF completeness (VERDICT r4 #3/#8): demand-scaled caps must
+        # build the bench scene with ZERO dropped refs
+        out["sdf_list_drops"] = int(np.asarray(st.list_overflow))
+        out["sdf_caps"] = [eff.cell_list_cap, eff.global_list_cap]
     except Exception as e:                         # pragma: no cover
         out["sdf_error"] = repr(e)[:200]
         return out
     try:
-        out["gi_anim_ms"] = round(bench_anim(cas, st, HEIGHT, None), 1)
+        out["gi_anim_ms"] = round(bench_anim(cas, st, eff, HEIGHT, None),
+                                  1)
         out["gi_anim_band_ms"] = round(
-            bench_anim(cas, st, 136, (472, HEIGHT)), 1)
+            bench_anim(cas, st, eff, 136, (472, HEIGHT)), 1)
+        # v5e-8 per-chip proxy of the SHARDED animated path (tiling.
+        # render_frame_tiled_dynamic, parity-tested vs replicated):
+        # update emit + bake march run one device's 1/8 slice
+        out["gi_anim_band8_ms"] = round(
+            bench_anim(cas, st, eff, 136, (472, HEIGHT), shard_proxy=8),
+            1)
     except Exception as e:                         # pragma: no cover
         out["gi_anim_error"] = repr(e)[:200]
     return out

@@ -394,3 +394,88 @@ class TestShardedBuild:
                         out_specs=P("tiles"), check_vma=False)(
             jnp.asarray(occ))
         np.testing.assert_array_equal(np.asarray(out), dense)
+
+
+class TestShardedDynamic:
+    """Sharded animated frame (VERDICT r4 #2): the bounded SDF update's
+    emit and the incremental radiance bake split over the mesh with one
+    all_gather each; the resulting cascades must be BIT-IDENTICAL to the
+    replicated single-chip update, and the frame must match the
+    single-chip dynamic frame."""
+
+    BCFG = SDFConfig(num_cascades=2, cascade_resolution=32,
+                     base_voxel_size=0.1, max_bricks=8192,
+                     truncation_voxels=2.0, max_triangles_per_brick=16,
+                     update_cell_cap=2048, update_brick_cap=8192,
+                     update_tri_cap=512, bake_brick_cap=8192)
+
+    def _animated_setup(self):
+        from vri_tpu.ops import sdf as sdf_mod
+        from vri_tpu.ops import sdf_build
+        from vri_tpu.passes import frame as frame_mod
+        from vri_tpu.registry import bake_world
+
+        h, w = 64, 16
+        r = Renderer(RenderConfig(width=w, height=h, sdf=self.BCFG))
+        r.load_stage(scenes.cornell_box())
+        scene = r.scene
+        world = bake_world(scene)
+        centers = sdf_mod.default_centers(self.BCFG, np.zeros(3))
+        cas, st = sdf_build.build_for_scene(scene, world, centers,
+                                            self.BCFG)
+        cas = sdf_mod.bake_brick_lighting(cas, scene, config=self.BCFG,
+                                          alive=st.alive)
+        # move the smallest instance (a box) by a fraction of a voxel
+        ni = int(scene.num_instances)
+        ext = (np.asarray(scene.instance_aabb_hi)
+               - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)
+        k = int(np.argmin(ext))
+        off = np.array([0.12, 0.0, 0.08], np.float32)
+        xf = np.asarray(scene.instance_transform).copy()
+        xf[k, :3, 3] += off
+        scene2 = scene.replace(instance_transform=jnp.asarray(xf))
+        dirty_tri = jnp.asarray(
+            np.asarray(scene.tri_instance) == k)
+        dlo = np.full((4, 3), 3.0e38, np.float32)
+        dhi = np.full((4, 3), -3.0e38, np.float32)
+        dlo[0] = np.asarray(scene.instance_aabb_lo[k])
+        dhi[0] = np.asarray(scene.instance_aabb_hi[k])
+        dlo[1] = dlo[0] + off
+        dhi[1] = dhi[0] + off
+        fp = FrameParams.from_camera(r.camera, h)
+        st_t = frame_mod.init_temporal(h, w, 1)
+        return (scene2, fp, cas, st, jnp.asarray(dlo), jnp.asarray(dhi),
+                dirty_tri, st_t, h, w)
+
+    def test_matches_single_chip(self, mesh8):
+        from vri_tpu.passes import frame as frame_mod
+
+        (scene2, fp, cas, bst, dlo, dhi, dirty_tri, st_t, h, w) = \
+            self._animated_setup()
+        key = jax.random.PRNGKey(0)
+        aovs_s, _, cas_s, bst_s, nf_s = frame_mod.render_frame_gi_dynamic(
+            scene2, fp, cas, bst, key, st_t, dirty_tri, dlo, dhi,
+            height=h, width=w, config=self.BCFG, backend="brute",
+            samples=0, use_cache=True, gi_scale=1)
+        aovs_t, _, cas_t, bst_t, nf_t = tiling.render_frame_tiled_dynamic(
+            scene2, fp, cas, bst, key, st_t, dirty_tri, dlo, dhi,
+            mesh=mesh8, height=h, width=w, config=self.BCFG,
+            backend="brute", samples=0, use_cache=True, gi_scale=1,
+            halo_rows=1)
+        assert int(nf_s) == 0 and int(nf_t) == 0
+        # the sharded update + bake must reproduce the replicated one
+        # BIT-EXACTLY (same per-brick math, split + all_gathered)
+        np.testing.assert_array_equal(np.asarray(cas_t.atlas),
+                                      np.asarray(cas_s.atlas))
+        np.testing.assert_array_equal(np.asarray(cas_t.brick_map),
+                                      np.asarray(cas_s.brick_map))
+        np.testing.assert_array_equal(np.asarray(cas_t.brick_irradiance),
+                                      np.asarray(cas_s.brick_irradiance))
+        np.testing.assert_array_equal(np.asarray(cas_t.voxel_shade),
+                                      np.asarray(cas_s.voxel_shade))
+        np.testing.assert_array_equal(np.asarray(bst_t.alive),
+                                      np.asarray(bst_s.alive))
+        # frame parity (deterministic samples=0 tier)
+        np.testing.assert_allclose(np.asarray(aovs_t["color"]),
+                                   np.asarray(aovs_s["color"]),
+                                   rtol=1e-4, atol=1e-4)

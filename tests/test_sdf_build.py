@@ -281,3 +281,55 @@ class TestDemandCaps:
         scene = type("S", (), {"tri_vertices": tv,
                                "num_faces": jnp.int32(8)})()
         assert sdf_build.demand_caps(scene, wv, centers, cfg) is cfg
+
+
+class TestIncrementalBake:
+    """Incremental radiance bake (animated frames): re-march shadows only
+    at payload-dirty + shadow-segment-dirty bricks; everything else keeps
+    its baked values and must match a full re-bake exactly."""
+
+    def test_partial_bake_matches_full(self, cornell):
+        scene, world = cornell
+        centers = sdf.default_centers(CFG, jnp.zeros(3))
+        cas0, st0 = sdf_build.build_cascades_binned(
+            world, scene.tri_vertices, scene.num_faces, centers, config=CFG)
+        cas0 = sdf.bake_brick_lighting(cas0, scene, config=CFG,
+                                       alive=st0.alive)
+        ni = int(scene.num_instances)
+        ext = (np.asarray(scene.instance_aabb_hi)
+               - np.asarray(scene.instance_aabb_lo))[:ni].max(-1)
+        inst = int(np.argmin(ext))
+        w1, dirty, dlo, dhi = _move_instance(scene, world, inst,
+                                             (0.15, 0.0, 0.1))
+        cas1, st1, needs_full = sdf_build.update_cascades(
+            cas0, st0, w1, scene.tri_vertices, scene.num_faces, dirty,
+            dlo, dhi, config=CFG)
+        assert int(needs_full) == 0
+        ref = sdf.bake_brick_lighting(cas1, scene, config=CFG,
+                                      alive=st1.alive)
+        mask = st1.emit_bricks | sdf.lighting_dirty_bricks(
+            cas1, scene, dlo, dhi, config=CFG)
+        par, drop = sdf.bake_brick_lighting_partial(
+            cas1, scene, mask, st1.alive, config=CFG,
+            cap=CFG.bake_brick_cap)
+        assert int(drop) == 0
+        np.testing.assert_allclose(np.asarray(par.brick_irradiance),
+                                   np.asarray(ref.brick_irradiance),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(par.brick_light_vis),
+                                   np.asarray(ref.brick_light_vis),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(par.voxel_shade),
+                                      np.asarray(ref.voxel_shade))
+
+    def test_partial_bake_overflow_counted(self, cornell):
+        scene, world = cornell
+        centers = sdf.default_centers(CFG, jnp.zeros(3))
+        cas0, st0 = sdf_build.build_cascades_binned(
+            world, scene.tri_vertices, scene.num_faces, centers, config=CFG)
+        cas0 = sdf.bake_brick_lighting(cas0, scene, config=CFG,
+                                       alive=st0.alive)
+        mask = jnp.ones((cas0.atlas.shape[0],), bool)
+        _, drop = sdf.bake_brick_lighting_partial(
+            cas0, scene, mask, st0.alive, config=CFG, cap=4)
+        assert int(drop) > 0

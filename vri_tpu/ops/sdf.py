@@ -458,6 +458,125 @@ def bake_brick_lighting(cascades: "SDFCascades", scene, *,
                             voxel_shade=vshade)
 
 
+def lighting_dirty_bricks(cascades: "SDFCascades", scene, dirty_lo,
+                          dirty_hi, *, config: SDFConfig,
+                          distant_reach: float = 1.0e3) -> jnp.ndarray:
+    """Conservative (max_bricks,) mask of bricks whose BAKED direct
+    lighting can change when geometry confined to the ``dirty_lo/hi``
+    AABBs moved: the brick's shadow segment (surface point -> each
+    light) intersects a dirty box, so the moved geometry may newly block
+    or unblock it.  Padded dead boxes (+BIG/-BIG lo>hi) fail the slab
+    test for free.  Distant lights use a ``distant_reach`` segment along
+    the light direction.  Scanned over boxes so peak memory stays at
+    (bricks, lights, 3)."""
+    from vri_tpu.ops import gi as gi_mod
+
+    centers, _ = brick_positions(cascades, config)
+    lp, lc, li, lt = gi_mod._light_arrays(scene)
+    is_distant = (lt == 1)[None, :, None]
+    p0 = centers[:, None, :]                                # (B, L, 3)
+    end = jnp.where(is_distant, p0 + lp[None, :, :] * distant_reach,
+                    jnp.broadcast_to(lp[None, :, :], p0.shape))
+    d = end - p0
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+
+    # moved geometry reshapes the FIELD out to the truncation distance of
+    # the coarsest cascade — inflate the boxes so a segment grazing the
+    # changed field (not just the changed surface) is caught.  Dead pad
+    # boxes stay inverted (+BIG/-BIG) under a finite inflate.
+    reach = config.truncation_voxels * config.voxel_size(
+        config.num_cascades - 1)
+
+    def one_box(mask, box):
+        lo, hi = box[0] - reach, box[1] + reach
+        t1 = (lo[None, None, :] - p0) * inv
+        t2 = (hi[None, None, :] - p0) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)        # (B, L)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0)
+        return mask | jnp.any(hit, axis=-1), None
+
+    boxes = jnp.stack([dirty_lo, dirty_hi], axis=1)         # (D, 2, 3)
+    mask0 = jnp.zeros((centers.shape[0],), bool)
+    mask, _ = jax.lax.scan(one_box, mask0, boxes)
+    return mask
+
+
+@functools.partial(jax.jit, static_argnames=("config", "shadow_steps",
+                                             "cap", "axis_name"))
+def bake_brick_lighting_partial(cascades: "SDFCascades", scene, mask,
+                                alive, *, config: SDFConfig,
+                                cap: int = 16384, shadow_steps: int = 32,
+                                axis_name: tuple | None = None):
+    """Re-bake irradiance/visibility for ONLY the bricks in ``mask``
+    (payload-dirty ∪ lighting-dirty — the animated-frame path); all
+    other bricks keep their baked values, so the per-frame shadow-march
+    cost scales with the dirty set instead of the whole atlas (the full
+    bake marches every one of max_bricks points).  Returns
+    (cascades, dropped): ``dropped`` > 0 means the compacted set
+    exceeded ``cap`` and the caller must fall back to the full bake
+    (counted, never silent).  The voxel-shade table rebuilds from the
+    merged brick rows exactly as the full bake does."""
+    from vri_tpu.ops import gi as gi_mod
+
+    sel = mask & alive
+    pos = jnp.nonzero(sel, size=cap, fill_value=-1)[0]
+    dropped = jnp.maximum(jnp.sum(sel.astype(jnp.int32)) - cap, 0)
+    ids = jnp.maximum(pos, 0)
+    centers, _ = brick_positions(cascades, config)
+    bake_pos = pos
+    if axis_name is not None:
+        # shard the compacted re-bake rows over the mesh axis (the shadow
+        # march per point is the whole cost); one tiled all_gather merges.
+        # ``(None, n)`` = single-chip measurement proxy: slice 0 of n,
+        # scattered alone (see sdf_build._apply_dirty_cells)
+        ax, n_shard = axis_name
+        assert cap % n_shard == 0
+        per = cap // n_shard
+        i0 = (jax.lax.axis_index(ax) if ax is not None
+              else jnp.int32(0)) * per
+        my = jax.lax.dynamic_slice_in_dim(ids, i0, per, 0)
+        c = centers[my]
+        nrm = cascades.brick_normal[my]
+        bias = gi_mod.surface_bias(c, cascades, config)[:, None]
+        pts = c + nrm * bias
+        irr, vis = gi_mod.direct_radiance(pts, nrm, scene, cascades,
+                                          config,
+                                          shadow_steps=shadow_steps,
+                                          return_visibility=True)
+        if ax is not None:
+            irr = jax.lax.all_gather(irr, ax, axis=0, tiled=True)
+            vis = jax.lax.all_gather(vis, ax, axis=0, tiled=True)
+        else:
+            bake_pos = jax.lax.dynamic_slice_in_dim(pos, i0, per, 0)
+    else:
+        c = centers[ids]
+        nrm = cascades.brick_normal[ids]
+        bias = gi_mod.surface_bias(c, cascades, config)[:, None]
+        pts = c + nrm * bias
+        irr, vis = gi_mod.direct_radiance(pts, nrm, scene, cascades,
+                                          config,
+                                          shadow_steps=shadow_steps,
+                                          return_visibility=True)
+    nb = cascades.atlas.shape[0]
+    tgt = jnp.where(bake_pos >= 0, jnp.maximum(bake_pos, 0), nb)
+    irr_all = cascades.brick_irradiance.at[tgt].set(irr, mode="drop")
+    vis_all = cascades.brick_light_vis.at[tgt].set(vis, mode="drop")
+    irr_all = jnp.where(alive[:, None], irr_all, 0.0)
+    vis_all = jnp.where(alive[:, None], vis_all, 1.0)
+    shade = jnp.concatenate(
+        [cascades.brick_albedo, cascades.brick_normal, irr_all,
+         cascades.brick_emissive, jnp.zeros((nb, 4), jnp.float32)],
+        axis=1)
+    shade = jnp.where(alive[:, None], shade, 0.0)
+    bm = cascades.brick_map.reshape(-1)
+    vshade = jnp.where((bm >= 0)[:, None], shade[jnp.maximum(bm, 0)],
+                       0.0).astype(jnp.bfloat16)
+    return cascades.replace(brick_irradiance=irr_all,
+                            brick_light_vis=vis_all,
+                            voxel_shade=vshade), dropped
+
+
 def build_for_scene(scene, world_verts, focus, config: SDFConfig,
                     **kw) -> SDFCascades:
     centers = default_centers(config, focus)

@@ -69,6 +69,11 @@ class BuildState:
     glob_rows: jnp.ndarray    # (N, Kg, ROW) f32
     alive: jnp.ndarray        # (max_bricks,) bool — atlas slot in use
     list_overflow: jnp.ndarray  # () i32 — refs dropped at capacity
+    # (max_bricks,) bool — bricks whose payload the LAST build/update
+    # emitted (full build: every live brick).  The incremental radiance
+    # bake re-bakes exactly these plus the shadow-segment-dirty set
+    # (sdf.bake_brick_lighting_partial) instead of the whole atlas.
+    emit_bricks: jnp.ndarray = None
 
 
 def _tri_table(a, b, c, valid):
@@ -497,7 +502,7 @@ def build_cascades_binned(world_verts, tri_vertices, num_faces, centers, *,
     state = BuildState(cell_tris=cell_tris, cell_count=cell_count,
                        cell_rows=cell_rows, glob_tris=glob_tris,
                        glob_rows=glob_rows, alive=alive,
-                       list_overflow=overflow)
+                       list_overflow=overflow, emit_bricks=alive)
 
     # -- 4. emit -------------------------------------------------------------
     num_blocks = max_bricks // brick_block
@@ -556,7 +561,8 @@ def _apply_dirty_cells(cascades: SDFCascades, state: BuildState,
                        cell_ids, new_tris, new_count, a, b, c, valid,
                        tri_n, tri_albedo, tri_emissive, table,
                        origins, vs, config: SDFConfig, brick_block: int,
-                       dirty_lo=None, dirty_hi=None):
+                       dirty_lo=None, dirty_hi=None,
+                       axis_name: tuple | None = None):
     """Shared bounded-update core: install new lists for ``cell_ids``
     (global cell ids, -1 padded, (C,)), diff occupancy, re-allocate bricks
     through the free-slot pool, re-emit affected bricks, refresh ESD +
@@ -664,16 +670,54 @@ def _apply_dirty_cells(cascades: SDFCascades, state: BuildState,
     if pad:
         ebrick = jnp.concatenate([ebrick, jnp.full((pad,), -1, jnp.int32)])
     nb = ebrick.shape[0] // brick_block
+    # record the emitted set for the incremental radiance bake
+    state = state.replace(emit_bricks=jnp.zeros(
+        (max_bricks,), bool).at[jnp.where(ebrick >= 0, ebrick,
+                                          max_bricks)].set(
+        True, mode="drop"))
     cascades = cascades.replace(brick_map=brick_map, brick_voxel=brick_voxel,
                                 num_bricks=num_bricks,
                                 overflow=cascades.overflow + brick_overflow)
-    blocks, albs, emis, nrms, near_drop = _emit_blocks(
-        jnp.maximum(ebrick, 0).reshape(nb, brick_block),
-        (ebrick >= 0).reshape(nb, brick_block),
-        brick_voxel, state, origins, vs, a, b, c, valid,
-        tri_albedo, tri_emissive, tri_n, config, brick_block)
+    emit_targets = ebrick
+    if axis_name is not None:
+        # SHARDED EMIT (the animated multi-chip path, VERDICT r4 #2):
+        # inside shard_map every device re-derives the identical lists /
+        # allocation / brick map (cheap, replicated by determinism), but
+        # the expensive per-brick emit — the bounded update's cost floor,
+        # proportional to the PADDED update_brick_cap — splits 1/n per
+        # device; one tiled all_gather rebuilds the replicated block set
+        # (Ecap x 512 B of atlas payload — ICI noise).
+        # ``axis_name=(None, n)`` is the single-chip MEASUREMENT PROXY:
+        # emit slice 0 of n and scatter only it (no mesh available) —
+        # exactly one device's share of the sharded path's work, used by
+        # bench.py's v5e-8 animated band proxy.
+        ax, n_shard = axis_name
+        assert nb % n_shard == 0, \
+            f"update_brick_cap blocks {nb} must divide over {n_shard} devices"
+        per = nb // n_shard
+        idx = jax.lax.axis_index(ax) if ax is not None else jnp.int32(0)
+        eb2 = ebrick.reshape(nb, brick_block)
+        my = jax.lax.dynamic_slice_in_dim(eb2, idx * per, per, 0)
+        blocks, albs, emis, nrms, near_drop = _emit_blocks(
+            jnp.maximum(my, 0), my >= 0,
+            brick_voxel, state, origins, vs, a, b, c, valid,
+            tri_albedo, tri_emissive, tri_n, config, brick_block)
+        if ax is not None:
+            gather = lambda x: jax.lax.all_gather(x, ax, axis=0,
+                                                  tiled=True)
+            blocks, albs, emis, nrms = map(gather,
+                                           (blocks, albs, emis, nrms))
+            near_drop = jax.lax.psum(jnp.sum(near_drop), ax)
+        else:
+            emit_targets = my.reshape(-1)
+    else:
+        blocks, albs, emis, nrms, near_drop = _emit_blocks(
+            jnp.maximum(ebrick, 0).reshape(nb, brick_block),
+            (ebrick >= 0).reshape(nb, brick_block),
+            brick_voxel, state, origins, vs, a, b, c, valid,
+            tri_albedo, tri_emissive, tri_n, config, brick_block)
     bsz = config.brick_size
-    tgt = jnp.where(ebrick >= 0, ebrick, max_bricks)
+    tgt = jnp.where(emit_targets >= 0, emit_targets, max_bricks)
     atlas = cascades.atlas.at[tgt].set(
         blocks.reshape(-1, bsz, bsz, bsz), mode="drop")
     brick_albedo = cascades.brick_albedo.at[tgt].set(
@@ -692,12 +736,14 @@ def _apply_dirty_cells(cascades: SDFCascades, state: BuildState,
     return cascades, state, emit_overflow
 
 
-@functools.partial(jax.jit, static_argnames=("config", "brick_block"))
+@functools.partial(jax.jit, static_argnames=("config", "brick_block",
+                                             "axis_name"))
 def update_cascades(cascades: SDFCascades, state: BuildState,
                     world_verts, tri_vertices, num_faces,
                     dirty_tri_mask, dirty_lo, dirty_hi, *,
                     tri_albedo=None, tri_emissive=None, config: SDFConfig,
-                    brick_block: int = 256):
+                    brick_block: int = 256,
+                    axis_name: tuple | None = None):
     """Bounded incremental cascade update.
 
     ``dirty_tri_mask`` (F,) marks triangles whose data changed;
@@ -815,7 +861,8 @@ def update_cascades(cascades: SDFCascades, state: BuildState,
     cascades, state, emit_overflow = _apply_dirty_cells(
         cascades, state, cell_ids, new_tris, new_count, a, b, c, valid,
         tri_n, tri_albedo, tri_emissive, table, origins, vs, config,
-        brick_block, dirty_lo=dirty_lo, dirty_hi=dirty_hi)
+        brick_block, dirty_lo=dirty_lo, dirty_hi=dirty_hi,
+        axis_name=axis_name)
     needs_full += emit_overflow
     return cascades, state, needs_full
 

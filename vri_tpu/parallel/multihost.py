@@ -171,14 +171,14 @@ def render_frame_tiled_2d(scene: SceneBuffers, frame: FrameParams, cascades,
         o = jnp.broadcast_to(frame.eye, d.shape).reshape(-1, 3)
         d = d.reshape(-1, 3)
 
-        if backend == "raster":
-            from vri_tpu.ops import rasterize as raster_mod
-
-            hit, _ = raster_mod.rasterize_binned(
-                world, scene.tri_vertices, scene.num_faces, frame.view_proj,
-                height=band_h, width=width, proj_height=height,
-                y_offset=(dev * band_h).astype(jnp.float32),
-                cull_sign=frame_mod._cull_sign(scene))
+        if backend.startswith("raster"):
+            # production raster tier selector, same as the single-chip
+            # and 1-D sharded paths (VERDICT r4 #5)
+            variant, caps_scale = frame_mod._raster_variant(backend)
+            hit = frame_mod._visibility_raster(
+                scene, world, frame, band_h, width, variant=variant,
+                caps_scale=caps_scale, y0=dev * band_h,
+                proj_height=height)
         else:
             v0, e1, e2 = gather_triangles(world, scene.tri_vertices)
             hit = trace_brute(o, d, v0, e1, e2, scene.num_faces,

@@ -156,8 +156,19 @@ def _compact_visible_faces(scene: SceneBuffers, view_proj, cap: int):
     return face_ids, jnp.minimum(total, cap), sid, overflow
 
 
+def _y_off(y0):
+    """Traced-or-static y offset -> raster ``y_offset`` arg (None = 0).
+    Sharded bands pass a TRACED ``dev * band_h``; the single-chip band
+    path passes a static int."""
+    if y0 is None:
+        return None
+    if isinstance(y0, (int, float)):
+        return jnp.float32(y0) if y0 else None
+    return jnp.asarray(y0, jnp.float32)
+
+
 def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
-                       width, variant: str = "auto", y0: int = 0,
+                       width, variant: str = "auto", y0=0,
                        proj_height: int | None = None,
                        caps_scale: int = 1, lod_tau: float = 0.75,
                        cull_instances: bool | None = None,
@@ -213,7 +224,7 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
             frame.view_proj, height=height, width=width,
             proj_height=proj_height,
             cull_sign=None if inst_sign is None else inst_sign[pair_inst],
-            y_offset=jnp.float32(y0) if y0 else None,
+            y_offset=_y_off(y0),
             caps_scale=caps_scale, src_map=face_ids)
         return hit.replace(overflow=hit.overflow
                            + (c_over > 0).astype(jnp.int32))
@@ -238,7 +249,7 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
     hit, _ = fn(world_verts, scene.tri_vertices, num_faces,
                 frame.view_proj, height=height, width=width,
                 proj_height=proj_height, cull_sign=_cull_sign(scene),
-                y_offset=jnp.float32(y0) if y0 else None, **kw)
+                y_offset=_y_off(y0), **kw)
     return hit
 
 
@@ -615,6 +626,63 @@ def _reproject(state: TemporalState, position, normal, valid, height: int,
     return jnp.where(ok[:, None], h_ind, 0.0), jnp.where(ok, h_count, 0.0)
 
 
+def gi_band_inputs(scene: SceneBuffers, frame: FrameParams, cascades, key,
+                   *, height: int, width: int, config,
+                   backend: str = "raster", samples: int = 1,
+                   use_cache: bool = False, gi_scale: int = 1,
+                   lod_tau: float = 0.75, y0=0,
+                   proj_height: int | None = None):
+    """ONE shared frame body for every GI-temporal path — the single-chip
+    band renderer (render_frame_gi_temporal) and the sharded bodies
+    (parallel/tiling.py, parallel/multihost.py) all call this, so the
+    sharded frame runs the PRODUCTION raster tier selector and the exact
+    single-chip shading (VERDICT r4 #5: the shard bodies hand-duplicated
+    this code around a hard-coded rasterize_binned).
+
+    Covers raygen -> visibility -> G-buffer -> full-rate direct ->
+    gi-resolution indirect sample.  ``y0`` may be TRACED (sharded bands
+    pass dev * band_h).  Returns (hit, gb, direct, sub, valid_s, ind)
+    where ``sub``/``valid_s`` are the gi-resolution view the temporal
+    blend consumes (== gb when gi_scale == 1)."""
+    from vri_tpu.ops import gi as gi_mod
+
+    world_verts = bake_world(scene)
+    origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
+                                       height, width, y0=y0,
+                                       proj_height=proj_height)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    if backend.startswith("raster"):
+        variant, caps_scale = _raster_variant(backend)
+        hit = _visibility_raster(
+            scene, world_verts, frame, height, width,
+            variant=variant, caps_scale=caps_scale,
+            y0=y0, proj_height=proj_height, lod_tau=lod_tau)
+    else:
+        hit = _visibility_brute(scene, world_verts, o, d)
+    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
+                                 pixel_spread=frame.pixel_spread)
+    t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
+    gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
+    direct = _direct_lighting(gb, scene, cascades, config, height, width)
+    if gi_scale > 1:
+        assert height % gi_scale == 0 and width % gi_scale == 0, \
+            "gi_scale must divide the frame (use an even band height)"
+        sub, valid_s = _subsample_pn(gb, height, width, gi_scale)
+    else:
+        sub, valid_s = gb, gb.valid
+    ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
+                                   config=config, samples=samples,
+                                   use_cache=use_cache)
+    return hit, gb, direct, sub, valid_s, ind
+
+
+def temporal_blend(ind, h_ind, h_count, history_cap: float):
+    """History blend shared by single-chip and sharded paths."""
+    count = jnp.minimum(h_count, history_cap) + 1.0
+    return h_ind + (ind - h_ind) / count[:, None], count
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "config",
                                              "backend", "samples",
                                              "use_cache", "gi_scale",
@@ -640,39 +708,18 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
     across band borders restarts accumulation, as it would on-device).
     Used to measure the v5e-8 per-chip frame time on one real chip.
     """
-    from vri_tpu.ops import gi as gi_mod
-
     y0, proj_h = band if band is not None else (0, None)
-    world_verts = bake_world(scene)
-    origins, dirs = raygen.camera_rays(frame.inv_view_proj, frame.eye,
-                                       height, width, y0=y0,
-                                       proj_height=proj_h)
-    o = origins.reshape(-1, 3)
-    d = dirs.reshape(-1, 3)
-    if backend.startswith("raster"):
-        variant, caps_scale = _raster_variant(backend)
-        hit = _visibility_raster(
-            scene, world_verts, frame, height, width,
-            variant=variant, caps_scale=caps_scale,
-            y0=y0, proj_height=proj_h, lod_tau=lod_tau)
-    else:
-        hit = _visibility_brute(scene, world_verts, o, d)
-    gb = shading.resolve_gbuffer(scene, world_verts, hit, o, d,
-                                 pixel_spread=frame.pixel_spread)
-    t = jnp.linalg.norm(gb.position - frame.eye[None, :], axis=-1)
-    gb = gb.replace(depth=jnp.where(gb.valid, t, intersect.INF))
-
-    direct = _direct_lighting(gb, scene, cascades, config, height, width)
+    hit, gb, direct, sub, valid_s, ind = gi_band_inputs(
+        scene, frame, cascades, key, height=height, width=width,
+        config=config, backend=backend, samples=samples,
+        use_cache=use_cache, gi_scale=gi_scale, lod_tau=lod_tau,
+        y0=y0, proj_height=proj_h)
     if gi_scale <= 1:
-        ind = gi_mod.indirect_radiance(gb, scene, cascades, key,
-                                       config=config, samples=samples,
-                                       use_cache=use_cache)
         h_ind, h_count = _reproject(state, gb.position, gb.normal,
                                     gb.valid, height, width, y0=y0,
                                     proj_height=proj_h)
-        count = jnp.minimum(h_count, history_cap) + 1.0
-        ind_blend = h_ind + (ind - h_ind) / count[:, None]
-        t_s, n_s = t, gb.normal
+        ind_blend, count = temporal_blend(ind, h_ind, h_count, history_cap)
+        t_s, n_s = gb.depth, gb.normal
         count_full = count
     else:
         # The ENTIRE temporal pipeline runs at GI resolution: the
@@ -681,19 +728,13 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
         # by gi_scale^2 (4 taps x 10.2 ms at 1080p, measured) for zero
         # added signal.  History state, reprojection, validation and the
         # blend all live at (H/s, W/s); the blended term upsamples once.
-        assert height % gi_scale == 0 and width % gi_scale == 0, \
-            "gi_scale must divide the frame (use an even band height)"
-        sub, valid_s = _subsample_pn(gb, height, width, gi_scale)
-        ind = gi_mod.indirect_radiance(sub, scene, cascades, key,
-                                       config=config, samples=samples,
-                                       use_cache=use_cache)
         hs, ws = height // gi_scale, width // gi_scale
         h_ind, h_count = _reproject(
             state, sub.position, sub.normal, valid_s, hs, ws,
             y0=y0 // gi_scale,
             proj_height=None if proj_h is None else proj_h // gi_scale)
-        count = jnp.minimum(h_count, history_cap) + 1.0
-        ind_blend_s = h_ind + (ind - h_ind) / count[:, None]
+        ind_blend_s, count = temporal_blend(ind, h_ind, h_count,
+                                            history_cap)
         t_s = jnp.linalg.norm(sub.position - frame.eye[None, :], axis=-1)
         n_s = sub.normal
         ind_blend = _upsample(ind_blend_s, hs, ws, gi_scale)
@@ -723,7 +764,8 @@ def render_frame_gi_temporal(scene: SceneBuffers, frame: FrameParams,
                                              "backend", "samples",
                                              "use_cache", "gi_scale",
                                              "history_cap", "band",
-                                             "lod_tau", "rebake"))
+                                             "lod_tau", "rebake",
+                                             "shard_proxy"))
 def render_frame_gi_dynamic(scene: SceneBuffers, frame: FrameParams,
                             cascades, build_state, key,
                             state: TemporalState, dirty_tri, dirty_lo,
@@ -731,7 +773,8 @@ def render_frame_gi_dynamic(scene: SceneBuffers, frame: FrameParams,
                             backend: str = "raster", samples: int = 1,
                             use_cache: bool = False, gi_scale: int = 1,
                             history_cap: float = 16.0, band=None,
-                            lod_tau: float = 0.75, rebake: bool = True):
+                            lod_tau: float = 0.75, rebake: bool = True,
+                            shard_proxy: int | None = None):
     """One ANIMATED production frame: bounded SDF cascade update + radiance
     re-bake + temporal GI frame, all inside one jit — the analog of the
     reference running ``ffxBrixelizerBakeUpdate``/``Update`` inside every
@@ -758,17 +801,35 @@ def render_frame_gi_dynamic(scene: SceneBuffers, frame: FrameParams,
     from vri_tpu.ops import sdf as sdf_mod
     from vri_tpu.ops import sdf_build
 
+    # shard_proxy=n: single-chip MEASUREMENT PROXY of the n-way sharded
+    # animated path (parallel/tiling.render_frame_tiled_dynamic) — the
+    # update emits and the bake marches exactly ONE device's 1/n slice
+    # (no mesh needed), so bench.py can time the per-chip body of the
+    # v5e-8 animated frame on the one real chip.  NOT a production mode:
+    # the atlas only receives the slice.
+    ax = (None, shard_proxy) if shard_proxy else None
     world_verts = bake_world(scene)
     mat = scene.instance_material[scene.tri_instance]
     cascades, build_state, needs_full = sdf_build.update_cascades(
         cascades, build_state, world_verts, scene.tri_vertices,
         scene.num_faces, dirty_tri, dirty_lo, dirty_hi,
         tri_albedo=scene.mat_base_color[mat],
-        tri_emissive=scene.mat_emissive[mat], config=config)
+        tri_emissive=scene.mat_emissive[mat], config=config,
+        axis_name=ax)
     if rebake:
-        cascades = sdf_mod.bake_brick_lighting(cascades, scene,
-                                               config=config,
-                                               alive=build_state.alive)
+        # INCREMENTAL radiance bake: re-march shadows only at bricks the
+        # update re-emitted plus bricks whose shadow segment crosses a
+        # dirty AABB — the whole-atlas re-bake (max_bricks shadow
+        # marches/frame) was the second-largest term of the round-4
+        # animated frame.  Overflow of the compacted set folds into
+        # needs_full (the caller's full-rebuild escalation re-bakes all).
+        light_dirty = sdf_mod.lighting_dirty_bricks(
+            cascades, scene, dirty_lo, dirty_hi, config=config)
+        cascades, bake_drop = sdf_mod.bake_brick_lighting_partial(
+            cascades, scene, build_state.emit_bricks | light_dirty,
+            build_state.alive, config=config,
+            cap=config.bake_brick_cap, axis_name=ax)
+        needs_full = needs_full + bake_drop
     aovs, new_state = render_frame_gi_temporal(
         scene, frame, cascades, key, state, height=height, width=width,
         config=config, backend=backend, samples=samples,
