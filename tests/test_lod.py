@@ -281,3 +281,45 @@ def test_render_lod_quality_and_tau_zero_parity(lod_scene):
     # depth-key quantization ties at coplanar shared edges)
     frac_diff = (np.abs(c0 - cb).max(-1) > 1e-3).mean()
     assert frac_diff < 0.005
+
+
+class TestBaseView:
+    """Chains-free base_view (VERDICT r4 #6): the SDF/brute paths consume
+    a sliced base-prefix pool so pool-proportional passes never see the
+    LOD tail; the renderer's production SDF path rides it."""
+
+    def test_view_slices_base_prefix(self, lod_scene):
+        _, scene = lod_scene
+        v = scene.base_view()
+        base = int(scene.num_faces)
+        assert v.tri_vertices.shape[0] < scene.tri_vertices.shape[0]
+        assert v.tri_vertices.shape[0] >= base
+        assert v.tri_lod is None and v.num_faces_total is None
+        np.testing.assert_array_equal(
+            np.asarray(v.tri_vertices),
+            np.asarray(scene.tri_vertices)[:v.tri_vertices.shape[0]])
+        assert int(v.num_faces) == base
+        # no LOD -> identity
+        d0 = RenderDelegate(RenderConfig(width=32, height=32))
+        d0.populate(scenes.cornell_box())
+        s0 = d0.sync()
+        assert s0.base_view() is s0
+
+    def test_renderer_sdf_rides_base_view(self, lod_scene):
+        """The production ensure_cascades path builds from the sliced
+        pool: same bricks as a build from the full LOD pool, through the
+        Renderer facade (the r4 city crash path)."""
+        from vri_tpu.config import SDFConfig
+        from vri_tpu.renderer import Renderer
+        import dataclasses
+
+        cfg = dataclasses.replace(SDFConfig.preset("tiny"),
+                                  cell_list_cap=256, global_list_cap=512)
+        r = Renderer(RenderConfig(width=64, height=48, lod_levels=2,
+                                  lod_min_faces=64, sdf=cfg))
+        r.load_stage(scenes.kitchen_stress(num_objects=16, tess=4))
+        assert r.scene.base_pool_len is not None
+        cas = r.ensure_cascades()
+        assert int(cas.num_bricks) > 0
+        aovs = r.render(gi=True, gi_scale=2)
+        assert np.isfinite(np.asarray(aovs["color"])).all()

@@ -120,13 +120,11 @@ bench_raster(0.0, "raster full-rate CULLED+compacted (cap 512k)",
 bench_raster(0.0, "raster full-rate UNCULLED (r4 baseline)  ", cull=False)
 bench_raster(0.75, "raster with LOD (lod_tau=.75, uncompacted)")
 
-# SDF build at an outdoor scale preset.  Use a chains-free pool: the
-# SDF build reads only base faces but pays padded-POOL passes, and the
-# LOD-expanded pool (4.2M padded faces -> ~50M binning pairs) exhausts
-# worker memory.
-d2 = RenderDelegate(RenderConfig(width=W, height=H, limits=lim))
-d2.populate(stage)
-scene = d2.sync()
+# SDF build through the PRODUCTION chains-free base view (round 5:
+# registry.SceneBuffers.base_view — the r4 workaround authored a second
+# LOD-free delegate because the LOD-expanded pool made the binner
+# allocate ~50M-pair arrays and crash the worker)
+scene = scene.base_view()
 world = bake_world(scene)
 from vri_tpu.ops import sdf, sdf_build
 

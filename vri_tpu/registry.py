@@ -109,6 +109,37 @@ class SceneBuffers:
     instance_lod_error: Optional[jnp.ndarray] = None
     #: () i32 face count including LOD levels
     num_faces_total: Optional[jnp.ndarray] = None
+    #: STATIC length of the base-face prefix of the expanded face pools
+    #: (the packing is [base | LOD tail | pad]); lets base_view() slice a
+    #: chains-free pool without a device round-trip.  None = no chains.
+    base_pool_len: Optional[int] = flax.struct.field(pytree_node=False,
+                                                     default=None)
+
+    def base_view(self) -> "SceneBuffers":
+        """Chains-free view of the scene: the expanded face pools sliced
+        to the base-geometry prefix, for consumers whose cost scales
+        with the POOL rather than the live count — the SDF builder's
+        pair emission allocates ``mult * pool`` rows, and the
+        LOD-expanded city pool (~2.7M slots) made it allocate ~50M-pair
+        arrays and crash the TPU worker (VERDICT r4 #6; the workaround
+        previously lived in tools/bench_scale.py).  The raster keeps the
+        full pool (LOD selection needs the chains); SDF / BVH / brute
+        consume this view.  Zero-copy semantics are XLA's problem — the
+        slices are static prefixes."""
+        if self.tri_lod is None or self.base_pool_len is None:
+            return self
+        n = self.base_pool_len
+        return self.replace(
+            tri_vertices=self.tri_vertices[:n],
+            tri_instance=self.tri_instance[:n],
+            tri_uv=(self.tri_uv[:n] if self.tri_proto is None
+                    else self.tri_uv),
+            tri_face=(self.tri_face[:n] if self.tri_proto is None
+                      else self.tri_face),
+            tri_proto=(None if self.tri_proto is None
+                       else self.tri_proto[:n]),
+            tri_lod=None, instance_lod_error=None, num_faces_total=None,
+            base_pool_len=None)
 
 
 def bake_world(scene: SceneBuffers) -> jnp.ndarray:
@@ -655,6 +686,8 @@ class ResourceRegistry:
                                 else jnp.asarray(lod_err)),
             num_faces_total=(None if tri_lod is None else jnp.asarray(
                 total_f + lod_f_expanded, jnp.int32)),
+            base_pool_len=(None if tri_lod is None
+                           else min(F, _round_up(total_f, lim.pad))),
         )
         log.info("registry commit: %d instances, %d verts (cap %d), "
                  "%d tris (cap %d), %d materials, %d textures, %d lights",

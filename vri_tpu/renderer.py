@@ -121,7 +121,11 @@ class Renderer:
             return self.cascades
 
         t0 = time.perf_counter()
-        world = bake_world(self.scene)
+        # SDF paths consume the chains-free base view: the builder's pair
+        # emission is POOL-proportional and the LOD-expanded pool crashed
+        # it at city scale (registry.SceneBuffers.base_view)
+        scene_b = self.scene.base_view()
+        world = bake_world(scene_b)
         binned = sdf_build.supports(cfg)
         done = None  # (cascades, state, label)
 
@@ -130,9 +134,9 @@ class Renderer:
             upd = self.delegate.registry.last_update
             if (stale and not moved and upd.get("kind") == "transforms"
                     and len(upd["dirty_instances"]) <= 32):
-                done = self._try_incremental(world, upd, cfg)
+                done = self._try_incremental(scene_b, world, upd, cfg)
             elif moved and not stale:
-                done = self._try_scroll(world, focus, cfg)
+                done = self._try_scroll(scene_b, world, focus, cfg)
 
         if done is None:
             if binned:
@@ -141,7 +145,7 @@ class Renderer:
                 # ZERO refs (counted overflow only beyond the auto-cap
                 # ceilings); Brixelizer budgets maxReferences the same way
                 # (Source/RenderPass.cpp:927-930)
-                cfg2 = sdf_build.demand_caps(self.scene, world, centers,
+                cfg2 = sdf_build.demand_caps(scene_b, world, centers,
                                              cfg)
                 if cfg2 is not cfg:
                     log.info(
@@ -152,11 +156,11 @@ class Renderer:
                     cfg = cfg2
                     self._sdf_cfg_effective = cfg
                 cascades, state = sdf_build.build_for_scene(
-                    self.scene, world, centers, cfg)
+                    scene_b, world, centers, cfg)
                 done = (cascades, state, "rebuilt")
             else:
                 cascades = sdf_mod.build_for_scene(
-                    self.scene, world, focus=focus, config=cfg)
+                    scene_b, world, focus=focus, config=cfg)
                 done = (cascades, None, "rebuilt (dense)")
         cascades, state, label = done
         # radiance cache: bake direct irradiance at every brick so the
@@ -181,12 +185,12 @@ class Renderer:
                 "from the SDF)", list_ov)
         return self.cascades
 
-    def _try_incremental(self, world, upd, cfg):
+    def _try_incremental(self, scene_b, world, upd, cfg):
         """Bounded dirty-instance cascade update; None on capacity fallback."""
         ids = upd["dirty_instances"]
-        dirty_inst = np.zeros((self.scene.instance_transform.shape[0],), bool)
+        dirty_inst = np.zeros((scene_b.instance_transform.shape[0],), bool)
         dirty_inst[ids] = True
-        dirty_tri = jnp.asarray(dirty_inst)[self.scene.tri_instance]
+        dirty_tri = jnp.asarray(dirty_inst)[scene_b.tri_instance]
         cap = 64
         dlo = np.full((cap, 3), 3.0e38, np.float32)
         dhi = np.full((cap, 3), -3.0e38, np.float32)
@@ -194,14 +198,14 @@ class Renderer:
         dlo[:n], dhi[:n] = upd["old_lo"], upd["old_hi"]
         dlo[n:2 * n], dhi[n:2 * n] = upd["new_lo"], upd["new_hi"]
         cascades, state, needs_full = sdf_build.update_for_scene(
-            self.cascades, self._build_state, self.scene, world, dirty_tri,
+            self.cascades, self._build_state, scene_b, world, dirty_tri,
             jnp.asarray(dlo), jnp.asarray(dhi), cfg)
         if int(needs_full):
             log.info("bounded SDF update overflowed; full rebuild")
             return None
         return cascades, state, f"updated ({n} dirty instances)"
 
-    def _try_scroll(self, world, focus, cfg):
+    def _try_scroll(self, scene_b, world, focus, cfg):
         """Clipmap scroll to a new center; None on capacity fallback."""
         new_centers = sdf_mod.default_centers(cfg, focus)
         delta = np.asarray(new_centers) - np.asarray(self.cascades.center)
@@ -209,7 +213,7 @@ class Renderer:
         if not any(scrolled):
             return self.cascades, self._build_state, "unchanged center"
         cascades, state, needs_full = sdf_build.scroll_for_scene(
-            self.cascades, self._build_state, self.scene, world,
+            self.cascades, self._build_state, scene_b, world,
             jnp.asarray(new_centers), scrolled, cfg)
         if int(needs_full):
             log.info("SDF scroll overflowed; full rebuild")
