@@ -436,3 +436,28 @@ class TestOverflowEscalation:
         for _ in range(4):
             r.render(gi=False, backend="raster")
         assert seen == ["raster", "raster2x", "raster4x", "raster_ranged"]
+
+
+class TestSplitWordEmission:
+    """Big-pool split-word carry emission (round 5: replaces the
+    searchsorted path that cost ~200 ms/frame at the 1M-slot city pool)
+    must reproduce the single-word carry path exactly."""
+
+    def test_matches_single_word_path(self, cornell):
+        res = 64
+        scene, cam = _setup(cornell, res)
+        world = bake_world(scene)
+        vp = jnp.asarray(cam.view_proj)
+        h0, _ = rasterize.rasterize_sorted(
+            world, scene.tri_vertices, scene.num_faces, vp,
+            height=res, width=res)
+        for path in ("split", "search"):
+            h1, _ = rasterize.rasterize_sorted(
+                world, scene.tri_vertices, scene.num_faces, vp,
+                height=res, width=res, emit_path=path)
+            np.testing.assert_array_equal(np.asarray(h0.tri),
+                                          np.asarray(h1.tri), err_msg=path)
+            np.testing.assert_array_equal(np.asarray(h0.t),
+                                          np.asarray(h1.t), err_msg=path)
+            np.testing.assert_array_equal(np.asarray(h0.u),
+                                          np.asarray(h1.u), err_msg=path)

@@ -1081,7 +1081,7 @@ def _segment_lists(keys, vals, n_segments: int, cap: int, fill: int):
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "tile_h", "tile_w", "tri_chunk", "cap",
     "cap_glob", "pairs_cap", "caps_scale", "interpret", "proj_height",
-    "grouped", "fused", "probe", "walker"))
+    "grouped", "fused", "probe", "walker", "emit_path"))
 def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      num_faces: jnp.ndarray, view_proj: jnp.ndarray, *,
                      height: int, width: int, tile_h: int = 8,
@@ -1093,6 +1093,7 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
                      face_mask=None, cull_sign=None, grouped: bool = True,
                      fused: bool | None = None, probe: str = "none",
                      walker: str = "steps", src_map=None,
+                     emit_path: str = "auto",
                      ) -> Tuple[HitRecord, jnp.ndarray]:
     """Visibility raster with sort-built EXACT per-tile lists — the scale
     path (cost O(F log F + live pairs), no (tiles x groups) matrices).
@@ -1213,27 +1214,30 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
     sy = max(grid[0] - 1, 1).bit_length()
     cb = sx + 1                                    # e_cols <= grid[1]
     j = jnp.arange(pairs_cap, dtype=jnp.int32)
-    if fp < (1 << (31 - sx - sy)):
+    sb = max(fp - 1, 1).bit_length()
+
+    def seg_carry(field):
+        """Monotone per-slot field -> per-pair value per segment."""
+        masked = jnp.where(live_slot, field, -1)
+        prev_live = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32),
+             jax.lax.cummax(masked)[:-1]])
+        diff = jnp.where(live_slot,
+                         field - jnp.maximum(prev_live, 0), 0)
+        buf = jnp.zeros((pairs_cap,), jnp.int32).at[
+            jnp.where(live_slot, starts_x, pairs_cap)].add(
+                diff, mode="drop")
+        return jnp.cumsum(buf)
+
+    # ``emit_path``: "auto" picks by bit budget; "split" / "search" force
+    # the big-pool tiers (tests assert their parity with the packed path)
+    slot_iota = jnp.arange(fp, dtype=jnp.int32)
+    if fp < (1 << (31 - sx - sy)) and emit_path == "auto":
         # word A: [slot id | ry0 | rx0]  (monotone: slot id ascends)
-        word_a = (jnp.arange(fp, dtype=jnp.int32) << (sx + sy)) \
-            | (ry0 << sx) | rx0
+        word_a = (slot_iota << (sx + sy)) | (ry0 << sx) | rx0
         # word B: [segment start | e_cols]  (monotone: starts strictly
         # ascend across live slots)
         word_b = (starts_x.astype(jnp.int32) << cb) | e_cols
-
-        def seg_carry(field):
-            """Monotone per-slot field -> per-pair value per segment."""
-            masked = jnp.where(live_slot, field, -1)
-            prev_live = jnp.concatenate(
-                [jnp.full((1,), -1, jnp.int32),
-                 jax.lax.cummax(masked)[:-1]])
-            diff = jnp.where(live_slot,
-                             field - jnp.maximum(prev_live, 0), 0)
-            buf = jnp.zeros((pairs_cap,), jnp.int32).at[
-                jnp.where(live_slot, starts_x, pairs_cap)].add(
-                    diff, mode="drop")
-            return jnp.cumsum(buf)
-
         a = seg_carry(word_a)
         b = seg_carry(word_b)
         sid = a >> (sx + sy)
@@ -1241,11 +1245,27 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         cols_s = jnp.maximum(b & ((1 << cb) - 1), 1)
         ry0_p = (a >> sx) & ((1 << sy) - 1)
         rx0_p = a & ((1 << sx) - 1)
+    elif (sb + max(sx, sy) <= 31
+          and pairs_cap.bit_length() + cb <= 31
+          and emit_path != "search"):
+        # big pools (>= 2^19 slots at 1080p, e.g. the compacted city
+        # stage): the single word can't hold [slot|ry0|rx0], but ANY
+        # (monotone << k) | field word still fits i32 one field at a
+        # time — three split-word carries replace the searchsorted +
+        # per-pair row gathers this branch used (log2-pass binary
+        # search + 4 latency-bound gathers over the pair stream:
+        # ~200 ms of the 1M-slot city frame's 289 ms setup+emission)
+        w_y = seg_carry((slot_iota << sy) | ry0)
+        w_x = seg_carry((slot_iota << sx) | rx0)
+        w_s = seg_carry((starts_x.astype(jnp.int32) << cb) | e_cols)
+        sid = w_y >> sy
+        ry0_p = w_y & ((1 << sy) - 1)
+        rx0_p = w_x & ((1 << sx) - 1)
+        k_start = w_s >> cb
+        cols_s = jnp.maximum(w_s & ((1 << cb) - 1), 1)
     else:
-        # beyond-carry-packing pools (>= 2^19 slots at 1080p, e.g. the
-        # 1M+-instanced-tri city stage): per-pair slot via searchsorted
-        # + row gathers — a few extra memory passes on the pair stream,
-        # no bit budget (the SDF binner made the same trade, sdf_build)
+        # beyond even the split-word budget: searchsorted + row gathers
+        # (no bit budget at all; the SDF binner makes the same trade)
         cum = jnp.cumsum(area_t)
         sid = jnp.minimum(jnp.searchsorted(cum, j, side="right"),
                           fp - 1).astype(jnp.int32)
@@ -1289,6 +1309,25 @@ def rasterize_sorted(world_verts: jnp.ndarray, tri_vertices: jnp.ndarray,
         starts = _binsearch_first_geq(
             skeys, jnp.arange(num_tiles + 1, dtype=jnp.uint32))
     count = (starts[1:] - starts[:-1]).astype(jnp.int32)
+
+    if probe == "sort":
+        # profiling: setup + emission + the pair sort, none of the
+        # template build or walk (city prep attribution)
+        s = (jnp.sum(svals).astype(jnp.float32)
+             + jnp.sum(count).astype(jnp.float32))
+        dummy = jnp.broadcast_to(s * 1e-20, (height * width,))
+        hit = HitRecord(t=dummy, tri=dummy.astype(jnp.int32), u=dummy,
+                        v=dummy, overflow=jnp.int32(0))
+        return hit, dummy.reshape(height, width)
+    if probe == "emit":
+        # profiling: setup + emission only (keys before the sort)
+        s = (jnp.sum(tile_of).astype(jnp.float32)
+             + jnp.sum(sid).astype(jnp.float32)
+             + jnp.sum(tz) + jnp.sum(tw))
+        dummy = jnp.broadcast_to(s * 1e-20, (height * width,))
+        hit = HitRecord(t=dummy, tri=dummy.astype(jnp.int32), u=dummy,
+                        v=dummy, overflow=jnp.int32(0))
+        return hit, dummy.reshape(height, width)
 
     # CHUNKED list fetch: per-tile slot windows are fetched as whole
     # 128-slot chunks of the sorted stream, starting at the tile's

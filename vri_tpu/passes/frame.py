@@ -219,12 +219,20 @@ def _visibility_raster(scene: SceneBuffers, world_verts, frame, height,
         face_ids, live, pair_inst, c_over = _compact_visible_faces(
             scene, frame.view_proj, ccap)
         inst_sign = _cull_sign_instance(scene)
+        # the pair/template arrays are STATIC-cap-proportional (their
+        # build dominates city-scale frames: 613 ms at the 2M default vs
+        # 337 ms at 1M for 822k live pairs — round-5 measurements), so
+        # bound them by the compacted pool instead of the global default;
+        # emission overflow stays counted and the ladder escalates.
+        # cap=4096: dense city tiles overflowed 2048 at caps_scale=1 and
+        # a wider per-tile list costs only work-list slack.
         hit, _ = raster_mod.rasterize_sorted(
             world_verts, scene.tri_vertices[face_ids], live,
             frame.view_proj, height=height, width=width,
             proj_height=proj_height,
             cull_sign=None if inst_sign is None else inst_sign[pair_inst],
-            y_offset=_y_off(y0),
+            y_offset=_y_off(y0), cap=4096,
+            pairs_cap=max(raster_mod._round_up(ccap, 1024), 1 << 18),
             caps_scale=caps_scale, src_map=face_ids)
         return hit.replace(overflow=hit.overflow
                            + (c_over > 0).astype(jnp.int32))
