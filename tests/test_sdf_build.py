@@ -265,7 +265,7 @@ class TestDemandCaps:
         scene = type("S", (), {"tri_vertices": tv,
                                "num_faces": jnp.int32(300)})()
         cfg2 = sdf_build.demand_caps(scene, wv, centers, cfg)
-        assert cfg2.cell_list_cap >= 512
+        assert cfg2.cell_list_cap >= 300     # demand (64-granular round)
         _, st = sdf_build.build_cascades_binned(wv, tv, jnp.int32(300),
                                                 centers, config=cfg2)
         assert int(st.list_overflow) == 0

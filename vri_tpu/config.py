@@ -126,7 +126,7 @@ class SDFConfig:
     # Incremental radiance bake (animated frames): capacity of the
     # compacted re-bake set (payload-dirty ∪ shadow-segment-dirty bricks);
     # overflow falls back to the full bake, counted via needs_full
-    bake_brick_cap: int = 16384
+    bake_brick_cap: int = 32768
     # 8192: the round-4 exact emission completes occupancy that glob
     # saturation used to hide, so a small prop's truncation-reach dirty
     # region re-emits ~4.2k bricks on the kitchen stage (was silently

@@ -471,7 +471,7 @@ def lighting_dirty_bricks(cascades: "SDFCascades", scene, dirty_lo,
     (bricks, lights, 3)."""
     from vri_tpu.ops import gi as gi_mod
 
-    centers, _ = brick_positions(cascades, config)
+    centers, cas_i = brick_positions(cascades, config)
     lp, lc, li, lt = gi_mod._light_arrays(scene)
     is_distant = (lt == 1)[None, :, None]
     p0 = centers[:, None, :]                                # (B, L, 3)
@@ -480,17 +480,24 @@ def lighting_dirty_bricks(cascades: "SDFCascades", scene, dirty_lo,
     d = end - p0
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
 
-    # moved geometry reshapes the FIELD out to the truncation distance of
-    # the coarsest cascade — inflate the boxes so a segment grazing the
-    # changed field (not just the changed surface) is caught.  Dead pad
-    # boxes stay inverted (+BIG/-BIG) under a finite inflate.
-    reach = config.truncation_voxels * config.voxel_size(
-        config.num_cascades - 1)
+    # moved geometry reshapes the FIELD out to the truncation distance —
+    # inflate the boxes so a segment grazing the changed field (not just
+    # the changed surface) is caught.  The reach is PER-BRICK (its own
+    # cascade's truncation): a coarsest-cascade-wide inflate blanketed a
+    # large share of production atlases into the re-bake set for a small
+    # prop move (the bench kitchen overflowed bake_brick_cap).  A brick's
+    # shadow segment samples the field at ITS cascade resolution near the
+    # start; the conservative cross-cascade case is covered by the
+    # distant march reading coarser cascades whose own bricks carry their
+    # own (larger) reach.  Dead pad boxes stay inverted under the inflate.
+    reach = (config.truncation_voxels
+             * cascades.voxel_size[cas_i])[:, None, None]   # (B, 1, 1)
 
     def one_box(mask, box):
-        lo, hi = box[0] - reach, box[1] + reach
-        t1 = (lo[None, None, :] - p0) * inv
-        t2 = (hi[None, None, :] - p0) * inv
+        lo = box[0][None, None, :] - reach                  # (B, 1, 3)
+        hi = box[1][None, None, :] + reach
+        t1 = (lo - p0) * inv
+        t2 = (hi - p0) * inv
         tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)        # (B, L)
         tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
         hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0)

@@ -146,10 +146,27 @@ def _compact_visible_faces(scene: SceneBuffers, view_proj, cap: int):
     cum = jnp.cumsum(counts)
     total = cum[-1]
     j = jnp.arange(cap, dtype=jnp.int32)
-    sid = jnp.minimum(jnp.searchsorted(cum, j, side="right"),
-                      num_i - 1).astype(jnp.int32)
-    start = cum[sid] - counts[sid]
-    face_ids = scene.instance_face_offset[sid] + (j - start)
+    # per-entry instance/start/offset via MONOTONE segment carries
+    # (scatter + cumsum), not searchsorted: the binary search's log2
+    # passes of per-entry gathers were ~half the compaction's cost at
+    # the 1M-entry city budget.  All three carried fields ascend over
+    # live instances (packing order), so each rides its own carry.
+    starts = cum - counts
+    live_i = counts > 0
+
+    def carry(field):
+        masked = jnp.where(live_i, field, -1)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                jax.lax.cummax(masked)[:-1]])
+        diff = jnp.where(live_i, field - jnp.maximum(prev, 0), 0)
+        buf = jnp.zeros((cap,), jnp.int32).at[
+            jnp.where(live_i, starts, cap)].add(diff, mode="drop")
+        return jnp.cumsum(buf)
+
+    sid = carry(jnp.arange(num_i, dtype=jnp.int32))
+    seg_start = carry(starts)
+    base_off = carry(scene.instance_face_offset.astype(jnp.int32))
+    face_ids = base_off + (j - seg_start)
     live = j < total
     face_ids = jnp.where(live, face_ids, 0)
     overflow = jnp.maximum(total - cap, 0)
