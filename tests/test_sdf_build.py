@@ -333,3 +333,25 @@ class TestIncrementalBake:
         _, drop = sdf.bake_brick_lighting_partial(
             cas0, scene, mask, st0.alive, config=CFG, cap=4)
         assert int(drop) > 0
+
+
+class TestLightingDirtyMask:
+    def test_dead_boxes_flag_nothing(self, cornell):
+        """Inverted (+BIG/-BIG) pad boxes must flag NO bricks: the
+        per-axis slab min/max swap once un-inverted them into an
+        everything-box, pushing the whole atlas into the re-bake set."""
+        scene, world = cornell
+        centers = sdf.default_centers(CFG, jnp.zeros(3))
+        cas, st = sdf_build.build_cascades_binned(
+            world, scene.tri_vertices, scene.num_faces, centers,
+            config=CFG)
+        dlo = jnp.full((8, 3), 3.0e38, jnp.float32)
+        dhi = jnp.full((8, 3), -3.0e38, jnp.float32)
+        mask = sdf.lighting_dirty_bricks(cas, scene, dlo, dhi, config=CFG)
+        assert int(mask.sum()) == 0
+        # one real box flags a bounded subset, not the whole atlas
+        dlo = dlo.at[0].set(jnp.asarray([-0.3, -0.3, -0.3]))
+        dhi = dhi.at[0].set(jnp.asarray([0.3, 0.3, 0.3]))
+        mask = sdf.lighting_dirty_bricks(cas, scene, dlo, dhi, config=CFG)
+        n = int(mask.sum())
+        assert 0 < n < int(mask.shape[0])

@@ -494,13 +494,18 @@ def lighting_dirty_bricks(cascades: "SDFCascades", scene, dirty_lo,
              * cascades.voxel_size[cas_i])[:, None, None]   # (B, 1, 1)
 
     def one_box(mask, box):
+        # dead pad boxes are inverted (+BIG lo / -BIG hi); the per-axis
+        # min/max swap below would UN-invert them into an everything-box
+        # (this exact bug once flagged the whole atlas dirty), so test
+        # validity explicitly
+        ok_box = jnp.all(box[0] <= box[1])
         lo = box[0][None, None, :] - reach                  # (B, 1, 3)
         hi = box[1][None, None, :] + reach
         t1 = (lo - p0) * inv
         t2 = (hi - p0) * inv
         tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)        # (B, L)
         tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0)
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0) & ok_box
         return mask | jnp.any(hit, axis=-1), None
 
     boxes = jnp.stack([dirty_lo, dirty_hi], axis=1)         # (D, 2, 3)
