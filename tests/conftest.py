@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent CPU compile cache: the suite compiles ~250 programs and a
+# full run occasionally dies inside LLVM (XLA:CPU backend_compile
+# segfault, seen only after ~200 prior compiles in one process); cached
+# executables skip LLVM entirely, so reruns complete and get much faster
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
